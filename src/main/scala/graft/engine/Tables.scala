@@ -1,0 +1,59 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table loaders for the driver-generated TPC-H-ish corpus (TESTDATA.md).
+  *
+  * Design notes for 100 TB operation: each table here is a single parquet
+  * file only because the test corpus is small. The loaders take a directory
+  * and a table name, so pointing them at a date-partitioned parquet (or
+  * Iceberg/Delta) root with thousands of files changes nothing in the query
+  * code — partition pruning and row-group min/max pruning are applied by the
+  * vectorized parquet reader as long as filters stay on raw columns.
+  *
+  * The one genuinely tricky source is `events`: the generator wrote its `ts`
+  * column as parquet INT64 TIMESTAMP(NANOS), which Spark 4.x refuses to read
+  * by default ([PARQUET_TYPE_ILLEGAL]). We flip the legacy conf (runtime
+  * settable) so the column arrives as a plain long of epoch-nanos, then
+  * convert with integer `div 1000` + `timestamp_micros` — bit-for-bit the
+  * same µs truncation DuckDB applies when it reads the file natively, which
+  * is what keeps the t2 oracle hash-match honest.
+  */
+object Tables {
+
+  /** Confs every graft session needs regardless of who built it (the driver
+    * builds sessions for Verify/Bench without them). All runtime-settable.
+    */
+  def prepare(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    prepare(spark)
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def region(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** The log/event stream table, with `ts` normalized from epoch-nanos long
+    * to a microsecond TimestampType column (matching DuckDB's native read).
+    * The raw nanos survive as `ts_ns` so range predicates can be pushed down
+    * to parquet as plain INT64 comparisons (a filter on the *converted*
+    * column would not reach the scan).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events")
+      .withColumn("ts_ns", col("ts").cast("long"))
+      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+}
