@@ -1,0 +1,337 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+
+/** Relational core (SURVEY.md §2.2–§2.4, §2.6): projection, predicates,
+  * the full join menu, hash aggregation, rollup, percentiles, set ops,
+  * global sort and top-k.
+  *
+  * Scale notes (100 TB): every query here is a declarative DataFrame plan,
+  * so Catalyst gives predicate pushdown, column pruning and join selection
+  * for free. Dimension joins pin `broadcast()` (region/nation/supplier stay
+  * tiny at any scale factor; customer/part grow but remain << fact tables).
+  * Fact-fact joins shuffle on their keys — at cluster scale those tables
+  * would be bucketed on the join key to elide the exchange; the query code
+  * is unchanged either way. AQE (on by default in Spark 4) re-plans skew.
+  */
+object Relational {
+
+  /** P1: projection + computed column; Catalyst prunes the parquet scan to
+    * the four referenced columns (visible as ReadSchema in explain).
+    */
+  val selProject = Q(
+    "sel_project",
+    """SELECT l_orderkey, l_linenumber,
+      |  ROUND(l_extendedprice * (1 - l_discount), 4) AS net_price
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("net_price"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** P2: compound predicate (=, <, BETWEEN, IN, AND/OR/NOT) — pushed to the
+    * parquet row-group stats.
+    */
+  val filterPredicates = Q(
+    "filter_predicates",
+    """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+      |FROM orders
+      |WHERE o_orderstatus = 'F'
+      |  AND o_totalprice BETWEEN 1000 AND 150000
+      |  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |  AND NOT (o_custkey < 10)
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .filter(
+        col("o_orderstatus") === "F" &&
+        col("o_totalprice").between(1000, 150000) &&
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+        !(col("o_custkey") < 10))
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      .orderBy("o_orderkey")
+  }
+
+  /** P4/P5: LIKE substring match + null handling (nullif/coalesce). */
+  val filterLikeNulls = Q(
+    "filter_like_nulls",
+    """SELECT p_partkey, p_type,
+      |  COALESCE(NULLIF(p_brand, 'Brand#11'), 'OTHER') AS brand_bucket
+      |FROM part WHERE p_type LIKE '%O%' ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+    Tables.part(s, dir)
+      .filter(col("p_type").like("%O%"))
+      .select(
+        col("p_partkey"), col("p_type"),
+        coalesce(nullif(col("p_brand"), lit("Brand#11")), lit("OTHER")).as("brand_bucket"))
+      .orderBy("p_partkey")
+  }
+
+  /** J1: fact × two broadcast dims (nation, region are ≤25 rows at any SF —
+    * always broadcast; the hint pins it so the plan never degrades to SMJ).
+    */
+  val joinBroadcastDim = Q(
+    "join_broadcast_dim",
+    """SELECT r_name, n_name,
+      |  COUNT(*) AS n_customers,
+      |  ROUND(AVG(c_acctbal), 4) AS avg_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_customers"), round(avg("c_acctbal"), 4).as("avg_bal"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** J2: fact × fact equi-join (shuffle join; at cluster scale both sides
+    * would be bucketed on the order key to make this exchange-free).
+    */
+  val joinFactFact = Q(
+    "join_fact_fact",
+    """SELECT o_orderpriority,
+      |  COUNT(*) AS n_lines,
+      |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** J3 + P5: left outer join keeping customers with zero orders; COUNT over
+    * the nullable side + COALESCE on the aggregated sum.
+    */
+  val joinOuter = Q(
+    "join_outer",
+    """SELECT c_custkey,
+      |  COUNT(o_orderkey) AS n_orders,
+      |  ROUND(COALESCE(SUM(o_totalprice), 0), 4) AS total_spent
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum("o_totalprice"), lit(0d)), 4).as("total_spent"))
+      .orderBy("c_custkey")
+  }
+
+  /** J4: left-semi (EXISTS) — customers holding at least one urgent order. */
+  val joinSemi = Q(
+    "join_semi",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    val urgent = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+    Tables.customer(s, dir)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** J5: left-anti (NOT EXISTS) — customers holding no urgent order
+    * (complement of [[joinSemi]]; non-empty at every scale factor).
+    */
+  val joinAnti = Q(
+    "join_anti",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    val urgent = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+    Tables.customer(s, dir)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** J8: cross join (tiny × tiny; the knn V1 path reuses this shape). */
+  val joinCross = Q(
+    "join_cross",
+    """SELECT r_name, n_name FROM region CROSS JOIN nation
+      |ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
+    Tables.region(s, dir).crossJoin(Tables.nation(s, dir))
+      .select("r_name", "n_name")
+      .orderBy("r_name", "n_name")
+  }
+
+  /** A1/A2: TPC-H Q1-style pricing summary — multi-measure hash aggregate
+    * with partial (map-side) aggregation; the whole scan→filter→agg pipeline
+    * runs in one WholeStageCodegen span.
+    */
+  val aggPricingSummary = Q(
+    "agg_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  ROUND(SUM(l_quantity), 4) AS sum_qty,
+      |  ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+      |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  ROUND(AVG(l_quantity), 4) AS avg_qty,
+      |  ROUND(AVG(l_discount), 4) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** A3: exact distinct count (two-phase distinct aggregate). */
+  val aggDistinct = Q(
+    "agg_distinct",
+    """SELECT o_orderpriority,
+      |  COUNT(DISTINCT o_custkey) AS n_customers,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(countDistinct("o_custkey").as("n_customers"), count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** A5: rollup subtotal hierarchy region → nation (NULL rows are the
+    * subtotal/grand-total levels; both engines order them NULLS FIRST here).
+    */
+  val aggRollup = Q(
+    "agg_rollup",
+    """SELECT r_name, n_name,
+      |  COUNT(*) AS n_customers,
+      |  ROUND(SUM(c_acctbal), 4) AS sum_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "n_name", "c_acctbal")
+      // grouping cols are aliased through the rollup: Spark 4's ambiguous-
+      // self-join detector false-positives on rollup grouping attrs when the
+      // input came through a multi-join (Expand duplicates the attr ids).
+      .rollup(col("r_name").as("rname"), col("n_name").as("nname"))
+      .agg(count(lit(1)).as("n_customers"), round(sum("c_acctbal"), 4).as("sum_bal"))
+      .orderBy(asc_nulls_first("rname"), asc_nulls_first("nname"))
+      .select(
+        col("rname").as("r_name"), col("nname").as("n_name"),
+        col("n_customers"), col("sum_bal"))
+  }
+
+  /** A7: exact interpolating percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`).
+    */
+  val aggPercentile = Q(
+    "agg_percentile",
+    """SELECT l_returnflag,
+      |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+      |  ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** A8: arg-max with a deterministic tiebreak — MAX over a (price, key)
+    * struct (lexicographic in both engines) makes the answer unique even
+    * under double-valued ties, which plain arg_max/max_by would not.
+    */
+  val aggArgmax = Q(
+    "agg_argmax",
+    """SELECT o_orderpriority,
+      |  MAX(o_totalprice) AS max_price,
+      |  (MAX(struct_pack(p := o_totalprice, k := o_orderkey))).k AS max_orderkey
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        max("o_totalprice").as("max_price"),
+        max(struct(col("o_totalprice").as("p"), col("o_orderkey").as("k")))
+          .getField("k").as("max_orderkey"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** A9: collect_list with a deterministic (sorted) order. */
+  val aggCollectList = Q(
+    "agg_collect_list",
+    """SELECT n_regionkey,
+      |  list(n_name ORDER BY n_name) AS nations
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (s, dir) =>
+    Tables.nation(s, dir)
+      .groupBy("n_regionkey")
+      .agg(sort_array(collect_list("n_name")).as("nations"))
+      .orderBy("n_regionkey")
+  }
+
+  /** O1/O2: global sort + top-k. Spark plans TakeOrderedAndProject — no full
+    * sort materialization; at cluster scale each partition computes a local
+    * top-k and only k rows per partition reach the driver-side merge.
+    */
+  val topkGlobal = Q(
+    "topk_global",
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(10)
+  }
+
+  /** O3: UNION (distinct) across differently-named key columns. */
+  val setUnion = Q(
+    "set_union",
+    """SELECT c_nationkey AS nationkey FROM customer
+      |UNION
+      |SELECT s_nationkey AS nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+      .union(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+      .distinct()
+      .orderBy("nationkey")
+  }
+
+  /** O4: INTERSECT / EXCEPT in one query via unionByName of the two results. */
+  val setIntersectExcept = Q(
+    "set_intersect_except",
+    """SELECT 'both' AS op, nationkey FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  INTERSECT SELECT s_nationkey FROM supplier)
+      |UNION ALL
+      |SELECT 'cust_only' AS op, nationkey FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  EXCEPT SELECT s_nationkey FROM supplier)
+      |ORDER BY op, nationkey""".stripMargin) { (s, dir) =>
+    val cust = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+    val supp = Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey"))
+    cust.intersect(supp).select(lit("both").as("op"), col("nationkey"))
+      .unionByName(cust.except(supp).select(lit("cust_only").as("op"), col("nationkey")))
+      .orderBy("op", "nationkey")
+  }
+
+  val all: Seq[Q] = Seq(
+    selProject, filterPredicates, filterLikeNulls,
+    joinBroadcastDim, joinFactFact, joinOuter, joinSemi, joinAnti, joinCross,
+    aggPricingSummary, aggDistinct, aggRollup, aggPercentile, aggArgmax,
+    aggCollectList, topkGlobal, setUnion, setIntersectExcept)
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.engine.Relational
+import org.apache.spark.sql.functions._
+
+/** Semantics checks on small, hand-computable inputs. */
+class RelationalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("argmax tiebreak is deterministic under duplicate ordering values") {
+    val df = Seq(("a", 10.0, 1L), ("a", 10.0, 2L), ("a", 5.0, 3L))
+      .toDF("g", "price", "key")
+    val got = df.groupBy("g")
+      .agg(max(struct($"price".as("p"), $"key".as("k"))).getField("k").as("argmax"))
+      .collect()
+    assert(got.head.getLong(1) === 2L) // the larger key wins the 10.0 tie
+  }
+
+  test("semi/anti joins partition the left side") {
+    val semi = Relational.joinSemi.build(spark, sfDir).count()
+    val anti = Relational.joinAnti.build(spark, sfDir).count()
+    val customers = spark.read.parquet(s"$sfDir/customer.parquet").count()
+    assert(semi + anti === customers)
+  }
+
+  test("rollup emits leaf + subtotal + grand-total levels") {
+    val rows = Relational.aggRollup.build(spark, sfDir).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    val subtotal = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    val leaves = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    assert(grand.length === 1)
+    assert(subtotal.length === 5) // 5 regions
+    assert(grand.head.getLong(2) === leaves.map(_.getLong(2)).sum)
+  }
+
+  test("union distinct ∪, intersect ∩ and except ∖ agree with set algebra") {
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select($"c_nationkey".cast("int")).as[Int].collect().toSet
+    val supp = spark.read.parquet(s"$sfDir/supplier.parquet")
+      .select($"s_nationkey".cast("int")).as[Int].collect().toSet
+    val union = Relational.setUnion.build(spark, sfDir).as[Int].collect().toSet
+    assert(union === (cust ++ supp))
+    val ie = Relational.setIntersectExcept.build(spark, sfDir)
+      .collect().groupBy(_.getString(0)).map { case (k, v) => k -> v.map(_.getInt(1)).toSet }
+    assert(ie("both") === (cust intersect supp))
+    assert(ie.getOrElse("cust_only", Set.empty[Int]) === (cust diff supp))
+  }
+
+  test("pricing summary matches a hand aggregation") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+    val expected = li.groupBy("l_returnflag", "l_linestatus").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val got = Relational.aggPricingSummary.build(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(7)).toMap
+    assert(got === expected)
+  }
+}

@@ -29,6 +29,10 @@ def norm_cell(v):
         if math.isnan(v):
             return "NaN"
         return f"{v:.9g}"
+    if hasattr(v, "tolist"):  # numpy array / scalar
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
     return str(v)
 
 
@@ -43,7 +47,8 @@ def main(sf_dir, out_dir):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    names = sorted(d.split("/")[-1] for d in glob.glob(f"{out_dir}/*") if "." not in d.split("/")[-1])
+    dumped = {d.split("/")[-1] for d in glob.glob(f"{out_dir}/*") if "." not in d.split("/")[-1]}
+    names = sorted(dumped | set(oracle))
     n_pass = n_fail = 0
     for name in names:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
