@@ -1,12 +1,25 @@
 package graft.engine
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Log-analytics operators (SURVEY.md §2.5, §2.7-ish): the reference's core
-  * use-case — time bucketing, grep, parsing, windows, sessionization —
-  * expressed as declarative Spark plans over the `events` log table.
+/** Log-analytics operators (SURVEY.md §2.2 P3, §2.5 W1–W6, §2.7 F1–F3/F6/F9,
+  * §2.3 J6–J7): the reference's core use-case — grep, parse, time bucketing,
+  * JSON field extraction, ranking/lag/frame windows, sessionization, range
+  * and as-of joins — expressed as declarative Spark plans over the `events`
+  * log table and the `documents` corpus.
+  *
+  * Scale notes (100 TB): every window here partitions by `user_id` (or is a
+  * post-aggregation window over a small keyspace like days), so state is
+  * bounded per key and Spark hash-partitions it across executors. The two
+  * self-joins carry the `user_id` equi-key so they plan as real hash/sort
+  * joins, never BroadcastNestedLoop. At cluster scale the events table
+  * would be date-partitioned (pruning) and bucketed by user_id (co-located
+  * windows + self-joins); the query code is unchanged either way.
   */
 object LogOps {
+
+  private val gapUs = 1800000000L // 30 min session gap, in microseconds
 
   /** Flagship (S1+S2+F3+A6): daily event volume + error rate. Exercises the
     * nanosecond-timestamp read path and conditional aggregation.
@@ -27,5 +40,294 @@ object LogOps {
       .orderBy("day")
   }
 
-  val all: Seq[Q] = Seq(errorRateDaily)
+  /** P3: regex grep — the reference's bread-and-butter query. The rlike
+    * filter runs inside WholeStageCodegen directly over the scan.
+    */
+  val grepRegex = Q(
+    "log_grep_regex",
+    """SELECT doc_id, lang, source FROM documents
+      |WHERE regexp_matches(text, 'merge.*join') ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .filter(col("text").rlike("merge.*join"))
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  /** F2: regex field extraction (parse-pattern → column, schema-on-read). */
+  val regexExtract = Q(
+    "log_regex_extract",
+    """SELECT regexp_extract(text, 'scan (\w+)', 1) AS after_scan, COUNT(*) AS n
+      |FROM documents
+      |WHERE regexp_extract(text, 'scan (\w+)', 1) <> ''
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(regexp_extract(col("text"), "scan (\\w+)", 1).as("after_scan"))
+      .filter(col("after_scan") =!= "")
+      .groupBy("after_scan")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("after_scan")
+  }
+
+  /** F1: string function family over the document corpus. */
+  val stringFuncs = Q(
+    "log_string_funcs",
+    """SELECT doc_id, upper(lang) AS lang_u, CAST(length(text) AS INTEGER) AS n_len,
+      |  substr(text, 1, 15) AS prefix, concat(source, ':', lang) AS src_lang
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        upper(col("lang")).as("lang_u"),
+        length(col("text")).as("n_len"),
+        substring(col("text"), 1, 15).as("prefix"),
+        concat(col("source"), lit(":"), col("lang")).as("src_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** S3/F9: raw-line parsing — first token + token count per line (the
+    * spark.read.text ingest path applies exactly this projection).
+    */
+  val parseFields = Q(
+    "log_parse_fields",
+    """SELECT doc_id, regexp_extract(text, '^(\w+)', 1) AS first_tok,
+      |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        regexp_extract(col("text"), "^(\\w+)", 1).as("first_tok"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** F3: time bucketing — hourly count + value sum per event type. */
+  val timeBuckets = Q(
+    "log_time_buckets",
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_bucket, event_type,
+      |  COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("hour_bucket", "event_type")
+  }
+
+  /** F6/S4: JSON field extraction out of the semi-structured `props` tail —
+    * schema-on-read, exactly logdb's parse-at-query-time model.
+    */
+  val jsonExtract = Q(
+    "log_json_extract",
+    """SELECT CAST(CAST(props->>'$.k' AS INT) // 10 AS INT) AS k_bucket,
+      |  COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .select(
+        expr("CAST(get_json_object(props, '$.k') AS INT) div 10").cast("int").as("k_bucket"),
+        col("value"))
+      .groupBy("k_bucket")
+      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+      .orderBy("k_bucket")
+  }
+
+  /** F9/D5: tokenize (Generate/explode) → vocabulary frequency table. */
+  val tokenize = Q(
+    "log_tokenize",
+    """SELECT tok, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents) t
+      |WHERE tok <> '' GROUP BY tok ORDER BY tok""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("tok")
+  }
+
+  /** W1: top-k per group with a unique tiebreaker (rank determinism). */
+  val winTopk = Q(
+    "win_topk",
+    """SELECT user_id, event_id, value,
+      |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS INTEGER) AS rn
+      |FROM events
+      |QUALIFY rn <= 3
+      |ORDER BY user_id, rn""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy(desc("value"), asc("event_id"))
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("user_id", "event_id", "value", "rn")
+      .orderBy("user_id", "rn")
+  }
+
+  /** W2: rank / dense_rank / ntile over suppliers within a nation. */
+  val winRankNtile = Q(
+    "win_rank_ntile",
+    """SELECT s_nationkey, s_suppkey, s_acctbal,
+      |  CAST(rank() OVER w AS INTEGER) AS rnk,
+      |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+      |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+      |FROM supplier
+      |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+      |ORDER BY s_nationkey, s_suppkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("s_nationkey").orderBy(desc("s_acctbal"), asc("s_suppkey"))
+    Tables.supplier(s, dir)
+      .select(
+        col("s_nationkey"), col("s_suppkey"), col("s_acctbal"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("s_nationkey", "s_suppkey")
+  }
+
+  /** W3: lag — microsecond gap to the previous event of the same user. */
+  val winLagGap = Q(
+    "win_lag_gap",
+    """SELECT user_id, event_id,
+      |  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      |FROM events ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .select(
+        col("user_id"), col("event_id"),
+        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** W4: running aggregate — cumulative daily revenue. The window is
+    * unpartitioned but runs over ~2.4k post-aggregation rows, not the fact
+    * table, so the single-partition sort is bounded at any scale factor.
+    */
+  val winRunningSum = Q(
+    "win_running_sum",
+    """SELECT day, daily_rev,
+      |  ROUND(SUM(daily_rev) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_rev
+      |FROM (SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+      |             ROUND(SUM(o_totalprice), 2) AS daily_rev
+      |      FROM orders GROUP BY 1) t
+      |ORDER BY day""".stripMargin) { (s, dir) =>
+    val daily = Tables.orders(s, dir)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(round(sum("o_totalprice"), 2).as("daily_rev"))
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("cum_rev", round(sum("daily_rev").over(w), 2))
+      .orderBy("day")
+  }
+
+  /** W5: sliding frame — 7-day moving average of daily event counts. */
+  val winMovingAvg = Q(
+    "win_moving_avg",
+    """SELECT day, n,
+      |  ROUND(AVG(n) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+      |FROM (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, COUNT(*) AS n
+      |      FROM events GROUP BY 1) t
+      |ORDER BY day""".stripMargin) { (s, dir) =>
+    val daily = Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("ma7", round(avg("n").over(w), 4))
+      .orderBy("day")
+  }
+
+  /** W6 flagship: sessionization — a gap > 30 min starts a new session;
+    * lag → boundary flag → running sum = session id → per-session stats.
+    * Composition of W3 + W4 + A1; the streaming twin is session_window
+    * (graft.streaming).
+    */
+  val winSessionize = Q(
+    "win_sessionize",
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val flagged = Tables.events(s, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > gapUs, 1)
+          .otherwise(0))
+    flagged
+      .withColumn("session_id",
+        sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("ts").as("session_start"),
+        max("ts").as("session_end"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** J6: range join — error within 1 h after a purchase, same user. The
+    * user_id equi-key keeps this a real hash join (band predicate applied
+    * post-match) rather than a nested-loop cross product.
+    */
+  val joinRangeEvents = Q(
+    "join_range_events",
+    """SELECT a.event_id AS purchase_id, b.event_id AS error_id
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND a.event_type = 'purchase' AND b.event_type = 'error'
+      | AND b.ts > a.ts AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000
+      |ORDER BY purchase_id, error_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val a = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("a_ts"))
+    val b = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("b_user"), col("event_id").as("error_id"), col("ts").as("b_ts"))
+    a.join(b,
+        col("user_id") === col("b_user") &&
+        col("b_ts") > col("a_ts") &&
+        unix_micros(col("b_ts")) <= unix_micros(col("a_ts")) + 3600000000L)
+      .select("purchase_id", "error_id")
+      .orderBy("purchase_id", "error_id")
+  }
+
+  /** J7: as-of join — for each error event, the user's most recent purchase
+    * at or before it. Window formulation (rn = 1 over ts DESC) keeps the
+    * result deterministic; at cluster scale this becomes a bucketed
+    * sort-merge per user partition with identical semantics.
+    */
+  val joinAsofEvents = Q(
+    "join_asof_events",
+    """WITH pairs AS (
+      |  SELECT e.event_id, e.user_id, p.event_id AS purchase_id,
+      |    row_number() OVER (PARTITION BY e.event_id ORDER BY p.ts DESC, p.event_id DESC) AS rn
+      |  FROM events e JOIN events p
+      |    ON e.user_id = p.user_id AND p.event_type = 'purchase' AND p.ts <= e.ts
+      |  WHERE e.event_type = 'error')
+      |SELECT event_id, user_id, purchase_id FROM pairs WHERE rn = 1
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val w = Window.partitionBy("event_id").orderBy(desc("p_ts"), desc("purchase_id"))
+    e.join(p, col("user_id") === col("p_user") && col("p_ts") <= col("ts"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("event_id", "user_id", "purchase_id")
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(
+    errorRateDaily, grepRegex, regexExtract, stringFuncs, parseFields,
+    timeBuckets, jsonExtract, tokenize,
+    winTopk, winRankNtile, winLagGap, winRunningSum, winMovingAvg, winSessionize,
+    joinRangeEvents, joinAsofEvents)
 }

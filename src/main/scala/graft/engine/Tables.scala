@@ -52,8 +52,16 @@ object Tables {
     * to parquet as plain INT64 comparisons (a filter on the *converted*
     * column would not reach the scan).
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "events")
-      .withColumn("ts_ns", col("ts").cast("long"))
-      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // Production shape: TIMESTAMP(NANOS) surfaced as epoch-nanos long.
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+      case _ =>
+        // Already a genuine TimestampType (e.g. µs parquet from tests).
+        raw.withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
+    }
+  }
 }

