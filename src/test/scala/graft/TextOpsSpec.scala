@@ -1,0 +1,76 @@
+package graft
+
+import graft.engine.TextOps
+
+/** Text-analysis semantics on hand-computable inputs — in particular that
+  * language-ID actually identifies languages on real multilingual text
+  * (the corpus oracle only pins the join/argmax machinery).
+  */
+class TextOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docsDir(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
+    rows.map { case (id, text) => (id, text, "xx", "src0", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("language-id picks the marker-dominant language; no markers → und") {
+    val dir = docsDir(Seq(
+      (1L, "the cat and a dog sat on the mat"),
+      (2L, "der hund und die katze ist hier"),
+      (3L, "el perro que corre los campos una vez"),
+      (4L, "le chat est dans les jardins"),
+      (5L, "的 是 在 了 都"),
+      (6L, "lorem ipsum dolor sit amet")))
+    val got = TextOps.langId.build(spark, dir)
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "fr", 5L -> "zh", 6L -> "und"))
+  }
+
+  test("simhash: identical docs collide; similar docs are closer than dissimilar") {
+    val base = (0 until 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (0 until 58).map(i => s"tok$i").mkString(" ") + " other word"
+    val different = (100 until 160).map(i => s"w$i").mkString(" ")
+    val dir = docsDir(Seq((1L, base), (2L, base), (3L, nearDup), (4L, different)))
+    val h = TextOps.simhash.build(spark, dir)
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(h(1L) === h(2L))
+    assert(hamming(h(1L), h(3L)) < hamming(h(1L), h(4L)))
+  }
+
+  test("fingerprints: md5 matches reference value, poly hash matches hand fold") {
+    val dir = docsDir(Seq((1L, "ab cde")))
+    val row = TextOps.fingerprint.build(spark, dir).collect().head
+    // md5("ab cde") — reference value from java.security.MessageDigest
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("ab cde".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(row.getString(1) === md)
+    // fold: ((0*31+2)%p)*31+3 %p = 65
+    assert(row.getLong(2) === 65L)
+  }
+
+  test("token counts: whitespace vs bpe-ish vs chars/4") {
+    val dir = docsDir(Seq((1L, "Hello world42, x!")))
+    val r = TextOps.tokenCount.build(spark, dir).collect().head
+    assert(r.getInt(1) === 3) // ws: Hello | world42, | x!
+    // bpe: Hello|world|42|,|x|! = 6
+    assert(r.getInt(2) === 6)
+    assert(r.getLong(3) === math.ceil(17 / 4.0).toLong)
+  }
+
+  test("quality score formula is reproducible by hand") {
+    val dir = docsDir(Seq((1L, "the a data xyz")))
+    val r = TextOps.qualityScore.build(spark, dir).collect().head
+    val nTok = 4
+    val stopRatio = 3.0 / 4
+    val avgLen = 11.0 / 4 // "theadataxyz".length / 4
+    val expected = BigDecimal(0.3 * math.log(1.0 + nTok) + 0.5 * stopRatio + 0.2 * (avgLen / 10.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getInt(1) === nTok)
+    assert(r.getDouble(3) === expected)
+  }
+}
