@@ -325,9 +325,35 @@ object LogOps {
       .orderBy("event_id")
   }
 
+  /** S3 round-trip: synthesize `src [lang] text…` log lines, then recover
+    * the fields with the LogSource parse pattern — proves the
+    * schema-on-read projection (the ingest path for raw log files, see
+    * [[graft.sources.LogSource]]) against the oracle.
+    */
+  val parseLines = Q(
+    "log_parse_lines",
+    """SELECT doc_id,
+      |  regexp_extract(line, '^(\S+) \[(\w+)\] (.*)$', 1) AS component,
+      |  regexp_extract(line, '^(\S+) \[(\w+)\] (.*)$', 2) AS level,
+      |  substr(regexp_extract(line, '^(\S+) \[(\w+)\] (.*)$', 3), 1, 20) AS head
+      |FROM (SELECT doc_id, concat(source, ' [', lang, '] ', text) AS line
+      |      FROM documents) t
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val pat = "^(\\S+) \\[(\\w+)\\] (.*)$"
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        concat(col("source"), lit(" ["), col("lang"), lit("] "), col("text")).as("line"))
+      .select(
+        col("doc_id"),
+        regexp_extract(col("line"), pat, 1).as("component"),
+        regexp_extract(col("line"), pat, 2).as("level"),
+        substring(regexp_extract(col("line"), pat, 3), 1, 20).as("head"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     errorRateDaily, grepRegex, regexExtract, stringFuncs, parseFields,
     timeBuckets, jsonExtract, tokenize,
     winTopk, winRankNtile, winLagGap, winRunningSum, winMovingAvg, winSessionize,
-    joinRangeEvents, joinAsofEvents)
+    joinRangeEvents, joinAsofEvents, parseLines)
 }

@@ -1,0 +1,120 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns (SURVEY.md §2.9 D8 + north-star): media payloads as
+  * opaque `binary` columns with typed metadata, plus the decode /
+  * feature-extract / frame-sample plumbing a training-data pipeline needs.
+  *
+  * No binary fixtures ship with the corpus, so media rows are derived
+  * DETERMINISTICALLY from `documents` (payload = utf-8 bytes of `text`);
+  * everything downstream of that derivation — schema, partitioning, batch
+  * iteration, explode shapes — is the real plumbing. The one stub is
+  * [[decodeFeatures]]'s kernel: where production would run an image/audio
+  * codec (no such libs in this container), it computes a byte-nibble
+  * histogram — deterministic, testable, and with the same
+  * Iterator-per-partition batch shape a real decoder would use.
+  *
+  * Scale notes (100 TB of media): payloads never shuffle — every operator
+  * here is a narrow map or a generator (explode) planned before any
+  * exchange; aggregations first project payload down to scalars/features.
+  * mapPartitions (not a per-row UDF) is deliberate: a real decoder
+  * amortizes codec init once per partition, exactly this seam.
+  */
+object MultiModal {
+
+  final case class Media(media_id: Long, kind: String, payload: Array[Byte],
+                         width: Int, height: Int, duration_ms: Long)
+  final case class MediaFeature(media_id: Long, kind: String, feature: Array[Double])
+
+  /** Derive a media table from documents: payload + per-kind metadata. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        (col("n_chars") % 640).cast("int").as("width"),
+        (col("n_chars") % 480).cast("int").as("height"),
+        (col("n_chars") * 40).as("duration_ms")).as("meta"))
+
+  /** Decode seam (STUB kernel, real batch plumbing): one partition-level
+    * iterator pass, feature = 16-bin histogram of low nibbles, L1-normalized.
+    * A production codec swaps in at the marked line only.
+    */
+  def decodeFeatures(media: Dataset[Media]): Dataset[MediaFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // <- production: initialize codec once per partition here
+      rows.map { m =>
+        // <- production: codec.decode(m.payload) replaces this fake
+        val bins = new Array[Double](16)
+        m.payload.foreach(b => bins(b & 0x0f) += 1.0)
+        val n = math.max(1.0, m.payload.length.toDouble)
+        MediaFeature(m.media_id, m.kind, bins.map(_ / n))
+      }
+    }
+  }
+
+  /** Frame sampling: one row per sampled frame, offsets stride the payload.
+    * A generator (posexplode) — not a shuffle — so it scales linearly.
+    */
+  def frameSample(media: DataFrame, frameBytes: Int = 100, maxFrames: Int = 4): DataFrame =
+    media
+      .filter(col("kind") === "video")
+      .select(col("media_id"),
+        posexplode(slice(
+          sequence(lit(0L), greatest(lit(0L),
+            expr(s"(length(payload) - 1) div $frameBytes"))),
+          1, maxFrames)).as(Seq("frame_idx", "chunk_no")))
+      .select(col("media_id"), col("frame_idx"),
+        (col("chunk_no") * frameBytes).as("byte_offset"))
+
+  /** "Resize": keep the first `n` payload bytes (binary substring). */
+  def resizePayload(media: DataFrame, n: Int): DataFrame =
+    media.withColumn("payload", expr(s"substring(payload, 1, $n)"))
+}
+
+/** Oracle-checked registry entries for the multimodal plumbing. */
+object MultiModalOps {
+
+  /** Payload/metadata stats per kind — proves binary length semantics and
+    * the metadata struct against DuckDB's BLOB handling.
+    */
+  val kindStats = Q(
+    "mm_kind_stats",
+    """SELECT (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(octet_length(text::BLOB)) AS BIGINT) AS total_bytes,
+      |  CAST(MAX(n_chars % 640) AS INTEGER) AS max_width
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    MultiModal.mediaFromDocuments(Tables.documents(s, dir))
+      .groupBy("kind")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(length(col("payload"))).as("total_bytes"),
+        max(col("meta.width")).as("max_width"))
+      .orderBy("kind")
+  }
+
+  /** Frame-sampling shape: (media_id, frame_idx, byte_offset) rows. */
+  val frameSample = Q(
+    "mm_frame_sample",
+    """SELECT doc_id AS media_id,
+      |  CAST(f AS INTEGER) AS frame_idx,
+      |  CAST(f * 100 AS INTEGER) AS byte_offset
+      |FROM documents
+      |CROSS JOIN (SELECT unnest(range(0, 4)) AS f) t
+      |WHERE doc_id % 3 = 2
+      |  AND f <= (octet_length(text::BLOB) - 1) // 100
+      |ORDER BY media_id, frame_idx""".stripMargin) { (s, dir) =>
+    MultiModal.frameSample(MultiModal.mediaFromDocuments(Tables.documents(s, dir)))
+      .select(col("media_id"), col("frame_idx").cast("int").as("frame_idx"),
+        col("byte_offset").cast("int").as("byte_offset"))
+      .orderBy("media_id", "frame_idx")
+  }
+
+  val all: Seq[Q] = Seq(kindStats, frameSample)
+}

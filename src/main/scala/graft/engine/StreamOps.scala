@@ -1,0 +1,89 @@
+package graft.engine
+
+import graft.streaming.Streaming
+import org.apache.spark.sql.functions._
+
+/** Batch twins of the streaming transforms (SURVEY.md §2.8): each `stream_*`
+  * query applies the exact transform StreamingSpec runs through
+  * MemoryStream, but over the batch events table, which makes it
+  * DuckDB-oracle-checkable. Batch≡stream parity is the verification trick:
+  * the oracle pins the aggregation semantics, the MemoryStream spec pins
+  * the incremental-execution wiring.
+  */
+object StreamOps {
+
+  /** T1 twin: tumbling 1-hour windows == hour-truncated buckets. */
+  val tumbling = Q(
+    "stream_tumbling_1h",
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
+      |  COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Streaming.tumblingCounts(Tables.events(s, dir)).orderBy("ws", "event_type")
+  }
+
+  /** T2 twin: each event lands in exactly four 15-min-slid 1-hour windows. */
+  val sliding = Q(
+    "stream_sliding_1h15m",
+    """WITH cand AS (
+      |  SELECT CAST(time_bucket(INTERVAL '15 minutes', ts)
+      |           - o * INTERVAL '15 minutes' AS TIMESTAMP) AS ws,
+      |         event_type, ts
+      |  FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS o) t)
+      |SELECT ws, event_type, COUNT(*) AS n
+      |FROM cand WHERE ts < ws + INTERVAL '60 minutes'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Streaming.slidingCounts(Tables.events(s, dir)).orderBy("ws", "event_type")
+  }
+
+  /** T3 twin: session_window == the lag/cumsum sessionization, with the
+    * session_window convention that the window end extends one gap past
+    * the last event.
+    */
+  val sessionWindow = Q(
+    "stream_session_window",
+    """WITH flagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |  MAX(ts) + INTERVAL '30 minutes' AS session_end,
+      |  COUNT(*) AS n_events
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+    Streaming.sessionStats(Tables.events(s, dir)).orderBy("user_id", "session_start")
+  }
+
+  /** T6 twin: the error-burst state machine replayed in batch — every user
+    * gets floor(errors/3) alerts, the k-th after 3k errors.
+    */
+  val errorBurstsBatch = Q(
+    "stream_error_bursts",
+    """SELECT user_id, n_errors, alert_no FROM (
+      |  SELECT user_id,
+      |    CAST(3 * alert_no AS BIGINT) AS n_errors, CAST(alert_no AS BIGINT) AS alert_no
+      |  FROM (SELECT user_id, COUNT(*) AS errs FROM events
+      |        WHERE event_type = 'error' GROUP BY 1) e
+      |  CROSS JOIN (SELECT unnest(range(1, 100000)) AS alert_no) n
+      |  WHERE alert_no <= errs // 3) t
+      |ORDER BY user_id, alert_no""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Streaming.Ev]
+    // The typed state machine itself, run over the batch Dataset. Row order
+    // within a group is unspecified in batch mode, but the output depends
+    // only on error COUNTS (alert k fires at the 3k-th error), so the
+    // result is deterministic regardless.
+    Streaming.errorBursts(ev).toDF().orderBy("user_id", "alert_no")
+  }
+
+  val all: Seq[Q] = Seq(tumbling, sliding, sessionWindow, errorBurstsBatch)
+}

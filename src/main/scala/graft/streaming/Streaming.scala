@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Streaming operators over the events log (SURVEY.md §2.8 T1–T6), built on
+  * the batch≡stream parity principle: every transform here takes a plain
+  * DataFrame and works identically on a batch table or a `readStream`
+  * source. The batch application is what the DuckDB oracle checks (the
+  * `stream_*` entries in SparkEntry.queries); StreamingSpec replays the
+  * same rows through MemoryStream and asserts the results agree.
+  *
+  * Scale notes (100 TB/day ingest): all aggregations key on
+  * (window × event_type) or (user_id × session) so state partitions across
+  * executors; watermarks bound state size — without one, a 100 TB stream's
+  * session store grows forever. The stateful op uses typed
+  * flatMapGroupsWithState with event-time timeout for exactly that reason.
+  */
+object Streaming {
+
+  /** Schema of the events stream (post Tables.events normalization). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  // ---- T1/T2/T3: windowed aggregations (work on batch AND stream) ----
+
+  /** T1: tumbling 1-hour counts per event type. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+
+  /** T2: sliding 1-hour window, 15-minute slide. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"))
+
+  /** T3: gap-based session window per user (streaming twin of
+    * LogOps.winSessionize — same 30-min gap rule).
+    */
+  def sessionStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
+  // ---- T4/T5: watermarked variants (streaming-only semantics) ----
+
+  /** T4: tumbling counts that tolerate ≤ 1 h of event-time lateness; later
+    * rows are dropped and their windows finalized.
+    */
+  def tumblingWithWatermark(events: DataFrame): DataFrame =
+    tumblingCounts(events.withWatermark("ts", "1 hour"))
+
+  /** T5: in-stream dedup on event_id within the watermark horizon. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark("event_id")
+
+  // ---- T6: arbitrary stateful processing ----
+
+  final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                      event_type: String, value: Double)
+  final case class BurstState(errors: Long, alerts: Long)
+  final case class Alert(user_id: Long, n_errors: Long, alert_no: Long)
+
+  /** T6: per-user error-burst detector — emits an alert each time a user
+    * accumulates 3 errors. State is one (errors, alerts) pair per user,
+    * partitioned by user_id across executors; an event-time timeout would
+    * evict idle users in production (omitted here so the batch twin —
+    * floor(total_errors/3) alerts per user — is exactly comparable).
+    */
+  def errorBursts(events: Dataset[Ev]): Dataset[Alert] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(_.event_type == "error")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[BurstState, Alert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Ev], state: GroupState[BurstState]) =>
+          var st = state.getOption.getOrElse(BurstState(0L, 0L))
+          val alerts = scala.collection.mutable.ArrayBuffer.empty[Alert]
+          rows.foreach { _ =>
+            st = st.copy(errors = st.errors + 1)
+            if (st.errors % 3 == 0) {
+              st = st.copy(alerts = st.alerts + 1)
+              alerts += Alert(userId, st.errors, st.alerts)
+            }
+          }
+          state.update(st)
+          alerts.iterator
+      }
+  }
+
+  // ---- S6: streaming sources ----
+
+  /** File-based streaming source over an events-shaped directory: new
+    * parquet files appearing under `dir` are treated as stream arrivals
+    * (the batch parquet corpus replays as a stream).
+    */
+  def eventsFileStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Rate-source synthetic events (for soak tests without fixtures). */
+  def syntheticEventStream(spark: SparkSession, rowsPerSecond: Int): DataFrame =
+    spark.readStream.format("rate").option("rowsPerSecond", rowsPerSecond.toString).load()
+      .select(
+        col("value").as("event_id"),
+        col("timestamp").as("ts"),
+        (col("value") % 100).as("user_id"),
+        element_at(array(lit("view"), lit("click"), lit("error")),
+          (col("value") % 3 + 1).cast("int")).as("event_type"),
+        (col("value") % 1000).cast("double").as("value"),
+        lit("{}").as("props"))
+}

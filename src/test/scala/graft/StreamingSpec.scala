@@ -1,0 +1,128 @@
+package graft
+
+import java.sql.Timestamp
+import graft.streaming.Streaming
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Batch≡stream parity: the same transform fed through MemoryStream must
+  * produce the rows the batch application produces, and watermark/dedup
+  * semantics must hold incrementally.
+  */
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = new Timestamp(1704067200000L + minute * 60000L)
+
+  private val rows = Seq(
+    Streaming.Ev(1L, ts(0), 0L, "view", 1.0),
+    Streaming.Ev(2L, ts(10), 0L, "error", 2.0),
+    Streaming.Ev(3L, ts(50), 0L, "error", 3.0),
+    Streaming.Ev(4L, ts(70), 0L, "error", 4.0),
+    Streaming.Ev(5L, ts(75), 1L, "view", 5.0),
+    Streaming.Ev(6L, ts(80), 1L, "error", 6.0),
+    Streaming.Ev(7L, ts(130), 1L, "purchase", 7.0))
+
+  /** Wrapper: Ev has no props column; the transforms only need these 6. */
+  private def toDf(evs: Seq[Streaming.Ev]): DataFrame =
+    evs.toDF().withColumn("props", lit("{}"))
+
+  private def runStream(transform: DataFrame => DataFrame,
+                        outputMode: String,
+                        batches: Seq[Seq[Streaming.Ev]]): Seq[String] = {
+    val input = MemoryStream[Streaming.Ev](spark)
+    val q = transform(input.toDF().withColumn("props", lit("{}")))
+      .writeStream.format("memory").queryName("sink").outputMode(outputMode).start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table("sink").collect().map(_.toString).sorted.toSeq
+  }
+
+  test("tumbling window: stream (complete mode) equals batch") {
+    val batch = Streaming.tumblingCounts(toDf(rows)).collect().map(_.toString).sorted.toSeq
+    val stream = runStream(Streaming.tumblingCounts, "complete", Seq(rows.take(4), rows.drop(4)))
+    assert(stream === batch)
+  }
+
+  test("sliding window: stream equals batch") {
+    val batch = Streaming.slidingCounts(toDf(rows)).collect().map(_.toString).sorted.toSeq
+    val stream = runStream(Streaming.slidingCounts, "complete", Seq(rows.take(3), rows.drop(3)))
+    assert(stream === batch)
+  }
+
+  test("session window: stream equals batch (gap 30min)") {
+    val batch = Streaming.sessionStats(toDf(rows)).collect().map(_.toString).sorted.toSeq
+    val stream = runStream(Streaming.sessionStats, "complete", Seq(rows.take(5), rows.drop(5)))
+    assert(stream === batch)
+  }
+
+  test("watermark drops late data once the horizon passes") {
+    val input = MemoryStream[Streaming.Ev](spark)
+    val q = Streaming.tumblingWithWatermark(input.toDF().withColumn("props", lit("{}")))
+      .writeStream.format("memory").queryName("wm_sink").outputMode("append").start()
+    try {
+      // Batch 1 sets max event time to minute 300 → watermark = minute 240.
+      input.addData(Seq(
+        Streaming.Ev(1L, ts(10), 0L, "view", 1.0),
+        Streaming.Ev(2L, ts(300), 0L, "view", 1.0)))
+      q.processAllAvailable()
+      // Batch 2: an event at minute 10 is 230 min late — beyond the 60-min
+      // tolerance; its (already finalized) window must not reopen.
+      input.addData(Seq(Streaming.Ev(3L, ts(10), 0L, "view", 99.0)))
+      q.processAllAvailable()
+      input.addData(Seq(Streaming.Ev(4L, ts(600), 0L, "view", 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("wm_sink")
+    // the minute-0..60 window was emitted with exactly 1 event (not 2)
+    val w0 = out.filter(col("ws") === ts(0)).select("n").as[Long].collect()
+    assert(w0.toSeq === Seq(1L))
+  }
+
+  test("dropDuplicatesWithinWatermark removes in-horizon duplicate event_ids") {
+    val input = MemoryStream[Streaming.Ev](spark)
+    val q = Streaming.dedupWithinWatermark(input.toDF().withColumn("props", lit("{}")))
+      .writeStream.format("memory").queryName("dd_sink").outputMode("append").start()
+    try {
+      input.addData(Seq(
+        Streaming.Ev(1L, ts(0), 0L, "view", 1.0),
+        Streaming.Ev(1L, ts(1), 0L, "view", 1.0), // dup id, in horizon
+        Streaming.Ev(2L, ts(2), 0L, "view", 1.0)))
+      q.processAllAvailable()
+      input.addData(Seq(Streaming.Ev(1L, ts(3), 0L, "view", 1.0))) // still dup
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("dd_sink").select("event_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("error-burst state machine: stream equals batch formula") {
+    val errs = (1 to 7).map(i => Streaming.Ev(100L + i, ts(i), 9L, "error", 1.0))
+    val input = MemoryStream[Streaming.Ev](spark)
+    val q = Streaming.errorBursts(input.toDS())
+      .writeStream.format("memory").queryName("burst_sink").outputMode("append").start()
+    try {
+      input.addData(errs.take(4)); q.processAllAvailable()
+      input.addData(errs.drop(4)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("burst_sink").as[Streaming.Alert].collect().sortBy(_.alert_no).toSeq
+    // 7 errors → alerts at the 3rd and 6th
+    assert(got === Seq(Streaming.Alert(9L, 3L, 1L), Streaming.Alert(9L, 6L, 2L)))
+  }
+
+  test("file stream source reads the events fixture incrementally") {
+    val out = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
+    // copy the sf0.001 events through the batch normalizer to get µs ts
+    graft.engine.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(out)
+    val stream = Streaming.eventsFileStream(spark, out)
+    assert(stream.isStreaming)
+    val q = Streaming.tumblingCounts(stream)
+      .writeStream.format("memory").queryName("file_sink").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamTotal = spark.table("file_sink").agg(sum("n")).as[Long].head()
+    assert(streamTotal === graft.engine.Tables.events(spark, sfDir).count())
+  }
+}
