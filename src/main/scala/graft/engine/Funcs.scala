@@ -1,0 +1,78 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+
+/** Scalar-function families (SURVEY.md §2.7 F4/F5) and the cube variant of
+  * grouping sets (§2.4 A5) — the remaining function-surface coverage.
+  * Everything here is a per-row map or a partially-aggregated groupBy;
+  * nothing shuffles more than its grouping keys.
+  */
+object Funcs {
+
+  /** F4: math family — abs/ln/pow/ceil/floor/sqrt/round, all double math
+    * with identical evaluation shape both engines.
+    */
+  val mathFuncs = Q(
+    "func_math",
+    """SELECT l_orderkey, l_linenumber,
+      |  ROUND(abs(l_discount - 0.05), 4) AS abs_disc,
+      |  ROUND(ln(l_extendedprice), 4) AS ln_price,
+      |  ROUND(pow(l_quantity, 2), 4) AS qty_sq,
+      |  CAST(ceil(l_extendedprice / 100.0) AS BIGINT) AS ceil_h,
+      |  CAST(floor(l_extendedprice / 100.0) AS BIGINT) AS floor_h,
+      |  ROUND(sqrt(l_quantity), 4) AS sqrt_qty
+      |FROM lineitem WHERE l_orderkey < 100
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") < 100)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(abs(col("l_discount") - 0.05), 4).as("abs_disc"),
+        round(log(col("l_extendedprice")), 4).as("ln_price"),
+        round(pow(col("l_quantity"), 2), 4).as("qty_sq"),
+        ceil(col("l_extendedprice") / 100.0).as("ceil_h"),
+        floor(col("l_extendedprice") / 100.0).as("floor_h"),
+        round(sqrt(col("l_quantity")), 4).as("sqrt_qty"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** F5: array higher-order functions — size, transform, aggregate (fold),
+    * array_max, element access — over the embedding vectors. (The hot-path
+    * equivalents live in graft.functions.VectorExprs; this pins the HOF
+    * surface itself.)
+    */
+  val arrayFuncs = Q(
+    "func_array",
+    """SELECT vec_id,
+      |  CAST(len(embedding) AS INTEGER) AS dim,
+      |  ROUND(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x), 'sum'), 4) AS sumsq,
+      |  ROUND(list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)), 'max'), 4) AS max_abs,
+      |  ROUND(embedding[1]::DOUBLE, 4) AS first_val
+      |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val asDouble = transform(col("embedding"), x => x.cast("double"))
+    Tables.embeddings(s, dir)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(aggregate(transform(asDouble, x => x * x), lit(0.0), (acc, v) => acc + v), 4)
+          .as("sumsq"),
+        round(array_max(transform(asDouble, x => abs(x))), 4).as("max_abs"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("first_val"))
+      .orderBy("vec_id")
+  }
+
+  /** A5 (cube variant): all four grouping levels over status × priority. */
+  val aggCube = Q(
+    "agg_cube",
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  ROUND(SUM(o_totalprice), 2) AS total
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+  }
+
+  val all: Seq[Q] = Seq(mathFuncs, arrayFuncs, aggCube)
+}
