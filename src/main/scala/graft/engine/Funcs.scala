@@ -61,6 +61,72 @@ object Funcs {
       .orderBy("vec_id")
   }
 
+  /** F1: string family — case, pad, split_part, position, translate,
+    * reverse, edit distance. Same names and 1-based indexing both engines.
+    */
+  val stringFuncs = Q(
+    "func_string",
+    """SELECT p_partkey,
+      |  upper(p_brand) AS brand_u,
+      |  lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_pad,
+      |  split_part(p_type, ' ', 1) AS type_head,
+      |  CAST(strpos(p_type, 'BRUSHED') AS INTEGER) AS brushed_pos,
+      |  translate(p_name, 'aeiou', 'AEIOU') AS name_tr,
+      |  reverse(p_brand) AS brand_rev,
+      |  CAST(levenshtein(p_brand, 'Brand#11') AS INTEGER) AS lev_brand
+      |FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+    Tables.part(s, dir)
+      .filter(col("p_partkey") <= 200)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        lpad(col("p_size").cast("string"), 3, "0").as("size_pad"),
+        split_part(col("p_type"), lit(" "), lit(1)).as("type_head"),
+        instr(col("p_type"), "BRUSHED").cast("int").as("brushed_pos"),
+        translate(col("p_name"), "aeiou", "AEIOU").as("name_tr"),
+        reverse(col("p_brand")).as("brand_rev"),
+        levenshtein(col("p_brand"), lit("Brand#11")).cast("int").as("lev_brand"))
+      .orderBy("p_partkey")
+  }
+
+  /** A5 (grouping-sets variant): explicit subtotal lattice — (status,
+    * priority), (status), () — i.e. rollup minus the priority-only level,
+    * which neither rollup nor cube can express.
+    */
+  val aggGroupingSets = Q(
+    "agg_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  ROUND(SUM(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")), Seq(col("o_orderstatus")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+  }
+
+  /** A1 (pivot variant): priority classes pivoted to columns. Pivot values
+    * are pinned explicitly — at scale an unpinned pivot runs a distinct
+    * scan first; pinning keeps it one pass.
+    */
+  val aggPivot = Q(
+    "agg_pivot",
+    """SELECT o_orderstatus,
+      |  ROUND(COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 0), 2) AS urgent,
+      |  ROUND(COALESCE(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 0), 2) AS medium,
+      |  ROUND(COALESCE(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 0), 2) AS low
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority", Seq("1-URGENT", "3-MEDIUM", "5-LOW"))
+      .agg(round(coalesce(sum("o_totalprice"), lit(0d)), 2))
+      .withColumnsRenamed(Map("1-URGENT" -> "urgent", "3-MEDIUM" -> "medium", "5-LOW" -> "low"))
+      .orderBy("o_orderstatus")
+  }
+
   /** A5 (cube variant): all four grouping levels over status × priority. */
   val aggCube = Q(
     "agg_cube",
@@ -74,5 +140,6 @@ object Funcs {
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
   }
 
-  val all: Seq[Q] = Seq(mathFuncs, arrayFuncs, aggCube)
+  val all: Seq[Q] = Seq(
+    mathFuncs, arrayFuncs, stringFuncs, aggGroupingSets, aggPivot, aggCube)
 }

@@ -167,6 +167,85 @@ object LlmOps {
       .orderBy("q_id", "rn")
   }
 
+  /** D2/D3 (embedding near-dup): all pairs with cosine ≥ 0.4 — the
+    * embedding-space analogue of Jaccard near-dup. The corpus side stays
+    * columnar under a broadcast nested-loop join and the similarity runs in
+    * the codegen'd cosine kernel, so the pair scan is a tight fused loop.
+    * At 100 TB the same predicate runs over LSH-bucket candidates (see
+    * [[annLsh]]) instead of all pairs; the threshold filter is unchanged.
+    * The oracle spells cosine as dot/(|a||b|) exactly like the kernel so
+    * both engines evaluate the same double arithmetic before the ROUND.
+    */
+  val nearDupCosine = Q(
+    "llm_neardup_cosine",
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      |    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+      |     * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cos_sim
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      |    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+      |     * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val cos = vectors.cosineSim(col("emb_a"), col("emb_b"))
+    broadcast(a)
+      .join(b, col("id_a") < col("id_b"))
+      .filter(cos >= 0.4)
+      .select(col("id_a"), col("id_b"), round(cos, 4).as("cos_sim"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** D3 scale path #2 (no oracle — cell ids are engine-local): IVF-style
+    * ANN. Coarse cells come from signed-random-projection buckets; each
+    * cell's centroid is the element-wise mean of its members (the "train"
+    * step — one linear pass, no iterative k-means needed for a coarse
+    * quantizer). A query probes only the `nprobe` cells whose centroids
+    * score highest, then runs exact cosine inside them — the inverted-file
+    * structure that keeps ANN sub-linear when the corpus outgrows LSH
+    * OR-probing. Recall vs brute force is asserted in LlmOpsSpec.
+    *
+    * Scale note: the centroid build shuffles (cell, dim) partial sums —
+    * n·d rows of partial aggregation, fully map-side combined; at 100 TB
+    * the centroids would be trained on a sample and broadcast, which is
+    * exactly what this plan does (the centroid side is ≤ 2^bits rows).
+    */
+  val annIvf = Q.noOracle("llm_ann_ivf") { (s, dir) =>
+    val bits = 4       // 16 coarse cells
+    val nprobe = 6
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        vectors.srpBucket(col("embedding"), bits, 0xc0ffeeL).as("cell"))
+    // Train: element-wise mean per cell (posexplode → avg → re-assemble).
+    val centroids = e
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("cell", "pos").agg(avg("v").as("m"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m").cast("float")).as("centroid"))
+    // Probe: each query ranks cells by centroid cosine, keeps nprobe.
+    val q = e.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cellRank = Window.partitionBy("q_id").orderBy(col("cell_sim").desc, col("cell").asc)
+    val probed = q.crossJoin(broadcast(centroids))
+      .withColumn("cell_sim", vectors.cosineSim(col("q_emb"), col("centroid")))
+      .withColumn("cell_rn", row_number().over(cellRank))
+      .filter(col("cell_rn") <= nprobe)
+      .select("q_id", "q_emb", "cell")
+    // Search: exact cosine inside the probed cells only.
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id").asc)
+    broadcast(probed)
+      .join(e, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", round(vectors.cosineSim(col("q_emb"), col("embedding")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select("q_id", "vec_id", "cos_sim", "rn")
+      .orderBy("q_id", "rn")
+  }
+
   /** D4: embedding norms — the L2 kernel plus per-label stats. */
   val embedNorm = Q(
     "llm_embed_norm",
@@ -289,6 +368,6 @@ object LlmOps {
   }
 
   val all: Seq[Q] = Seq(
-    dedupExact, dedupHash, jaccardPairs, knnCosine, annLsh, embedNorm,
-    minhashPairs, tfidf, approxDistinct)
+    dedupExact, dedupHash, jaccardPairs, knnCosine, annLsh, annIvf,
+    nearDupCosine, embedNorm, minhashPairs, tfidf, approxDistinct)
 }

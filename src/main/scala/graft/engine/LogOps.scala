@@ -231,6 +231,32 @@ object LogOps {
       .orderBy("day")
   }
 
+  /** W2 (frame navigation): first/last/nth value over a full-partition
+    * frame — first, latest and second event value per user. The frame must
+    * be UNBOUNDED..UNBOUNDED on both sides or last_value degenerates to
+    * the current row.
+    */
+  val winFirstLast = Q(
+    "win_first_last",
+    """SELECT user_id, event_id,
+      |  first_value(value) OVER w AS first_val,
+      |  last_value(value) OVER w AS last_val,
+      |  nth_value(value, 2) OVER w AS second_val
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, dir)
+      .select(
+        col("user_id"), col("event_id"),
+        first("value").over(w).as("first_val"),
+        last("value").over(w).as("last_val"),
+        nth_value(col("value"), 2).over(w).as("second_val"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** W6 flagship: sessionization — a gap > 30 min starts a new session;
     * lag → boundary flag → running sum = session id → per-session stats.
     * Composition of W3 + W4 + A1; the streaming twin is session_window
@@ -354,6 +380,7 @@ object LogOps {
   val all: Seq[Q] = Seq(
     errorRateDaily, grepRegex, regexExtract, stringFuncs, parseFields,
     timeBuckets, jsonExtract, tokenize,
-    winTopk, winRankNtile, winLagGap, winRunningSum, winMovingAvg, winSessionize,
+    winTopk, winRankNtile, winLagGap, winRunningSum, winMovingAvg, winFirstLast,
+    winSessionize,
     joinRangeEvents, joinAsofEvents, parseLines)
 }

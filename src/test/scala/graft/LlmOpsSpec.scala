@@ -75,6 +75,33 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(approx.values.map(_.size).sum <= brute.values.map(_.size).sum)
   }
 
+  test("ivf ann: recall@10 vs brute force is substantial, candidates are pruned") {
+    val brute = LlmOps.knnCosine.build(spark, sfDir)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val approx = LlmOps.annIvf.build(spark, sfDir)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = brute.map { case (q, truth) =>
+      approx.get(q).map(a => (a & truth).size.toDouble / truth.size).getOrElse(0.0)
+    }
+    val meanRecall = recalls.sum / recalls.size
+    // 6-of-16 cells probed ⇒ ~38% of the corpus scanned; centroid ranking
+    // should beat blind 6/16 sampling on recall.
+    assert(meanRecall > 0.30, s"mean recall $meanRecall")
+    assert(approx.values.map(_.size).sum <= brute.values.map(_.size).sum)
+  }
+
+  test("neardup cosine: pair set is symmetric-free and thresholded") {
+    val rows = LlmOps.nearDupCosine.build(spark, sfDir)
+      .select("id_a", "id_b", "cos_sim").as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, c) =>
+      assert(a < b, s"pair ($a,$b) not canonical")
+      assert(c >= 0.4 - 1e-9, s"pair ($a,$b) below threshold: $c")
+    }
+  }
+
   test("approx distinct within 5% of exact") {
     val rows = LlmOps.approxDistinct.build(spark, sfDir)
       .select("approx_users", "exact_users").as[(Long, Long)].collect()
