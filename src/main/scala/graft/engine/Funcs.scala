@@ -127,6 +127,92 @@ object Funcs {
       .orderBy("o_orderstatus")
   }
 
+  /** A1 (statistical): sample stddev/variance, correlation, covariance.
+    * Computed over unit-scale columns (quantity, discount) — second-moment
+    * aggregates over large-magnitude doubles would surface summation-order
+    * noise above the 4-dp round that keeps the two engines hash-equal.
+    */
+  val aggStats = Q(
+    "agg_stats",
+    """SELECT l_returnflag,
+      |  ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+      |  ROUND(var_samp(l_quantity), 4) AS var_qty,
+      |  ROUND(corr(l_quantity, l_discount), 4) AS corr_qd,
+      |  ROUND(covar_samp(l_quantity, l_discount), 4) AS cov_qd
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp("l_quantity"), 4).as("sd_qty"),
+        round(var_samp("l_quantity"), 4).as("var_qty"),
+        round(corr("l_quantity", "l_discount"), 4).as("corr_qd"),
+        round(covar_samp("l_quantity", "l_discount"), 4).as("cov_qd"))
+      .orderBy("l_returnflag")
+  }
+
+  /** A9 (string form): ordered string aggregation — deterministic because
+    * the element order is pinned by the sort, not accumulation order.
+    */
+  val aggStringAgg = Q(
+    "agg_string_agg",
+    """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (s, dir) =>
+    Tables.nation(s, dir)
+      .groupBy("n_regionkey")
+      .agg(array_join(sort_array(collect_list("n_name")), ",").as("nations"))
+      .orderBy("n_regionkey")
+  }
+
+  /** F3: date/time arithmetic family — extract, shift, month end, day
+    * diffs. Integer parts are cast to INTEGER on both sides (DuckDB
+    * extracts as BIGINT, Spark as INT) and DuckDB's Sunday=0 weekday is
+    * shifted to Spark's Sunday=1.
+    */
+  val dateFuncs = Q(
+    "func_date",
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |  CAST(month(o_orderdate) AS INTEGER) AS mo,
+      |  CAST(day(o_orderdate) AS INTEGER) AS dom,
+      |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+      |  CAST(CAST(o_orderdate AS DATE) + 7 AS TIMESTAMP) AS ship_by,
+      |  CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+      |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_95
+      |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") <= 500)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        date_add(col("o_orderdate"), 7).cast("timestamp").as("ship_by"),
+        last_day(col("o_orderdate")).cast("timestamp").as("month_end"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("int")
+          .as("days_since_95"))
+      .orderBy("o_orderkey")
+  }
+
+  /** P2 (scalar subquery): orders 1.5× above the average price. The
+    * average joins in as a broadcast single-row aggregate (Catalyst plans
+    * the subquery the same way), so the fact table is scanned once with
+    * the comparison fused into the scan filter stage. The threshold is
+    * rounded to cents on both sides so parallel-vs-sequential summation
+    * noise in AVG cannot flip a boundary row.
+    */
+  val filterScalarSubquery = Q(
+    "filter_scalar_subquery",
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_totalprice > ROUND((SELECT AVG(o_totalprice) FROM orders) * 1.5, 2)
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    val threshold = o.agg(round(avg("o_totalprice") * 1.5, 2).as("thr"))
+    o.join(broadcast(threshold), col("o_totalprice") > col("thr"))
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   /** A5 (cube variant): all four grouping levels over status × priority. */
   val aggCube = Q(
     "agg_cube",
@@ -141,5 +227,6 @@ object Funcs {
   }
 
   val all: Seq[Q] = Seq(
-    mathFuncs, arrayFuncs, stringFuncs, aggGroupingSets, aggPivot, aggCube)
+    mathFuncs, arrayFuncs, stringFuncs, dateFuncs, aggGroupingSets, aggPivot,
+    aggCube, aggStats, aggStringAgg, filterScalarSubquery)
 }

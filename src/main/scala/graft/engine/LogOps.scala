@@ -143,6 +143,42 @@ object LogOps {
       .orderBy("tok")
   }
 
+  /** F2 (rewrite form): regex masking — the PII-scrub shape of log
+    * processing. Digits in the JSON props are masked; the pattern stays in
+    * the POSIX subset both regex engines (Java util.regex, RE2) agree on.
+    */
+  val regexReplace = Q(
+    "log_regex_replace",
+    """SELECT event_id, regexp_replace(props, '[0-9]', '#', 'g') AS props_masked
+      |FROM events WHERE event_id <= 1000 ORDER BY event_id""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .filter(col("event_id") <= 1000)
+      .select(
+        col("event_id"),
+        regexp_replace(col("props"), "[0-9]", "#").as("props_masked"))
+      .orderBy("event_id")
+  }
+
+  /** W2 (relative rank): percent_rank / cume_dist — identical interpolation
+    * definitions in both engines; rounded because they divide doubles.
+    */
+  val winPctRank = Q(
+    "win_pct_rank",
+    """SELECT s_nationkey, s_suppkey,
+      |  ROUND(percent_rank() OVER w, 4) AS pct_rank,
+      |  ROUND(cume_dist() OVER w, 4) AS cume
+      |FROM supplier
+      |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+      |ORDER BY s_nationkey, s_suppkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    Tables.supplier(s, dir)
+      .select(
+        col("s_nationkey"), col("s_suppkey"),
+        round(percent_rank().over(w), 4).as("pct_rank"),
+        round(cume_dist().over(w), 4).as("cume"))
+      .orderBy("s_nationkey", "s_suppkey")
+  }
+
   /** W1: top-k per group with a unique tiebreaker (rank determinism). */
   val winTopk = Q(
     "win_topk",
@@ -378,9 +414,9 @@ object LogOps {
   }
 
   val all: Seq[Q] = Seq(
-    errorRateDaily, grepRegex, regexExtract, stringFuncs, parseFields,
-    timeBuckets, jsonExtract, tokenize,
-    winTopk, winRankNtile, winLagGap, winRunningSum, winMovingAvg, winFirstLast,
-    winSessionize,
+    errorRateDaily, grepRegex, regexExtract, regexReplace, stringFuncs,
+    parseFields, timeBuckets, jsonExtract, tokenize,
+    winTopk, winRankNtile, winPctRank, winLagGap, winRunningSum, winMovingAvg,
+    winFirstLast, winSessionize,
     joinRangeEvents, joinAsofEvents, parseLines)
 }

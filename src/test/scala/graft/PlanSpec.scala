@@ -1,0 +1,85 @@
+package graft
+
+import graft.engine.{LlmOps, LogOps, Relational}
+
+/** Physical-plan assertions — the scale contract. Correctness tests prove
+  * the answers; these prove the *plans* are the ones that survive a 100×
+  * scale-up: filters reach the parquet scan, projections prune the read
+  * schema, dimension joins broadcast instead of shuffling, top-k never
+  * materializes a global sort, and the vector kernels stay inside
+  * whole-stage codegen. A regression here is invisible at sf0.001 and
+  * fatal at 100 TB, which is why it is pinned in CI rather than left to
+  * manual `.explain` inspection.
+  */
+class PlanSpec extends SparkSpecBase {
+
+  /** Post-EnsureRequirements plan — exchanges are visible here (sparkPlan
+    * is the pre-preparation plan and shows no shuffles at all).
+    */
+  private def planOf(q: graft.engine.Q): String =
+    q.build(spark, sfDir).queryExecution.executedPlan.toString
+
+  private def formatted(q: graft.engine.Q): String = {
+    val df = q.build(spark, sfDir)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("filter predicates are pushed down to the parquet scan") {
+    val plan = formatted(Relational.filterPredicates)
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("IsNotNull(o_orderstatus)") ||
+           plan.contains("EqualTo(o_orderstatus,F)"), plan)
+  }
+
+  test("projection prunes the scan to referenced columns only") {
+    val plan = formatted(Relational.selProject)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_discount"), readSchema)
+    // the 7 untouched lineitem columns must not be read
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_returnflag"), readSchema)
+  }
+
+  test("dimension joins broadcast; no sort-merge join appears") {
+    val plan = planOf(Relational.joinBroadcastDim)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("global top-k plans TakeOrderedAndProject, not a full sort") {
+    val plan = planOf(Relational.topkGlobal)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("pricing summary partial-aggregates map-side before the exchange") {
+    val plan = planOf(Relational.aggPricingSummary)
+    // two HashAggregate nodes (partial + final) around one shuffle
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("knn keeps the corpus side unshuffled under a broadcast join") {
+    val plan = planOf(LlmOps.knnCosine)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("cosine_sim"), plan)
+    // the corpus scan feeds the join directly — no exchange between them
+    val beforeWindow = plan.split("Window").head
+    assert(!beforeWindow.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("events time-range predicates push down on the raw int64 column") {
+    import org.apache.spark.sql.functions._
+    val df = graft.engine.Tables.events(spark, sfDir)
+      .filter(col("ts_ns") >= lit(1704067200L * 1000000000L))
+      .select("event_id")
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"), plan)
+  }
+
+  test("sessionize shuffles once on user_id, reused by both window passes") {
+    val plan = planOf(LogOps.winSessionize)
+    val shuffles = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected 1 user_id shuffle, got $shuffles\n$plan")
+  }
+}
