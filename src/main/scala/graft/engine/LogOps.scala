@@ -179,6 +179,30 @@ object LogOps {
       .orderBy("s_nationkey", "s_suppkey")
   }
 
+  /** A1 (skew-resistant form): two-phase salted aggregation. Phase 1
+    * groups on (key, salt) so a hot key's rows spread over 16 reducers;
+    * phase 2 merges the 16 partials per key. Same result as a direct
+    * groupBy — the oracle is the plain GROUP BY — but the worst reducer
+    * holds 1/16th of the hot key at any scale. SUM/COUNT re-aggregate
+    * losslessly; AVG is derived from them after the merge, never averaged
+    * across salts.
+    */
+  val saltedAgg = Q(
+    "agg_salted_skew",
+    """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value,
+      |  ROUND(SUM(value) / COUNT(*), 4) AS avg_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val salted = Tables.events(s, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy("event_type", "salt")
+      .agg(count(lit(1)).as("pn"), sum("value").as("psum"))
+    salted
+      .groupBy("event_type")
+      .agg(sum("pn").as("n"), round(sum("psum"), 4).as("sum_value"),
+        round(sum("psum") / sum("pn"), 4).as("avg_value"))
+      .orderBy("event_type")
+  }
+
   /** W1: top-k per group with a unique tiebreaker (rank determinism). */
   val winTopk = Q(
     "win_topk",
@@ -415,7 +439,7 @@ object LogOps {
 
   val all: Seq[Q] = Seq(
     errorRateDaily, grepRegex, regexExtract, regexReplace, stringFuncs,
-    parseFields, timeBuckets, jsonExtract, tokenize,
+    parseFields, timeBuckets, jsonExtract, tokenize, saltedAgg,
     winTopk, winRankNtile, winPctRank, winLagGap, winRunningSum, winMovingAvg,
     winFirstLast, winSessionize,
     joinRangeEvents, joinAsofEvents, parseLines)
