@@ -329,9 +329,33 @@ object Relational {
       .orderBy("op", "nationkey")
   }
 
+  /** O4 (bag semantics): INTERSECT ALL / EXCEPT ALL — duplicates preserved
+    * up to the matching multiplicity, unlike the distinct variants above.
+    */
+  val setOpsAll = Q(
+    "set_ops_all",
+    """SELECT 'inter_all' AS op, nationkey, COUNT(*) AS n FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  INTERSECT ALL SELECT s_nationkey FROM supplier) GROUP BY 2
+      |UNION ALL
+      |SELECT 'except_all' AS op, nationkey, COUNT(*) AS n FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  EXCEPT ALL SELECT s_nationkey FROM supplier) GROUP BY 2
+      |ORDER BY op, nationkey""".stripMargin) { (s, dir) =>
+    val cust = Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+    val supp = Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey"))
+    val inter = cust.intersectAll(supp)
+      .groupBy("nationkey").agg(count(lit(1)).as("n"))
+      .select(lit("inter_all").as("op"), col("nationkey"), col("n"))
+    val exc = cust.exceptAll(supp)
+      .groupBy("nationkey").agg(count(lit(1)).as("n"))
+      .select(lit("except_all").as("op"), col("nationkey"), col("n"))
+    inter.unionByName(exc).orderBy("op", "nationkey")
+  }
+
   val all: Seq[Q] = Seq(
     selProject, filterPredicates, filterLikeNulls,
     joinBroadcastDim, joinFactFact, joinOuter, joinSemi, joinAnti, joinCross,
     aggPricingSummary, aggDistinct, aggRollup, aggPercentile, aggArgmax,
-    aggCollectList, topkGlobal, setUnion, setIntersectExcept)
+    aggCollectList, topkGlobal, setUnion, setIntersectExcept, setOpsAll)
 }
