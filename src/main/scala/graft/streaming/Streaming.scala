@@ -102,6 +102,51 @@ object Streaming {
       }
   }
 
+  /** T6 on the Spark 4 state API: the same burst detector as a
+    * [[StatefulProcessor]] for `transformWithState` — typed per-state-var
+    * handles (vs one opaque blob), TTL support, and timers without the
+    * GroupState timeout contortions. Requires the RocksDB state store
+    * provider when run in a stream. Kept semantically identical to
+    * [[errorBursts]] so one batch twin oracles both implementations.
+    */
+  class BurstProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, Alert] {
+    @transient private var burst: org.apache.spark.sql.streaming.ValueState[BurstState] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      burst = getHandle.getValueState[BurstState](
+        "burst",
+        org.apache.spark.sql.Encoders.product[BurstState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        userId: Long, rows: Iterator[Ev],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[Alert] = {
+      var st = Option(burst.get()).getOrElse(BurstState(0L, 0L))
+      val alerts = scala.collection.mutable.ArrayBuffer.empty[Alert]
+      rows.foreach { _ =>
+        st = st.copy(errors = st.errors + 1)
+        if (st.errors % 3 == 0) {
+          st = st.copy(alerts = st.alerts + 1)
+          alerts += Alert(userId, st.errors, st.alerts)
+        }
+      }
+      burst.update(st)
+      alerts.iterator
+    }
+  }
+
+  def errorBurstsTws(events: Dataset[Ev]): Dataset[Alert] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(_.event_type == "error")
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new BurstProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   // ---- S6: streaming sources ----
 
   /** File-based streaming source over an events-shaped directory: new

@@ -111,6 +111,31 @@ class StreamingSpec extends SparkSpecBase {
     assert(got === Seq(Streaming.Alert(9L, 3L, 1L), Streaming.Alert(9L, 6L, 2L)))
   }
 
+  test("transformWithState burst detector matches flatMapGroupsWithState") {
+    // the Spark 4 state API needs the RocksDB provider for streaming state
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val errs = (1 to 8).map(i => Streaming.Ev(200L + i, ts(i), 4L, "error", 1.0))
+      val input = MemoryStream[Streaming.Ev](spark)
+      val q = Streaming.errorBurstsTws(input.toDS())
+        .writeStream.format("memory").queryName("tws_sink").outputMode("append").start()
+      try {
+        input.addData(errs.take(5)); q.processAllAvailable()
+        input.addData(errs.drop(5)); q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("tws_sink").as[Streaming.Alert].collect().sortBy(_.alert_no).toSeq
+      // 8 errors → alerts at the 3rd and 6th, identical to errorBursts
+      assert(got === Seq(Streaming.Alert(4L, 3L, 1L), Streaming.Alert(4L, 6L, 2L)))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("file stream source reads the events fixture incrementally") {
     val out = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
     // copy the sf0.001 events through the batch normalizer to get µs ts
