@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based invariants (SURVEY.md §5.3): the algebraic contracts a
+  * correct engine cannot violate on ANY input, complementing the
+  * fixture-pinned oracle checks. Kernel properties run pure-JVM at full
+  * case counts; DataFrame properties run a handful of Spark round trips.
+  */
+class PropertySpec extends SparkSpecBase {
+  import graft.functions.VectorOps
+
+  private def check(prop: Prop, cases: Int = 100): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(cases), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val vecGen: Gen[Array[Float]] =
+    Gen.chooseNum(2, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-10f, 10f)).map(_.toArray))
+        .suchThat(v => v.exists(x => math.abs(x) > 1e-3))
+
+  test("cosine: self-similarity 1, symmetry, bounded") {
+    check(Prop.forAll(vecGen, vecGen) { (a, b) =>
+      val (aa, bb) = (new GenericArrayData(a), new GenericArrayData(b))
+      val n = math.min(a.length, b.length)
+      val cosSelf = VectorOps.cosine(aa, aa)
+      val ab = VectorOps.cosine(aa, bb)
+      val ba = VectorOps.cosine(bb, aa)
+      math.abs(cosSelf - 1.0) < 1e-9 &&
+        (ab.isNaN && ba.isNaN || math.abs(ab - ba) < 1e-12) &&
+        (ab.isNaN || math.abs(ab) <= 1.0 + 1e-12) &&
+        n > 0
+    })
+  }
+
+  test("dot/norm consistency: dot(v,v) == l2norm(v)^2") {
+    check(Prop.forAll(vecGen) { v =>
+      val a = new GenericArrayData(v)
+      math.abs(VectorOps.dot(a, a) - math.pow(VectorOps.l2Norm(a), 2)) < 1e-6
+    })
+  }
+
+  test("srp bucket: deterministic, in range, sign-invariant to scaling") {
+    check(Prop.forAll(vecGen, Gen.chooseNum(1, 16), Gen.long) { (v, bits, seed) =>
+      val a = new GenericArrayData(v)
+      val scaled = new GenericArrayData(v.map(_ * 3.0f))
+      val b1 = VectorOps.srpBits(a, bits, seed)
+      b1 == VectorOps.srpBits(a, bits, seed) &&
+        b1 >= 0 && b1 < (1L << bits) &&
+        // positive scaling never flips any projection sign
+        b1 == VectorOps.srpBits(scaled, bits, seed)
+    })
+  }
+
+  private val eventsGen: Gen[List[(Long, Long, Int)]] =
+    Gen.chooseNum(1, 40).flatMap(n => Gen.listOfN(n,
+      for {
+        id <- Gen.chooseNum(0L, 1000L)
+        user <- Gen.chooseNum(0L, 3L)
+        minute <- Gen.chooseNum(0, 600)
+      } yield (id, user, minute)))
+
+  test("sessionization: session stats invariant under input permutation") {
+    import spark.implicits._
+    check(Prop.forAll(eventsGen) { evs =>
+      def run(rows: Seq[(Long, Long, Int)]): Set[String] = {
+        val dir = java.nio.file.Files.createTempDirectory("graft-prop").toString
+        rows.toDF("event_id", "user_id", "minute")
+          .select(col("event_id"),
+            expr("timestamp_micros(1704067200000000 + cast(minute as bigint) * 60000000)").as("ts"),
+            col("user_id"), lit("view").as("event_type"), lit(1.0).as("value"),
+            lit("{}").as("props"))
+          .write.mode("overwrite").parquet(s"$dir/events.parquet")
+        graft.engine.LogOps.winSessionize.build(spark, dir)
+          .collect().map(_.toString).toSet
+      }
+      run(evs) == run(scala.util.Random.shuffle(evs))
+    }, cases = 8)
+  }
+
+  test("exact dedup: idempotent and keeper-count preserving") {
+    import spark.implicits._
+    val docsGen = Gen.chooseNum(1, 30).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.chooseNum(0L, 500L), Gen.oneOf("a", "b", "c", "d e", "f g"))))
+    check(Prop.forAll(docsGen) { docs =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-prop").toString
+      // doc_id must be unique for idempotence to be meaningful
+      docs.zipWithIndex.map { case ((_, t), i) => (i.toLong, t, "en", "src0", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val first = graft.engine.LlmOps.dedupExact.build(spark, dir).collect()
+      // keepers cover every distinct text exactly once
+      first.length == docs.map(_._2).distinct.length &&
+        first.map(_.getLong(2)).sum == docs.length // n_copies sums to input size
+    }, cases = 8)
+  }
+}
