@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-off 10× scale soak (not part of the contract): replicates sf0.1 ten
+  * times with shifted keys and times the shuffle/join-heavy operators,
+  * looking for super-linear cliffs that sf0.1 hides.
+  */
+object Soak {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val src = "/root/testdata/sf0.1"
+    val dir = "/tmp/graft_soak_sf1"
+
+    graft.engine.Tables.prepare(spark)
+    val ev = graft.engine.Tables.events(spark, src)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val evN = ev.count()
+    (0 until 10).map { i =>
+      ev.withColumn("event_id", col("event_id") + lit(i * evN))
+        .withColumn("user_id", col("user_id") + lit(i * 10000L))
+        .withColumn("ts", expr(s"ts + INTERVAL ${i * 31} DAYS"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val dN = docs.count()
+    (0 until 10).map { i =>
+      docs.withColumn("doc_id", col("doc_id") + lit(i * dN))
+        .withColumn("source", concat(col("source"), lit(s"_$i")))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val eN = emb.count()
+    (0 until 10).map { i =>
+      emb.withColumn("vec_id", col("vec_id") + lit(i * eN))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val heavy = Seq(
+      "win_sessionize", "agg_salted_skew", "llm_dedup_hash", "llm_minhash_pairs",
+      "llm_tfidf", "llm_ann_lsh", "llm_ann_ivf", "llm_knn_cosine",
+      "llm_neardup_cosine", "text_simhash", "stream_session_window")
+    heavy.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      try { fn(spark, dir).count() } catch { case _: Throwable => () } // warm
+      val t0 = System.nanoTime()
+      val n = try fn(spark, dir).count() catch { case e: Throwable =>
+        println(f"$name%-22s FAILED: ${e.getMessage.take(120)}"); -1L }
+      if (n >= 0) println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+    spark.stop()
+  }
+}
