@@ -93,6 +93,54 @@ object LlmOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** D2 (n-gram form): word-bigram shingle Jaccard ≥ 0.5 — near-identical
+    * docs keep most shingles in common while random co-occurrence stays
+    * near zero, so shingling separates true near-dups far better than the
+    * unigram token sets above. Same inverted-index join; the shingle is
+    * `concat_ws` over a 2-slice so Spark and DuckDB build byte-identical
+    * keys (both slice 1-based and truncate at the array end).
+    */
+  val shingleJaccard = Q(
+    "llm_shingle_jaccard",
+    """WITH sh AS (
+      |  SELECT doc_id, sh FROM (
+      |    SELECT doc_id, unnest(list_distinct(list_transform(
+      |        range(1, greatest(1, len(string_split(lower(text), ' ')))),
+      |        i -> array_to_string(string_split(lower(text), ' ')[i:i+1], ' ')))) AS sh
+      |    FROM documents) t),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard
+      |FROM inter
+      |JOIN sz sa ON inter.id_a = sa.doc_id
+      |JOIN sz sb ON inter.id_b = sb.doc_id
+      |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    val toks = split(lower(col("text")), " ")
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), greatest(lit(1), size(toks) - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(2)))))).as("sh"))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+    val jac = col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c"))
+    inter
+      .join(sz.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("id_b") === col("sb.doc_id"))
+      .filter(jac >= 0.5)
+      .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** D3: brute-force cosine top-k — the exact baseline ANN answers are
     * measured against. The 100-row query side is broadcast (plan shows
     * BroadcastNestedLoopJoin over the corpus scan), so the 2000-vector —
@@ -368,6 +416,6 @@ object LlmOps {
   }
 
   val all: Seq[Q] = Seq(
-    dedupExact, dedupHash, jaccardPairs, knnCosine, annLsh, annIvf,
-    nearDupCosine, embedNorm, minhashPairs, tfidf, approxDistinct)
+    dedupExact, dedupHash, jaccardPairs, shingleJaccard, knnCosine, annLsh,
+    annIvf, nearDupCosine, embedNorm, minhashPairs, tfidf, approxDistinct)
 }
