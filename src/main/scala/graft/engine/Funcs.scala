@@ -89,6 +89,29 @@ object Funcs {
       .orderBy("p_partkey")
   }
 
+  /** F6 (map surface): `from_json` into MapType, then key/value access —
+    * the schema-on-read shape for semi-structured props at query time.
+    */
+  val mapFuncs = Q(
+    "func_map",
+    """SELECT event_id,
+      |  CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+      |  json_keys(props)[1] AS first_key,
+      |  CAST(props->>'$.k' AS INT) AS k_val
+      |FROM events WHERE event_id <= 1000 ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val m = from_json(col("props"),
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.IntegerType))
+    Tables.events(s, dir)
+      .filter(col("event_id") <= 1000)
+      .select(
+        col("event_id"),
+        size(map_keys(m)).as("n_keys"),
+        element_at(map_keys(m), 1).as("first_key"),
+        element_at(m, element_at(map_keys(m), 1)).as("k_val"))
+      .orderBy("event_id")
+  }
+
   /** A5 (grouping-sets variant): explicit subtotal lattice — (status,
     * priority), (status), () — i.e. rollup minus the priority-only level,
     * which neither rollup nor cube can express.
@@ -227,6 +250,6 @@ object Funcs {
   }
 
   val all: Seq[Q] = Seq(
-    mathFuncs, arrayFuncs, stringFuncs, dateFuncs, aggGroupingSets, aggPivot,
-    aggCube, aggStats, aggStringAgg, filterScalarSubquery)
+    mathFuncs, arrayFuncs, stringFuncs, dateFuncs, mapFuncs, aggGroupingSets,
+    aggPivot, aggCube, aggStats, aggStringAgg, filterScalarSubquery)
 }
