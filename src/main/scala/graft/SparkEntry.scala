@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.engine.{Funcs, LlmOps, LogOps, MultiModalOps, Q, Relational, StreamOps, TextOps}
+import graft.engine.{CurationOps, Funcs, LlmOps, LogOps, MultiModalOps, Q, Relational, StreamOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,8 +17,8 @@ object SparkEntry {
     LogOps.errorRateDaily.build(spark, "/root/testdata/sf0.001")
 
   private def registry: Seq[Q] =
-    Relational.all ++ LogOps.all ++ LlmOps.all ++ TextOps.all ++ StreamOps.all ++
-      MultiModalOps.all ++ Funcs.all
+    Relational.all ++ LogOps.all ++ LlmOps.all ++ TextOps.all ++ CurationOps.all ++
+      StreamOps.all ++ MultiModalOps.all ++ Funcs.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

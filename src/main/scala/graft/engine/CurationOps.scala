@@ -1,0 +1,196 @@
+package graft.engine
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators a training-data pipeline runs after cleaning:
+  * deterministic splits and samples, canonical-duplicate mapping, sequence
+  * packing, vocabulary building, and length profiling (SURVEY.md §2.9
+  * north-star, beyond the reference's own surface).
+  *
+  * Determinism is the design center: every "random" choice here is a hash of
+  * a stable key (first md5 byte → 0..255), never `rand()`. That is what makes
+  * splits reproducible across reruns AND lets DuckDB compute the identical
+  * answer for the oracle gate.
+  *
+  * Scale notes (100 TB): split/sample/histogram are per-row maps feeding a
+  * partial-aggregating groupBy — the shuffle carries one row per group, and
+  * the text column never moves. Canonical-dedup shuffles (digest, doc_id)
+  * pairs only. Packing windows partition by `lang`, which at real scale
+  * would be (lang, shard) to bound any one reducer; the query code is
+  * unchanged because the window key is an expression.
+  */
+object CurationOps {
+
+  /** First byte of md5(doc_id) as an integer 0..255 — the shared
+    * deterministic "coin" for splits and samples. Identical on both engines
+    * because md5 of the decimal string is engine-independent.
+    */
+  private def hashByte(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 2), 16, 10).cast("long")
+
+  private val hashByteSql =
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT"
+
+  /** Deterministic 80/10/10 train/valid/test split by content-independent
+    * id-hash, profiled per split. A rerun (or a different engine) assigns
+    * every doc to the same split — no seed, no shuffle of the text column.
+    */
+  val trainTestSplit = Q(
+    "llm_train_test_split",
+    s"""SELECT split, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(SUM(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS est_tokens
+       |FROM (
+       |  SELECT CASE WHEN h < 205 THEN 'train' WHEN h < 230 THEN 'valid'
+       |              ELSE 'test' END AS split, n_chars, text
+       |  FROM (SELECT $hashByteSql AS h, n_chars, text FROM documents) t1) t2
+       |GROUP BY split ORDER BY split""".stripMargin) { (s, dir) =>
+    val h = hashByte(col("doc_id"))
+    Tables.documents(s, dir)
+      .select(
+        when(h < 205, "train").when(h < 230, "valid").otherwise("test").as("split"),
+        col("n_chars"),
+        ceil(length(col("text")) / 4.0).as("est_tokens"))
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        sum("est_tokens").as("est_tokens"))
+      .orderBy("split")
+  }
+
+  /** Per-stratum sampling rates: keep half the English corpus, a fifth of
+    * everything else (a typical rebalancing curation step). Thresholds are
+    * out of 256 to match [[hashByte]].
+    */
+  private val strataThresholds: Map[String, Int] = Map("en" -> 128).withDefaultValue(51)
+
+  /** Deterministic stratified sample: per-language keep-rates applied via
+    * the id-hash coin. Emits the surviving rows, so downstream stages (and
+    * the oracle) see the exact sampled membership, not just counts.
+    */
+  val stratifiedSample = Q(
+    "llm_stratified_sample",
+    s"""SELECT doc_id, lang, source FROM (
+       |  SELECT doc_id, lang, source, $hashByteSql AS h FROM documents) t
+       |WHERE h < CASE WHEN lang = 'en' THEN 128 ELSE 51 END
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val h = hashByte(col("doc_id"))
+    val threshold = when(col("lang") === "en", strataThresholds("en"))
+      .otherwise(strataThresholds("other"))
+    Tables.documents(s, dir)
+      .filter(h < threshold)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  /** D1 follow-through: map every doc to the canonical (minimum) doc_id of
+    * its exact-content group, so downstream joins rewrite references instead
+    * of merely dropping rows. Grouping key is the 16-byte md5 digest — at
+    * 100 TB only (digest, doc_id) pairs shuffle, never the text.
+    */
+  val dedupCanonical = Q(
+    "llm_dedup_canonical",
+    """SELECT doc_id,
+      |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+      |  doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(md5(col("text")))
+    val canonical = min(col("doc_id")).over(w)
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        canonical.as("canonical_id"),
+        (col("doc_id") =!= canonical).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** Context-window budget for [[packSequences]], in chars/4 token
+    * estimates.
+    */
+  private val packBudget = 2048
+
+  /** Sequence packing: assign docs (per language, in stable doc_id order) to
+    * fixed-token-budget packs by exclusive running token count, then profile
+    * each pack. This is the deterministic bin-assignment form of greedy
+    * packing — the window is one shuffle on the partition key and the
+    * assignment is a running sum, so it scales as any W4 running total.
+    */
+  val packSequences = Q(
+    "llm_pack_sequences",
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, CAST(ceil(length(text) / 4.0) AS BIGINT) AS tok
+       |  FROM documents),
+       |packed AS (
+       |  SELECT lang, tok,
+       |    CAST(floor(COALESCE(SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / $packBudget.0) AS BIGINT)
+       |      AS pack_id
+       |  FROM toks)
+       |SELECT lang, pack_id, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS pack_tokens
+       |FROM packed GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), ceil(length(col("text")) / 4.0).as("tok"))
+      .withColumn("pack_id",
+        floor(coalesce(sum(col("tok")).over(w), lit(0L)) / lit(packBudget.toDouble)).cast("long"))
+      .groupBy("lang", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("pack_tokens"))
+      .orderBy("lang", "pack_id")
+  }
+
+  /** Vocabulary building: corpus-wide top-20 bigrams. Bigram generation is a
+    * per-row array zip (no self-join); the count shuffles one row per
+    * distinct bigram with map-side partial aggregation, and the top-k is a
+    * TakeOrdered, not a global sort.
+    */
+  val bigramVocab = Q(
+    "text_bigram_vocab",
+    """WITH toks AS (
+      |  SELECT list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+      |  FROM documents),
+      |grams AS (
+      |  SELECT unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1]))
+      |    AS bigram
+      |  FROM toks)
+      |SELECT bigram, COUNT(*) AS freq FROM grams
+      |GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 20""".stripMargin) { (s, dir) =>
+    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+    val bigrams = zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    Tables.documents(s, dir)
+      .select(explode(bigrams).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("bigram"))
+      .limit(20)
+  }
+
+  /** Length profiling: fixed-width histogram over n_chars (100-char bins)
+    * with per-bin bounds — the curation dashboard's length distribution.
+    */
+  val histogramChars = Q(
+    "text_histogram_chars",
+    """SELECT CAST(floor(n_chars / 100.0) AS BIGINT) AS bin,
+      |  COUNT(*) AS n_docs,
+      |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+      |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
+      |FROM documents GROUP BY bin ORDER BY bin""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy(floor(col("n_chars") / 100.0).cast("long").as("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"))
+      .orderBy("bin")
+  }
+
+  val all: Seq[Q] = Seq(
+    trainTestSplit, stratifiedSample, dedupCanonical, packSequences,
+    bigramVocab, histogramChars)
+}

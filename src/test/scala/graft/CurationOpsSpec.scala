@@ -1,0 +1,83 @@
+package graft
+
+import graft.engine.CurationOps
+
+/** Curation-operator semantics on hand-computable inputs: split determinism
+  * and exhaustiveness, stratified keep-rates, canonical-dup mapping, pack
+  * budget respect, and bigram generation (the corpus oracle pins exact
+  * values; these pin the invariants that must hold on ANY input).
+  */
+class CurationOpsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docsDir(rows: Seq[(Long, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cur").toString
+    rows.map { case (id, text, lang) => (id, text, lang, "src0", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("train/test split is exhaustive, deterministic, and roughly 80/10/10") {
+    val got = CurationOps.trainTestSplit.build(spark, sfDir)
+      .select("split", "n_docs").as[(String, Long)].collect().toMap
+    assert(got.keySet === Set("train", "valid", "test"))
+    assert(got.values.sum === 500L) // every sf0.001 doc lands in exactly one split
+    assert(got("train") > got("valid") + got("test")) // 80% dominates
+    val again = CurationOps.trainTestSplit.build(spark, sfDir)
+      .select("split", "n_docs").as[(String, Long)].collect().toMap
+    assert(again === got) // rerun → identical assignment (hash, not rand)
+  }
+
+  test("stratified sample keeps ~50% of en and ~20% of the rest") {
+    val sampled = CurationOps.stratifiedSample.build(spark, sfDir)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val corpus = graft.engine.Tables.documents(spark, sfDir)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val enRate = sampled("en").toDouble / corpus("en")
+    assert(enRate > 0.3 && enRate < 0.7, s"en keep-rate $enRate")
+    val otherRate = (sampled - "en").values.sum.toDouble / (corpus - "en").values.sum
+    assert(otherRate > 0.08 && otherRate < 0.35, s"other keep-rate $otherRate")
+  }
+
+  test("canonical dedup maps every dup to the group minimum") {
+    val dir = docsDir(Seq(
+      (10L, "same text", "en"), (3L, "same text", "en"), (7L, "same text", "en"),
+      (5L, "unique", "en")))
+    val got = CurationOps.dedupCanonical.build(spark, dir)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got === Set((3L, 3L, false), (7L, 3L, true), (10L, 3L, true), (5L, 5L, false)))
+  }
+
+  test("sequence packing: pack token totals respect the running-sum bins") {
+    val packs = CurationOps.packSequences.build(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect()
+    assert(packs.nonEmpty)
+    // pack ids per lang are dense from 0 (exclusive running sum starts at 0)
+    packs.groupBy(_._1).foreach { case (_, ps) =>
+      val ids = ps.map(_._2).sorted
+      assert(ids.head === 0L)
+      assert(ids === (0L until ids.length).toArray.toSeq.toArray.sorted)
+    }
+    // every doc is packed exactly once
+    val nDocs = packs.map(_._3).sum
+    assert(nDocs === 500L)
+  }
+
+  test("bigram vocab: n tokens → n-1 bigrams in order; single token → none") {
+    val dir = docsDir(Seq((1L, "a b c", "en"), (2L, "solo", "en")))
+    val got = CurationOps.bigramVocab.build(spark, dir)
+      .as[(String, Long)].collect().toSet
+    assert(got === Set(("a b", 1L), ("b c", 1L)))
+  }
+
+  test("histogram bins partition the corpus: counts sum to row count") {
+    val bins = CurationOps.histogramChars.build(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(bins.map(_._2).sum === 500L)
+    // bin bounds are consistent: min/max of each bin lie inside [bin*100, bin*100+99]
+    bins.foreach { case (bin, _, lo, hi) =>
+      assert(lo >= bin * 100 && hi < (bin + 1) * 100 && lo <= hi)
+    }
+  }
+}
