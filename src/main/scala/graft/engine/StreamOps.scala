@@ -85,5 +85,21 @@ object StreamOps {
     Streaming.errorBursts(ev).toDF().orderBy("user_id", "alert_no")
   }
 
-  val all: Seq[Q] = Seq(tumbling, sliding, sessionWindow, errorBurstsBatch)
+  /** T7 twin: the watermarked stream-stream attribution join over the batch
+    * table (watermarks are no-ops in batch; the join predicate is identical).
+    */
+  val clickAttrib = Q(
+    "stream_click_attrib",
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+      |  epoch_us(p.ts) - epoch_us(c.ts) AS lag_us,
+      |  ROUND(p.value, 4) AS purchase_value
+      |FROM events c JOIN events p ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts >= c.ts AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+      |ORDER BY click_id, purchase_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    Streaming.clickAttribution(ev, ev).orderBy("click_id", "purchase_id")
+  }
+
+  val all: Seq[Q] = Seq(tumbling, sliding, sessionWindow, errorBurstsBatch, clickAttrib)
 }

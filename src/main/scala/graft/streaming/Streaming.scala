@@ -147,6 +147,34 @@ object Streaming {
         OutputMode.Append())
   }
 
+  // ---- T7: stream-stream join ----
+
+  /** T7: watermarked stream-stream inner join — each click joined to the
+    * same user's purchases in the following hour (funnel attribution).
+    * Both sides carry watermarks and the join condition bounds event-time
+    * distance, so the state store retains each side only until the other
+    * side's watermark passes the join horizon — the state that makes
+    * stream-stream joins feasible on an unbounded 100 TB/day log. On batch
+    * frames the watermarks are no-ops and the same code is the oracle twin.
+    */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("purchase_user"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    c.join(p,
+        col("click_user") === col("purchase_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        unix_micros(col("purchase_ts")) <= unix_micros(col("click_ts")) + 3600000000L)
+      .select(col("click_id"), col("purchase_id"), col("click_user").as("user_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("lag_us"),
+        round(col("value"), 4).as("purchase_value"))
+  }
+
   // ---- S6: streaming sources ----
 
   /** File-based streaming source over an events-shaped directory: new

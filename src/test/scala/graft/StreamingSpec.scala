@@ -136,6 +136,35 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("stream-stream attribution join: two MemoryStreams equal the batch twin") {
+    val clicks = Seq(
+      Streaming.Ev(10L, ts(0), 0L, "click", 0.0),
+      Streaming.Ev(11L, ts(30), 0L, "click", 0.0),
+      Streaming.Ev(12L, ts(5), 1L, "click", 0.0))
+    val purchases = Seq(
+      Streaming.Ev(20L, ts(20), 0L, "purchase", 9.5),   // joins clicks 10 (lag 20m)
+      Streaming.Ev(21L, ts(80), 0L, "purchase", 3.25),  // joins click 11 (50m); click 10 is 80m away → out
+      Streaming.Ev(22L, ts(200), 1L, "purchase", 7.0))  // 195m after click 12 → out
+    val cIn = MemoryStream[Streaming.Ev](spark)
+    val pIn = MemoryStream[Streaming.Ev](spark)
+    val q = Streaming.clickAttribution(
+        cIn.toDF().withColumn("props", lit("{}")),
+        pIn.toDF().withColumn("props", lit("{}")))
+      .writeStream.format("memory").queryName("attrib_sink").outputMode("append").start()
+    try {
+      cIn.addData(clicks.take(2)); pIn.addData(purchases.take(1)); q.processAllAvailable()
+      cIn.addData(clicks.drop(2)); pIn.addData(purchases.drop(1)); q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("attrib_sink").collect().map(_.toString).sorted.toSeq
+    val batch = Streaming.clickAttribution(
+      toDf(clicks ++ purchases), toDf(clicks ++ purchases))
+      .collect().map(_.toString).sorted.toSeq
+    assert(stream === batch)
+    val pairs = spark.table("attrib_sink")
+      .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((10L, 20L), (11L, 21L)))
+  }
+
   test("file stream source reads the events fixture incrementally") {
     val out = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
     // copy the sf0.001 events through the batch normalizer to get µs ts
