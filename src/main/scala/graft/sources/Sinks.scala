@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Parquet sink layouts (SURVEY.md §2.1 S5) — the write side of the 100 TB
+  * storage contract in SCALE.md §1. Queries never encode layout; these
+  * writers produce the layouts the scale design assumes, and
+  * StorageLayoutSpec proves each one delivers its plan shape (partition
+  * pruning / shuffle-free joins) by reading them back.
+  */
+object Sinks {
+
+  /** Date-partitioned log sink: `path/day=YYYY-MM-DD/...` from the event-time
+    * column, so time-range queries prune whole directories before any IO.
+    *
+    * The pre-write shuffle is the small-files control: without it every task
+    * writes a sliver of every day (tasks × days files); repartitioning on
+    * (day, salt) bounds output to `filesPerDay` sized files per day while
+    * still spreading one hot day over that many writers. `maxRecordsPerFile`
+    * is the belt-and-braces cap under row-size skew.
+    */
+  def writeEventsByDay(events: DataFrame, path: String,
+                       filesPerDay: Int = 1,
+                       maxRecordsPerFile: Long = 5_000_000L): Unit = {
+    val withDay = events.withColumn("day", to_date(col("ts")))
+    withDay
+      .repartition(col("day"), pmod(hash(col("event_id")), lit(filesPerDay)))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("day")
+      .parquet(path)
+  }
+
+  /** Bucketed + sorted fact sink: co-locates rows by join key so fact-fact
+    * joins and key-grouped aggregations run with zero exchanges (proved by
+    * StorageLayoutSpec). Bucketed writes go through the catalog — parquet
+    * alone has nowhere to record bucket metadata — hence the table name.
+    * At 100 TB the bucket count is chosen so each bucket file stays in the
+    * hundreds of MB (e.g. 4096 for a 1 TB fact).
+    */
+  def writeBucketedFact(df: DataFrame, table: String, path: String,
+                        key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .option("path", path)
+      .saveAsTable(table)
+
+  /** Plain sized-parquet sink for dimension/corpus tables: exactly
+    * `numFiles` output files (a dimension stays one broadcastable file; a
+    * corpus gets files sized for `maxPartitionBytes`-friendly scans).
+    */
+  def writeSized(df: DataFrame, path: String, numFiles: Int): Unit =
+    df.repartition(numFiles).write.mode("overwrite").parquet(path)
+}

@@ -16,11 +16,12 @@ class StorageLayoutSpec extends SparkSpecBase {
 
   test("date-partitioned events: a day filter prunes partitions at the scan") {
     val dir = s"$tmp/events_by_day"
-    graft.engine.Tables.events(spark, sfDir)
-      .withColumn("day", to_date(col("ts")))
-      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    graft.sources.Sinks.writeEventsByDay(
+      graft.engine.Tables.events(spark, sfDir), dir)
 
     val all = spark.read.parquet(dir)
+    // one file per day partition (the writer's small-files contract)
+    assert(all.inputFiles.length === all.select("day").distinct().count())
     val df = all.filter(col("day") === "2024-01-05").select("event_id")
     val executed = df.queryExecution.executedPlan
     assert(executed.toString.contains("PartitionFilters: [isnotnull(day"), executed.toString)
@@ -37,14 +38,12 @@ class StorageLayoutSpec extends SparkSpecBase {
   }
 
   test("bucketed fact-fact join: no exchange on either side") {
-    graft.engine.Tables.orders(spark, sfDir)
-      .write.mode("overwrite")
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .option("path", s"$tmp/orders_b").saveAsTable("orders_b")
-    graft.engine.Tables.lineitem(spark, sfDir)
-      .write.mode("overwrite")
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .option("path", s"$tmp/lineitem_b").saveAsTable("lineitem_b")
+    graft.sources.Sinks.writeBucketedFact(
+      graft.engine.Tables.orders(spark, sfDir),
+      "orders_b", s"$tmp/orders_b", "o_orderkey", buckets = 8)
+    graft.sources.Sinks.writeBucketedFact(
+      graft.engine.Tables.lineitem(spark, sfDir),
+      "lineitem_b", s"$tmp/lineitem_b", "l_orderkey", buckets = 8)
     // pin a shuffle-based join: at test scale AQE would broadcast instead,
     // hiding exactly the exchange this layout exists to elide
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
