@@ -415,7 +415,25 @@ object LlmOps {
       .orderBy("event_type")
   }
 
+  /** A4/A7 (no oracle — quantile sketches are engine-specific): streaming
+    * mergeable percentile sketch per event type, the affordable form of A7
+    * at scale (exact percentile materializes and sorts every group's
+    * values; the sketch is fixed-size per partition and merges). The exact
+    * values ride along so LlmOpsSpec can assert the rank-error bound.
+    */
+  val approxPercentile = Q.noOracle("agg_approx_percentile") { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        round(expr("approx_percentile(value, 0.5, 10000)"), 4).as("approx_p50"),
+        round(expr("approx_percentile(value, 0.95, 10000)"), 4).as("approx_p95"),
+        round(expr("percentile(value, 0.5)"), 4).as("exact_p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("exact_p95"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupHash, jaccardPairs, shingleJaccard, knnCosine, annLsh,
-    annIvf, nearDupCosine, embedNorm, minhashPairs, tfidf, approxDistinct)
+    annIvf, nearDupCosine, embedNorm, minhashPairs, tfidf, approxDistinct,
+    approxPercentile)
 }

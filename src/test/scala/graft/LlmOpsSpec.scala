@@ -111,6 +111,18 @@ class LlmOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("approx percentile sketch tracks the exact quantiles") {
+    val rows = LlmOps.approxPercentile.build(spark, sfDir)
+      .select("approx_p50", "exact_p50", "approx_p95", "exact_p95")
+      .as[(Double, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a50, e50, a95, e95) =>
+      // value ∈ ~0..200 → rank-accuracy 1/10000 means near-exact here
+      assert(math.abs(a50 - e50) <= math.max(2.0, 0.05 * e50), s"$a50 vs $e50")
+      assert(math.abs(a95 - e95) <= math.max(2.0, 0.05 * e95), s"$a95 vs $e95")
+    }
+  }
+
   test("tfidf: rare terms outrank ubiquitous ones") {
     val dir = docsDir(Seq(
       (1L, "common common rare1"),

@@ -1,6 +1,6 @@
 package graft
 
-import graft.engine.{LlmOps, LogOps, Relational}
+import graft.engine.{CurationOps, LlmOps, LogOps, Relational}
 
 /** Physical-plan assertions — the scale contract. Correctness tests prove
   * the answers; these prove the *plans* are the ones that survive a 100×
@@ -75,6 +75,25 @@ class PlanSpec extends SparkSpecBase {
     val plan = df.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
     assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"), plan)
+  }
+
+  test("bigram vocab top-k is a TakeOrdered over a partial-aggregated count") {
+    val plan = planOf(CurationOps.bigramVocab)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // map-side combine: the shuffle carries one row per distinct bigram
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("split assignment never shuffles rows before the profile aggregation") {
+    val plan = planOf(CurationOps.trainTestSplit)
+    // exactly one exchange: the 3-group final aggregation; the hash-split
+    // itself is a stateless per-row map
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected 1 shuffle, got $shuffles\n$plan")
+    // and the scan reads only the columns the split profile needs
+    val f = formatted(CurationOps.trainTestSplit)
+    val readSchema = f.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"), readSchema)
   }
 
   test("sessionize shuffles once on user_id, reused by both window passes") {
