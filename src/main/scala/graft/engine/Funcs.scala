@@ -249,7 +249,37 @@ object Funcs {
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
   }
 
+  /** A1 reshape: unpivot (melt) — the inverse of `agg_pivot`, turning the
+    * per-flag sum columns into (metric, val) rows. Spark's `unpivot` is a
+    * local per-row expansion (an Expand node — no shuffle, no join); the
+    * oracle spells it as the portable UNION ALL.
+    */
+  val unpivotMetrics = Q(
+    "func_unpivot",
+    """WITH w AS (
+      |  SELECT l_returnflag,
+      |    ROUND(SUM(l_quantity), 4) AS sum_qty,
+      |    ROUND(SUM(l_extendedprice), 4) AS sum_price
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, metric, val FROM (
+      |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS val FROM w
+      |  UNION ALL
+      |  SELECT l_returnflag, 'sum_price' AS metric, sum_price AS val FROM w) u
+      |ORDER BY l_returnflag, metric""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 4).as("sum_price"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price")),
+        "metric", "val")
+      .orderBy("l_returnflag", "metric")
+  }
+
   val all: Seq[Q] = Seq(
     mathFuncs, arrayFuncs, stringFuncs, dateFuncs, mapFuncs, aggGroupingSets,
-    aggPivot, aggCube, aggStats, aggStringAgg, filterScalarSubquery)
+    aggPivot, aggCube, aggStats, aggStringAgg, filterScalarSubquery,
+    unpivotMetrics)
 }

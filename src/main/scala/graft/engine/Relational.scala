@@ -353,9 +353,38 @@ object Relational {
     inter.unionByName(exc).orderBy("op", "nationkey")
   }
 
+  /** J9: null-safe equi-join (`<=>` / IS NOT DISTINCT FROM) — NULL keys
+    * match each other instead of vanishing, the semantics ETL needs when a
+    * key column is legitimately absent. Still a hash join: the null-safe
+    * operator is a valid equi-key for hash partitioning (nulls co-locate),
+    * so it plans exactly like J1/J2 — never a BNLJ.
+    */
+  val joinNullSafe = Q(
+    "join_null_safe",
+    """WITH l AS (
+      |  SELECT nullif(o_orderstatus, 'P') AS k, COUNT(*) AS n_orders
+      |  FROM orders GROUP BY 1),
+      |r AS (
+      |  SELECT nullif(l_linestatus, 'F') AS k, COUNT(*) AS n_lines
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l.k, l.n_orders, r.n_lines FROM l JOIN r
+      |  ON l.k IS NOT DISTINCT FROM r.k
+      |ORDER BY l.k NULLS FIRST""".stripMargin) { (s, dir) =>
+    val l = Tables.orders(s, dir)
+      .groupBy(nullif(col("o_orderstatus"), lit("P")).as("k"))
+      .agg(count(lit(1)).as("n_orders"))
+    val r = Tables.lineitem(s, dir)
+      .groupBy(nullif(col("l_linestatus"), lit("F")).as("rk"))
+      .agg(count(lit(1)).as("n_lines"))
+    l.join(r, col("k") <=> col("rk"))
+      .select(col("k"), col("n_orders"), col("n_lines"))
+      .orderBy(asc_nulls_first("k"))
+  }
+
   val all: Seq[Q] = Seq(
     selProject, filterPredicates, filterLikeNulls,
     joinBroadcastDim, joinFactFact, joinOuter, joinSemi, joinAnti, joinCross,
-    aggPricingSummary, aggDistinct, aggRollup, aggPercentile, aggArgmax,
-    aggCollectList, topkGlobal, setUnion, setIntersectExcept, setOpsAll)
+    joinNullSafe, aggPricingSummary, aggDistinct, aggRollup, aggPercentile,
+    aggArgmax, aggCollectList, topkGlobal, setUnion, setIntersectExcept,
+    setOpsAll)
 }

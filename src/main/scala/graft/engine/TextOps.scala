@@ -175,18 +175,8 @@ object TextOps {
     */
   private val simhashBits = 32
 
-  val simhash = Q(
-    "text_simhash", {
-      val terms = (0 until simhashBits).map { b =>
-        s"(CASE WHEN SUM(((h >> $b) & 1) * 2 - 1) > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END)"
-      }.mkString(" + ")
-      s"""WITH tok AS (
-         |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM (
-         |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
-         |    FROM documents) t WHERE tok <> '')
-         |SELECT doc_id, $terms AS simhash
-         |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    }) { (s, dir) =>
+  /** Shared simhash builder: (doc_id, simhash) for every doc. */
+  private def simhashOf(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
       .filter(col("tok") =!= "")
@@ -196,11 +186,70 @@ object TextOps {
       when(sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1) > 0,
         shiftleft(lit(1L), b)).otherwise(0L)
     }.reduce[Column](_ + _)
-    tok.groupBy("doc_id")
-      .agg(simhashCol.as("simhash"))
-      .orderBy("doc_id")
+    tok.groupBy("doc_id").agg(simhashCol.as("simhash"))
+  }
+
+  /** The matching DuckDB CTEs producing sh(doc_id, simhash). */
+  private def simhashSqlCtes: String = {
+    val terms = (0 until simhashBits).map { b =>
+      s"(CASE WHEN SUM(((h >> $b) & 1) * 2 - 1) > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END)"
+    }.mkString(" + ")
+    s"""tok AS (
+       |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM (
+       |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+       |    FROM documents) t WHERE tok <> ''),
+       |sh AS (SELECT doc_id, $terms AS simhash FROM tok GROUP BY doc_id)""".stripMargin
+  }
+
+  val simhash = Q(
+    "text_simhash",
+    s"""WITH $simhashSqlCtes
+       |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    simhashOf(s, dir).orderBy("doc_id")
+  }
+
+  /** D2 completion for simhash: near-dup PAIRS via band-bucket candidate
+    * generation — docs sharing any of the four 8-bit bands meet, then the
+    * full 32-bit hamming distance (≤ [[hammingMax]]) confirms. The banding
+    * is what scales: candidates come from equi-joins on (band, value)
+    * buckets — the corpus is never crossed with itself, exactly the
+    * MinHash-LSH shape but over simhash bands.
+    */
+  private val hammingMax = 3
+
+  val simhashPairs = Q(
+    "text_simhash_pairs",
+    s"""WITH $simhashSqlCtes,
+       |bands AS (
+       |  SELECT doc_id, simhash, b, (simhash >> (8 * b)) & 255 AS band_val
+       |  FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) t),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+       |    a.simhash AS ha, c.simhash AS hb
+       |  FROM bands a JOIN bands c
+       |    ON a.b = c.b AND a.band_val = c.band_val AND a.doc_id < c.doc_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+       |FROM cand WHERE bit_count(xor(ha, hb)) <= $hammingMax
+       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    val sh = simhashOf(s, dir)
+    val bands = sh.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(lit): _*)).as("b"))
+      .withColumn("band_val", expr("shiftright(simhash, 8 * b) & 255"))
+    val a = bands.select(col("doc_id").as("id_a"), col("simhash").as("ha"),
+      col("b"), col("band_val"))
+    val c = bands.select(col("doc_id").as("id_b"), col("simhash").as("hb"),
+      col("b").as("cb"), col("band_val").as("cband_val"))
+    a.join(c,
+        col("b") === col("cb") && col("band_val") === col("cband_val") &&
+        col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "ha", "hb").distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= hammingMax)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
   }
 
   val all: Seq[Q] = Seq(
-    langProfile, langId, qualityScore, tokenCount, fingerprint, simhash)
+    langProfile, langId, qualityScore, tokenCount, fingerprint, simhash,
+    simhashPairs)
 }

@@ -177,6 +177,23 @@ object Streaming {
 
   // ---- S6: streaming sources ----
 
+  /** S5 (streaming sink): continuous ingestion into the date-partitioned
+    * layout Sinks.writeEventsByDay produces for batch — new micro-batches
+    * append `day=` partitioned parquet exactly-once (checkpoint + sink
+    * manifest). This is the landing zone of a 100 TB/day pipeline: batch
+    * queries over the result prune by day exactly as StorageLayoutSpec
+    * proves for the batch writer.
+    */
+  def startDayPartitionedSink(events: DataFrame, path: String,
+                              checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.withColumn("day", to_date(col("ts")))
+      .writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("day")
+      .outputMode("append")
+      .start()
+
   /** File-based streaming source over an events-shaped directory: new
     * parquet files appearing under `dir` are treated as stream arrivals
     * (the batch parquet corpus replays as a stream).

@@ -165,6 +165,24 @@ class StreamingSpec extends SparkSpecBase {
     assert(pairs === Set((10L, 20L), (11L, 21L)))
   }
 
+  test("day-partitioned streaming sink lands prunable parquet") {
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-sink").toString
+    val input = MemoryStream[Streaming.Ev](spark)
+    val q = Streaming.startDayPartitionedSink(
+      input.toDF().withColumn("props", lit("{}")),
+      s"$base/out", s"$base/ckpt")
+    try {
+      input.addData(rows.take(4)); q.processAllAvailable()
+      input.addData(rows.drop(4)); q.processAllAvailable()
+    } finally q.stop()
+    val landed = spark.read.parquet(s"$base/out")
+    assert(landed.count() === rows.length)
+    // the layout is the batch writer's: day= directories a filter can prune
+    assert(landed.schema.fieldNames.contains("day"))
+    val pruned = landed.filter(col("day") === java.sql.Date.valueOf("2024-01-01"))
+    assert(pruned.count() === rows.length) // fixture rows all land on one day
+  }
+
   test("file stream source reads the events fixture incrementally") {
     val out = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
     // copy the sf0.001 events through the batch normalizer to get µs ts
