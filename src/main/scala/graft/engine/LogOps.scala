@@ -437,10 +437,82 @@ object LogOps {
       .orderBy("doc_id")
   }
 
+  /** Sequential funnel: users reaching view → click-after-view →
+    * purchase-after-click, counted per stage. Each stage is a per-user MIN
+    * over one hash shuffle on user_id; stage joins are user-keyed equi-joins
+    * on already-aggregated (one-row-per-user) sides, so at 100 TB the fact
+    * table is scanned once per stage type filter and nothing ever crosses.
+    */
+  val funnel = Q(
+    "log_funnel",
+    """WITH v AS (
+      |  SELECT user_id, MIN(ts) AS t FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      |  JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+      |  WHERE e.event_type = 'click' GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      |  JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+      |  WHERE e.event_type = 'purchase' GROUP BY 1)
+      |SELECT step, n_users FROM (
+      |  SELECT 'step1_view' AS step, COUNT(*) AS n_users FROM v
+      |  UNION ALL SELECT 'step2_click', COUNT(*) FROM c
+      |  UNION ALL SELECT 'step3_purchase', COUNT(*) FROM p) u
+      |ORDER BY step""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    def firstAfter(step: String, prev: org.apache.spark.sql.DataFrame) =
+      ev.filter(col("event_type") === step)
+        .join(prev.select(col("user_id").as("p_user"), col("t").as("p_t")),
+          col("user_id") === col("p_user") && col("ts") > col("p_t"))
+        .groupBy("user_id").agg(min("ts").as("t"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t"))
+    val c = firstAfter("click", v)
+    val p = firstAfter("purchase", c)
+    def stage(name: String, df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("n_users")).select(lit(name).as("step"), col("n_users"))
+    stage("step1_view", v)
+      .unionByName(stage("step2_click", c))
+      .unionByName(stage("step3_purchase", p))
+      .orderBy("step")
+  }
+
+  /** Day-7 retention cohorts: of the users active on day D, how many were
+    * also active on D+7. The distinct (user, day) activity set is tiny
+    * relative to the log (one row per user-day), so the self-join runs on
+    * the aggregated activity table, never the raw events.
+    */
+  val retention = Q(
+    "log_retention",
+    """WITH act AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+      |  FROM events)
+      |SELECT a.day AS cohort_day,
+      |  COUNT(*) AS n_day0,
+      |  CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_day7
+      |FROM act a LEFT JOIN act b
+      |  ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 7 DAY
+      |GROUP BY a.day ORDER BY a.day""".stripMargin) { (s, dir) =>
+    val act = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val b = act.select(col("user_id").as("b_user"), col("day").as("b_day"))
+    act.join(b,
+        col("user_id") === col("b_user") &&
+        col("b_day") === col("day") + expr("INTERVAL 7 DAY"), "left")
+      .groupBy(col("day").as("cohort_day"))
+      .agg(
+        count(lit(1)).as("n_day0"),
+        sum(when(col("b_user").isNotNull, 1L).otherwise(0L)).as("n_day7"))
+      .orderBy("cohort_day")
+  }
+
   val all: Seq[Q] = Seq(
     errorRateDaily, grepRegex, regexExtract, regexReplace, stringFuncs,
     parseFields, timeBuckets, jsonExtract, tokenize, saltedAgg,
     winTopk, winRankNtile, winPctRank, winLagGap, winRunningSum, winMovingAvg,
     winFirstLast, winSessionize,
-    joinRangeEvents, joinAsofEvents, parseLines)
+    joinRangeEvents, joinAsofEvents, parseLines, funnel, retention)
 }
