@@ -278,8 +278,55 @@ object Funcs {
       .orderBy("l_returnflag", "metric")
   }
 
+  /** A1 boolean family: bool_and / bool_or / conditional counts — the
+    * assertion aggregates data-quality checks use ("EVERY partition row
+    * passed"). All partial-aggregate-friendly.
+    */
+  val aggBool = Q(
+    "agg_bool",
+    """SELECT o_orderpriority,
+      |  bool_and(o_totalprice > 1000) AS all_over_1k,
+      |  bool_or(o_orderstatus = 'F') AS any_final,
+      |  CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+        bool_or(col("o_orderstatus") === "F").as("any_final"),
+        sum(when(col("o_totalprice") > 100000, 1L).otherwise(0L)).as("n_big"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** F4 bitwise family: and/or/xor/shifts/popcount — the primitives the
+    * simhash and banding operators build on, exposed as a first-class
+    * surface.
+    */
+  val bitwiseFuncs = Q(
+    "func_bitwise",
+    """SELECT event_id,
+      |  event_id & 255 AS band,
+      |  event_id | 4096 AS or_v,
+      |  xor(event_id, 1023) AS xor_v,
+      |  event_id << 2 AS shl,
+      |  event_id >> 3 AS shr,
+      |  CAST(bit_count(event_id) AS INTEGER) AS bits
+      |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .filter(col("event_id") < 200)
+      .select(
+        col("event_id"),
+        col("event_id").bitwiseAND(255).as("band"),
+        col("event_id").bitwiseOR(4096).as("or_v"),
+        col("event_id").bitwiseXOR(1023).as("xor_v"),
+        expr("shiftleft(event_id, 2)").as("shl"),
+        expr("shiftright(event_id, 3)").as("shr"),
+        bit_count(col("event_id")).as("bits"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[Q] = Seq(
     mathFuncs, arrayFuncs, stringFuncs, dateFuncs, mapFuncs, aggGroupingSets,
     aggPivot, aggCube, aggStats, aggStringAgg, filterScalarSubquery,
-    unpivotMetrics)
+    unpivotMetrics, aggBool, bitwiseFuncs)
 }

@@ -509,10 +509,54 @@ object LogOps {
       .orderBy("cohort_day")
   }
 
+  /** Top session paths: sessionize (30-min gap), concatenate each session's
+    * event types in (ts, event_id) order, count the most common sequences.
+    * The path build is ONE user_id shuffle (both windows + the session
+    * groupBy share it); the path count shuffles one row per distinct path
+    * string with map-side combine; top-k is a TakeOrdered. The event_id
+    * tiebreak makes the concatenation order engine-independent.
+    */
+  val topPaths = Q(
+    "log_top_paths",
+    """WITH lagged AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    SUM(CASE WHEN prev IS NULL
+      |             OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_no
+      |  FROM lagged),
+      |paths AS (
+      |  SELECT user_id, sess_no,
+      |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      |  FROM sess GROUP BY 1, 2)
+      |SELECT path, COUNT(*) AS n_sessions FROM paths
+      |GROUP BY path ORDER BY n_sessions DESC, path LIMIT 15""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val newSess = when(col("prev").isNull ||
+      unix_micros(col("ts")) - unix_micros(col("prev")) > 1800000000L, 1).otherwise(0)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag("ts", 1).over(w))
+      .withColumn("sess_no", sum(newSess).over(w))
+      .groupBy("user_id", "sess_no")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+          e => e.getField("event_type")),
+        ">").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(15)
+  }
+
   val all: Seq[Q] = Seq(
     errorRateDaily, grepRegex, regexExtract, regexReplace, stringFuncs,
     parseFields, timeBuckets, jsonExtract, tokenize, saltedAgg,
     winTopk, winRankNtile, winPctRank, winLagGap, winRunningSum, winMovingAvg,
     winFirstLast, winSessionize,
-    joinRangeEvents, joinAsofEvents, parseLines, funnel, retention)
+    joinRangeEvents, joinAsofEvents, parseLines, funnel, retention, topPaths)
 }

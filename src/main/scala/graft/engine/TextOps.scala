@@ -249,7 +249,37 @@ object TextOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** Zipf rank-frequency profile: top-30 tokens with rank and the
+    * rank×frequency product (≈constant under Zipf's law — the vocabulary
+    * sanity check corpus curation runs). Scale shape: the top-30 cut is a
+    * TakeOrdered over the partially-aggregated term counts; the rank window
+    * then runs on 30 rows, never the vocabulary.
+    */
+  val zipfRanks = Q(
+    "text_zipf_ranks",
+    """WITH tf AS (
+      |  SELECT tok, COUNT(*) AS freq FROM (
+      |    SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents) t
+      |  WHERE tok <> '' GROUP BY tok),
+      |top AS (SELECT tok, freq FROM tf ORDER BY freq DESC, tok LIMIT 30)
+      |SELECT tok, freq,
+      |  row_number() OVER (ORDER BY freq DESC, tok) AS rank,
+      |  CAST(freq * row_number() OVER (ORDER BY freq DESC, tok) AS BIGINT) AS zipf_product
+      |FROM top ORDER BY rank""".stripMargin) { (s, dir) =>
+    val w = Window.orderBy(col("freq").desc, col("tok"))
+    Tables.documents(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok"))
+      .limit(30)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("zipf_product", (col("freq") * col("rank")).cast("long"))
+      .orderBy("rank")
+  }
+
   val all: Seq[Q] = Seq(
     langProfile, langId, qualityScore, tokenCount, fingerprint, simhash,
-    simhashPairs)
+    simhashPairs, zipfRanks)
 }
