@@ -81,6 +81,56 @@ class PropertySpec extends SparkSpecBase {
     }, cases = 8)
   }
 
+  private def writeDocs(docs: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-prop").toString
+    docs.map { case (id, t, lang) => (id, t, lang, "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private val curationDocsGen: Gen[List[(Long, String, String)]] =
+    Gen.chooseNum(1, 30).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.oneOf("a", "b b", "c c c", "d word soup", "e"),
+        Gen.oneOf("en", "de", "fr"))))
+      .map(_.zipWithIndex.map { case ((t, l), i) => (i.toLong, t, l) })
+
+  test("train/test split partitions any corpus: exhaustive and disjoint") {
+    check(Prop.forAll(curationDocsGen) { docs =>
+      val dir = writeDocs(docs)
+      val got = graft.engine.CurationOps.trainTestSplit.build(spark, dir).collect()
+      got.map(_.getLong(1)).sum == docs.length &&
+        got.map(_.getString(0)).toSet.subsetOf(Set("train", "valid", "test"))
+    }, cases = 6)
+  }
+
+  test("canonical dedup: canonical ids are the per-text minimum, total") {
+    check(Prop.forAll(curationDocsGen) { docs =>
+      val dir = writeDocs(docs)
+      val got = graft.engine.CurationOps.dedupCanonical.build(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      val minByText = docs.groupBy(_._2).map { case (_, g) => g.map(_._1).min }.toSet
+      got.length == docs.length &&
+        got.forall { case (id, canon, isDup) =>
+          minByText.contains(canon) && (isDup == (id != canon)) && canon <= id
+        }
+    }, cases = 6)
+  }
+
+  test("sequence packing: every doc packed once; ids dense per stratum") {
+    check(Prop.forAll(curationDocsGen) { docs =>
+      val dir = writeDocs(docs)
+      val packs = graft.engine.CurationOps.packSequences.build(spark, dir)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      packs.map(_._3).sum == docs.length &&
+        packs.groupBy(_._1).forall { case (_, ps) =>
+          val ids = ps.map(_._2).sorted.toSeq
+          ids == (0L until ids.length)
+        }
+    }, cases = 6)
+  }
+
   test("exact dedup: idempotent and keeper-count preserving") {
     import spark.implicits._
     val docsGen = Gen.chooseNum(1, 30).flatMap(n => Gen.listOfN(n,
