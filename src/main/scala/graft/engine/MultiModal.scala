@@ -40,6 +40,16 @@ object MultiModal {
         (col("n_chars") % 480).cast("int").as("height"),
         (col("n_chars") * 40).as("duration_ms")).as("meta"))
 
+  /** The media table as a typed Dataset (the decode seam's input shape). */
+  def mediaDataset(docs: DataFrame): Dataset[Media] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    mediaFromDocuments(docs).select(
+      col("media_id"), col("kind"), col("payload"),
+      col("meta.width").as("width"), col("meta.height").as("height"),
+      col("meta.duration_ms").as("duration_ms")).as[Media]
+  }
+
   /** Decode seam (STUB kernel, real batch plumbing): one partition-level
     * iterator pass, feature = 16-bin histogram of low nibbles, L1-normalized.
     * A production codec swaps in at the marked line only.
@@ -116,5 +126,40 @@ object MultiModalOps {
       .orderBy("media_id", "frame_idx")
   }
 
-  val all: Seq[Q] = Seq(kindStats, frameSample)
+  /** Per-kind mean feature vector THROUGH the decode seam — the oracle
+    * recomputes the stub kernel (low-nibble histogram over the payload
+    * bytes, L1-normalized, zero bins included) in SQL, so the whole
+    * mapPartitions path from typed Dataset to aggregated features is
+    * hash-checked, not just row-counted. Payloads reduce to 16 doubles
+    * before the only shuffle.
+    */
+  val featureProfile = Q(
+    "mm_feature_profile",
+    """WITH d AS (
+      |  SELECT doc_id, (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+      |    text, GREATEST(1, length(text)) AS n
+      |  FROM documents),
+      |nib AS (
+      |  SELECT doc_id, kind, n,
+      |    ascii(substr(text, CAST(unnest(range(1, length(text) + 1)) AS INT), 1)) & 15 AS bin
+      |  FROM d),
+      |w AS (
+      |  SELECT doc_id, kind, bin, COUNT(*) / CAST(ANY_VALUE(n) AS DOUBLE) AS wt
+      |  FROM nib GROUP BY doc_id, kind, bin),
+      |grid AS (
+      |  SELECT d.doc_id, d.kind, b.bin, COALESCE(w.wt, 0) AS wt
+      |  FROM d CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) b
+      |  LEFT JOIN w ON w.doc_id = d.doc_id AND w.bin = b.bin)
+      |SELECT kind, CAST(bin AS INTEGER) AS bin, ROUND(AVG(wt), 6) AS avg_wt
+      |FROM grid GROUP BY kind, bin ORDER BY kind, bin""".stripMargin) { (s, dir) =>
+    val feats = MultiModal.decodeFeatures(
+      MultiModal.mediaDataset(Tables.documents(s, dir)))
+    feats.toDF()
+      .select(col("kind"), posexplode(col("feature")).as(Seq("bin", "wt")))
+      .groupBy("kind", "bin")
+      .agg(round(avg("wt"), 6).as("avg_wt"))
+      .orderBy("kind", "bin")
+  }
+
+  val all: Seq[Q] = Seq(kindStats, frameSample, featureProfile)
 }
