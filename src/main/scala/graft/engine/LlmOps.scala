@@ -432,8 +432,54 @@ object LlmOps {
       .orderBy("event_type")
   }
 
+  /** Connected components over a near-dup pair set by iterative min-label
+    * propagation: every node adopts the smallest label among itself and its
+    * neighbors until fixpoint (or maxIter). Each round is one shuffle on the
+    * node id; rounds needed = graph diameter, and near-dup graphs are
+    * shallow (dup clusters are cliques or short chains), so 10 rounds is
+    * generous. `localCheckpoint` truncates the growing lineage so round N
+    * doesn't replay rounds 1..N-1.
+    */
+  def clusterPairs(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val neighborMin = edges
+        .join(labels, col("dst") === col("id"))
+        .groupBy(col("src").as("nid"))
+        .agg(min("label").as("nl"))
+      val next = labels
+        .join(neighborMin, col("id") === col("nid"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      it += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** D2 follow-through (no oracle — iterative fixpoint isn't one SQL
+    * statement): near-dup clusters from the shingle-Jaccard pairs, profiled
+    * as (cluster_id, size). LlmOpsSpec pins the component semantics on
+    * hand-built graphs; the driver checks rows here.
+    */
+  val nearDupClusters = Q.noOracle("llm_neardup_clusters") { (s, dir) =>
+    val pairs = shingleJaccard.build(s, dir).select("id_a", "id_b")
+    clusterPairs(pairs)
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+      .orderBy(col("cluster_id"))
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupHash, jaccardPairs, shingleJaccard, knnCosine, annLsh,
     annIvf, nearDupCosine, embedNorm, minhashPairs, tfidf, approxDistinct,
-    approxPercentile)
+    approxPercentile, nearDupClusters)
 }

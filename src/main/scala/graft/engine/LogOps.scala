@@ -553,10 +553,42 @@ object LogOps {
       .limit(15)
   }
 
+  /** Volume-anomaly detection: daily counts per event type, z-scored
+    * against that type's own mean/stddev, keeping |z| > 1 days. The window
+    * runs over the tiny (type × day) aggregate, so at 100 TB the cost is
+    * the first groupBy; the z-score pass touches ~150 rows.
+    */
+  val anomalyZscore = Q(
+    "log_anomaly_zscore",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type, day, n,
+      |    AVG(n) OVER (PARTITION BY event_type) AS mu,
+      |    STDDEV_SAMP(n) OVER (PARTITION BY event_type) AS sd
+      |  FROM daily)
+      |SELECT event_type, day, n, ROUND((n - mu) / sd, 4) AS z
+      |FROM stats WHERE ABS((n - mu) / sd) > 1
+      |ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("event_type")
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val z = (col("n") - avg("n").over(w)) / stddev_samp(col("n")).over(w)
+    daily
+      .withColumn("z", z)
+      .filter(abs(col("z")) > 1)
+      .select(col("event_type"), col("day"), col("n"), round(col("z"), 4).as("z"))
+      .orderBy("event_type", "day")
+  }
+
   val all: Seq[Q] = Seq(
     errorRateDaily, grepRegex, regexExtract, regexReplace, stringFuncs,
     parseFields, timeBuckets, jsonExtract, tokenize, saltedAgg,
     winTopk, winRankNtile, winPctRank, winLagGap, winRunningSum, winMovingAvg,
     winFirstLast, winSessionize,
-    joinRangeEvents, joinAsofEvents, parseLines, funnel, retention, topPaths)
+    joinRangeEvents, joinAsofEvents, parseLines, funnel, retention, topPaths,
+    anomalyZscore)
 }

@@ -102,6 +102,25 @@ class LlmOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("clusterPairs finds connected components (chain, clique, singleton pair)") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),           // chain 1-2-3 → cluster 1
+      (10L, 11L), (10L, 12L), (11L, 12L), // clique → cluster 10
+      (20L, 21L))                   // pair → cluster 20
+      .toDF("id_a", "id_b")
+    val got = LlmOps.clusterPairs(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("clusterPairs converges on a long chain within the diameter bound") {
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = LlmOps.clusterPairs(chain, maxIter = 10).as[(Long, Long)].collect()
+    assert(got.forall(_._2 === 0L)) // one component labeled by its minimum
+    assert(got.length === 10)
+  }
+
   test("approx distinct within 5% of exact") {
     val rows = LlmOps.approxDistinct.build(spark, sfDir)
       .select("approx_users", "exact_users").as[(Long, Long)].collect()
