@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.engine.{CurationOps, Funcs, LlmOps, LogOps, MultiModalOps, Q, Relational, StreamOps, TextOps}
+import graft.engine.{CurationOps, Funcs, LlmOps, LogOps, MultiModalOps, Q, Relational, SqlOps, StreamOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,7 +18,7 @@ object SparkEntry {
 
   private def registry: Seq[Q] =
     Relational.all ++ LogOps.all ++ LlmOps.all ++ TextOps.all ++ CurationOps.all ++
-      StreamOps.all ++ MultiModalOps.all ++ Funcs.all
+      StreamOps.all ++ MultiModalOps.all ++ Funcs.all ++ SqlOps.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

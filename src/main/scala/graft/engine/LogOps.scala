@@ -584,11 +584,38 @@ object LogOps {
       .orderBy("event_type", "day")
   }
 
+  /** W5 time-range frame: per-user trailing-1-hour event count and value
+    * sum by EVENT TIME (RANGE frame on epoch-µs), not row count — the
+    * "activity in the last hour as of each event" primitive rate limiting
+    * and alerting build on. One user_id shuffle; the frame scan is ordered
+    * within partition.
+    */
+  val winTimeRange = Q(
+    "win_time_range_sum",
+    """SELECT event_id, user_id,
+      |  COUNT(*) OVER w AS n_1h,
+      |  ROUND(SUM(value) OVER w, 4) AS sum_1h
+      |FROM (SELECT event_id, user_id, value, epoch_us(ts) AS us FROM events) t
+      |WINDOW w AS (PARTITION BY user_id ORDER BY us
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(-3600000000L, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .select(
+        col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        round(sum("value").over(w), 4).as("sum_1h"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[Q] = Seq(
     errorRateDaily, grepRegex, regexExtract, regexReplace, stringFuncs,
     parseFields, timeBuckets, jsonExtract, tokenize, saltedAgg,
     winTopk, winRankNtile, winPctRank, winLagGap, winRunningSum, winMovingAvg,
     winFirstLast, winSessionize,
     joinRangeEvents, joinAsofEvents, parseLines, funnel, retention, topPaths,
-    anomalyZscore)
+    anomalyZscore, winTimeRange)
 }

@@ -1,0 +1,65 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The raw-SQL entry surface: queries submitted as ANSI SQL text over
+  * registered table views, planned by the same Catalyst session as the
+  * DataFrame API (SURVEY.md §3.2 — logdb's query endpoint re-expressed as
+  * `spark.sql`). The oracle strings here are intentionally (near-)identical
+  * to the executed Spark SQL: the dialect overlap IS the feature.
+  */
+object SqlOps {
+
+  /** Register every fixture table as a session view rooted at `dir`. */
+  def registerViews(s: SparkSession, dir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+      .foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
+    Tables.events(s, dir).createOrReplaceTempView("events")
+    Tables.documents(s, dir).createOrReplaceTempView("documents")
+  }
+
+  private def sql(name: String, oracle: String)(text: String): Q =
+    Q(name, oracle) { (s, dir) => registerViews(s, dir); s.sql(text) }
+
+  /** TPC-H Q3-shaped shipping-priority query, submitted as SQL text. The
+    * one dialect split: Spark compares o_orderdate (a timestamp) against a
+    * TIMESTAMP literal, DuckDB against the same literal — both written
+    * identically below.
+    */
+  val shippingPriority: Q = {
+    val text =
+      """SELECT l_orderkey,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  CAST(o_orderdate AS TIMESTAMP) AS o_orderdate
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin
+    sql("sql_shipping_priority", text)(text)
+  }
+
+  /** NOT IN with a nullable subquery — the null-aware anti-join semantics
+    * SQL engines are most often wrong about: one NULL in the subquery set
+    * empties the result. Both branches (null-free and null-poisoned set)
+    * are counted so the oracle pins both behaviors.
+    */
+  val notInNulls: Q = {
+    val text =
+      """SELECT clean_n, poisoned_n FROM
+        |  (SELECT COUNT(*) AS clean_n FROM orders
+        |   WHERE o_orderstatus NOT IN
+        |     (SELECT l_linestatus FROM lineitem WHERE l_linestatus = 'F')) a
+        |CROSS JOIN
+        |  (SELECT COUNT(*) AS poisoned_n FROM orders
+        |   WHERE o_orderstatus NOT IN
+        |     (SELECT nullif(l_linestatus, 'F') FROM lineitem)) b""".stripMargin
+    sql("sql_not_in_nulls", text)(text)
+  }
+
+  val all: Seq[Q] = Seq(shippingPriority, notInNulls)
+}

@@ -28,6 +28,7 @@ object Sinks {
       .repartition(col("day"), pmod(hash(col("event_id")), lit(filesPerDay)))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
+      .option("compression", "zstd")
       .partitionBy("day")
       .parquet(path)
   }
@@ -42,6 +43,7 @@ object Sinks {
   def writeBucketedFact(df: DataFrame, table: String, path: String,
                         key: String, buckets: Int): Unit =
     df.write.mode("overwrite")
+      .option("compression", "zstd")
       .bucketBy(buckets, key).sortBy(key)
       .option("path", path)
       .saveAsTable(table)
@@ -51,5 +53,6 @@ object Sinks {
     * corpus gets files sized for `maxPartitionBytes`-friendly scans).
     */
   def writeSized(df: DataFrame, path: String, numFiles: Int): Unit =
-    df.repartition(numFiles).write.mode("overwrite").parquet(path)
+    df.repartition(numFiles).write.mode("overwrite")
+      .option("compression", "zstd").parquet(path)
 }
