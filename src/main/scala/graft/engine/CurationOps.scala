@@ -159,9 +159,13 @@ object CurationOps {
       |SELECT bigram, COUNT(*) AS freq FROM grams
       |GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 20""".stripMargin) { (s, dir) =>
     val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+    // slice length must not go negative: a doc whose text tokenizes to zero
+    // non-empty tokens would pass -1 and throw; the oracle's range(1, len)
+    // is simply empty there, so clamp to 0 (⇒ no bigrams) to match.
+    val sliceLen = greatest(lit(0), size(toks) - 1)
     val bigrams = zip_with(
-      slice(toks, lit(1), size(toks) - 1),
-      slice(toks, lit(2), size(toks) - 1),
+      slice(toks, lit(1), sliceLen),
+      slice(toks, lit(2), sliceLen),
       (a, b) => concat(a, lit(" "), b))
     Tables.documents(s, dir)
       .select(explode(bigrams).as("bigram"))

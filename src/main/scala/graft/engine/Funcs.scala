@@ -142,11 +142,20 @@ object Funcs {
       |  ROUND(COALESCE(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 0), 2) AS medium,
       |  ROUND(COALESCE(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 0), 2) AS low
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    // The 0-for-empty default must be applied AFTER the pivot: for a
+    // (status, priority) combination with no input rows PivotFirst emits
+    // NULL without ever running the inner aggregate, so a coalesce inside
+    // the agg would never fire — while the oracle's conditional-SUM form
+    // coalesces the final value.
     Tables.orders(s, dir)
       .groupBy("o_orderstatus")
       .pivot("o_orderpriority", Seq("1-URGENT", "3-MEDIUM", "5-LOW"))
-      .agg(round(coalesce(sum("o_totalprice"), lit(0d)), 2))
+      .agg(round(sum("o_totalprice"), 2))
       .withColumnsRenamed(Map("1-URGENT" -> "urgent", "3-MEDIUM" -> "medium", "5-LOW" -> "low"))
+      .select(col("o_orderstatus"),
+        coalesce(col("urgent"), lit(0d)).as("urgent"),
+        coalesce(col("medium"), lit(0d)).as("medium"),
+        coalesce(col("low"), lit(0d)).as("low"))
       .orderBy("o_orderstatus")
   }
 

@@ -12,12 +12,35 @@ import graft.functions.vectors
   * Scale notes (100 TB): exact dedup groups on a 128-bit digest, never the
   * full text, so the shuffle carries 16 bytes per doc. Near-dup uses the
   * inverted-index (token-postings) join — the standard scale-out form —
-  * rather than an O(n²) cross join; MinHash banding caps candidate pairs
-  * independently of corpus size. k-NN broadcasts the (small) query side so
-  * the corpus never shuffles, and the LSH variant prunes candidates by
-  * bucket equality before any distance math.
+  * rather than an O(n²) cross join, with a document-frequency cap so a
+  * corpus-wide stopword can't regrow the cross product inside a hot
+  * postings key; MinHash banding caps candidate pairs independently of
+  * corpus size. The exact embedding near-dup distributes its inherent
+  * pair scan over a block-grid equi-join (no corpus broadcast, bounded
+  * per-task memory). k-NN broadcasts the (small) query side so the corpus
+  * never shuffles, and the LSH variant prunes candidates by bucket
+  * equality before any distance math.
   */
 object LlmOps {
+
+  /** Document-frequency cap for inverted-index joins: removes posting keys
+    * (tokens, shingles) present in more than `frac` of the posting-bearing
+    * docs. One corpus-wide stopword otherwise turns the postings self-join
+    * into ~n² candidate rows on a single hot key — the classic near-dup
+    * blow-up; after the cap, each surviving key contributes at most
+    * (frac·n)² pairs and carries actual similarity signal. `postings` must
+    * be distinct (doc_id, key) rows; the doc count joins in as a broadcast
+    * single-row aggregate and the keep-list applies as a semi-join (small —
+    * one row per vocabulary term).
+    */
+  private[graft] def dfCapped(postings: DataFrame, key: String, frac: Double): DataFrame = {
+    val nDocs = postings.agg(countDistinct("doc_id").as("n_docs"))
+    val keep = postings.groupBy(key).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") <= lit(frac) * col("n_docs"))
+      .select(key)
+    postings.join(keep, Seq(key), "left_semi")
+  }
 
   /** D1: exact dedup, deterministic formulation (min doc_id is the keeper —
     * `dropDuplicates` picks an arbitrary row and would break the oracle).
@@ -46,21 +69,32 @@ object LlmOps {
       .orderBy("keeper_id")
   }
 
-  /** D2 (oracle-able form): exact token-set Jaccard ≥ 0.8 between documents
-    * of one source, via the inverted-index join — explode distinct tokens,
+  /** D2 (oracle-able form): token-set Jaccard ≥ 0.8 between documents of
+    * one source, via the inverted-index join — explode distinct tokens,
     * join postings on token, count co-occurrences. This is the formulation
     * that scales: candidate pairs are generated only for docs sharing a
-    * token, and a df-cap (drop tokens appearing in >p% of docs) bounds the
-    * postings join at web scale. MinHash (llm_minhash_pairs) is the
-    * sub-linear approximation of exactly this quantity.
+    * token, and the df-cap below (drop tokens in > 80% of in-scope docs)
+    * bounds the postings join at web scale — one stopword shared by every
+    * doc would otherwise make the self-join n²-row regardless of the
+    * inverted-index structure. Capped tokens leave BOTH the intersection
+    * and the set sizes, so the score is Jaccard over the discriminating
+    * (non-ubiquitous) token space — the similarity a stopword-filtered
+    * dedup pipeline actually wants; the oracle applies the identical cap.
+    * MinHash (llm_minhash_pairs) is the sub-linear approximation of this
+    * quantity.
     */
   val jaccardPairs = Q(
     "llm_jaccard_pairs",
-    """WITH tok AS (
+    """WITH tok0 AS (
       |  SELECT doc_id, tok FROM (
       |    SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
       |    FROM documents WHERE source = 'src0') t
       |  WHERE tok <> ''),
+      |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok0),
+      |dfc AS (SELECT tok, COUNT(*) AS df FROM tok0 GROUP BY 1),
+      |tok AS (
+      |  SELECT t.doc_id, t.tok FROM tok0 t JOIN dfc USING (tok) CROSS JOIN nd
+      |  WHERE dfc.df <= 0.8 * nd.n_docs),
       |sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
       |inter AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
@@ -73,11 +107,16 @@ object LlmOps {
       |JOIN sz sb ON inter.id_b = sb.doc_id
       |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
-    val tok = Tables.documents(s, dir)
+    val tok0 = Tables.documents(s, dir)
       .filter(col("source") === "src0")
       .select(col("doc_id"),
         explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
       .filter(col("tok") =!= "")
+    // df-cap: tokens present in > 80% of in-scope docs carry no near-dup
+    // signal and blow the postings join up to ~n² rows; drop them (tok0 is
+    // already distinct per doc, so the helper's count == document
+    // frequency).
+    val tok = dfCapped(tok0, "tok", 0.8)
     val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = tok.as("a")
       .join(tok.as("b"),
@@ -96,18 +135,33 @@ object LlmOps {
   /** D2 (n-gram form): word-bigram shingle Jaccard ≥ 0.5 — near-identical
     * docs keep most shingles in common while random co-occurrence stays
     * near zero, so shingling separates true near-dups far better than the
-    * unigram token sets above. Same inverted-index join; the shingle is
-    * `concat_ws` over a 2-slice so Spark and DuckDB build byte-identical
-    * keys (both slice 1-based and truncate at the array end).
+    * unigram token sets above. Same inverted-index join, same df-cap
+    * protection as [[jaccardPairs]] (here 10% of docs — shingles are far
+    * sparser than unigrams, so a boilerplate bigram shared by a tenth of
+    * the corpus is already pure noise; at the fixtures no shingle reaches
+    * the cap, so results are the uncapped ones while the guard stays
+    * load-bearing for saturated corpora — PropertySpec exercises that
+    * corner). The shingle is `concat_ws` over a 2-slice so Spark and
+    * DuckDB build byte-identical keys (both slice 1-based and truncate at
+    * the array end); docs with fewer than two tokens emit NO shingles on
+    * either side (a when-guard here, `range(1, len)` being empty at
+    * len ≤ 1 there — an unguarded Spark `sequence(1, len-1)` would count
+    * DOWN at len = 0 and a `greatest(1, …)` floor would emit a degenerate
+    * unigram shingle DuckDB never builds).
     */
   val shingleJaccard = Q(
     "llm_shingle_jaccard",
-    """WITH sh AS (
+    """WITH sh0 AS (
       |  SELECT doc_id, sh FROM (
       |    SELECT doc_id, unnest(list_distinct(list_transform(
-      |        range(1, greatest(1, len(string_split(lower(text), ' ')))),
+      |        range(1, len(string_split(lower(text), ' '))),
       |        i -> array_to_string(string_split(lower(text), ' ')[i:i+1], ' ')))) AS sh
       |    FROM documents) t),
+      |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM sh0),
+      |dfc AS (SELECT sh, COUNT(*) AS df FROM sh0 GROUP BY 1),
+      |sh AS (
+      |  SELECT t.doc_id, t.sh FROM sh0 t JOIN dfc USING (sh) CROSS JOIN nd
+      |  WHERE dfc.df <= 0.1 * nd.n_docs),
       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
       |inter AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
@@ -121,11 +175,13 @@ object LlmOps {
       |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
     val toks = split(lower(col("text")), " ")
-    val sh = Tables.documents(s, dir)
+    val sh0 = Tables.documents(s, dir)
       .select(col("doc_id"),
         explode(array_distinct(transform(
-          sequence(lit(1), greatest(lit(1), size(toks) - 1)),
+          when(size(toks) >= lit(2), sequence(lit(1), size(toks) - 1))
+            .otherwise(array().cast("array<int>")),
           i => concat_ws(" ", slice(toks, i, lit(2)))))).as("sh"))
+    val sh = dfCapped(sh0, "sh", 0.1)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"),
@@ -216,13 +272,23 @@ object LlmOps {
   }
 
   /** D2/D3 (embedding near-dup): all pairs with cosine ≥ 0.4 — the
-    * embedding-space analogue of Jaccard near-dup. The corpus side stays
-    * columnar under a broadcast nested-loop join and the similarity runs in
-    * the codegen'd cosine kernel, so the pair scan is a tight fused loop.
-    * At 100 TB the same predicate runs over LSH-bucket candidates (see
-    * [[annLsh]]) instead of all pairs; the threshold filter is unchanged.
-    * The oracle spells cosine as dot/(|a||b|) exactly like the kernel so
-    * both engines evaluate the same double arithmetic before the ROUND.
+    * embedding-space analogue of Jaccard near-dup, computed exactly via a
+    * block-grid self-join. Vectors land in B id-hash blocks; every
+    * unordered block pair (i ≤ j) is a grid cell, each vector replicates
+    * into the B cells it participates in, and the pair scan is an
+    * equi-join on the (i, j) cell key — so the plan is a shuffled hash/
+    * sort-merge join, never a corpus×corpus broadcast nested-loop. The
+    * quadratic pair count is inherent to the EXACT ≥ 0.4 semantics (at
+    * θ ≈ 66° an SRP bit agrees with probability ≈ 0.63, so OR-probe LSH
+    * tables sized for full recall generate MORE candidate volume than the
+    * grid's n²/2 — LSH only wins at real near-dup thresholds, where
+    * [[annLsh]]/[[minhashPairs]] are the handoff). What the grid fixes at
+    * 100 TB is distribution: B² independent cells of (n/B)² work, ≤ 2n/B
+    * vectors held per task, no driver or broadcast materialization of the
+    * corpus; B grows with the cluster so per-task work shrinks as 1/B².
+    * The similarity runs in the codegen'd cosine kernel; the oracle spells
+    * cosine as dot/(|a||b|) exactly like the kernel so both engines
+    * evaluate the same double arithmetic before the ROUND.
     */
   val nearDupCosine = Q(
     "llm_neardup_cosine",
@@ -235,14 +301,34 @@ object LlmOps {
       |    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
       |     * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    val numBlocks = 8
     val e = Tables.embeddings(s, dir)
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    // a-side: a vector in block p serves cells (p, j) for j ≥ p;
+    // b-side: a vector in block q serves cells (i, q) for i ≤ q. A pair
+    // with blocks (p, q), p ≤ q, therefore meets in exactly one cell, with
+    // the a-side in the lower block — each unordered pair is generated
+    // once, no dropDuplicates needed. Cross-block ids aren't ordered by
+    // block, so the output re-orients with least/greatest.
+    val aSide = e
+      .select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+        pmod(col("vec_id"), lit(numBlocks)).as("blk_a"))
+      .withColumn("cj", explode(sequence(col("blk_a"), lit(numBlocks - 1))))
+      .withColumnRenamed("blk_a", "ci")
+    val bSide = e
+      .select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+        pmod(col("vec_id"), lit(numBlocks)).as("blk_b"))
+      .withColumn("ci", explode(sequence(lit(0), col("blk_b"))))
+      .withColumnRenamed("blk_b", "cj")
     val cos = vectors.cosineSim(col("emb_a"), col("emb_b"))
-    broadcast(a)
-      .join(b, col("id_a") < col("id_b"))
+    aSide
+      .join(bSide, Seq("ci", "cj"))
+      .filter(col("id_a") =!= col("id_b") &&
+        (col("ci") =!= col("cj") || col("id_a") < col("id_b")))
       .filter(cos >= 0.4)
-      .select(col("id_a"), col("id_b"), round(cos, 4).as("cos_sim"))
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        round(cos, 4).as("cos_sim"))
       .orderBy("id_a", "id_b")
   }
 

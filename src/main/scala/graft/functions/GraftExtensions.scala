@@ -48,7 +48,10 @@ object GraftFunctions {
           args(2).eval().asInstanceOf[Number].longValue()) }))
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo("graft.functions", name, usage)
+    // 5-arg form: (className, db, name, usage, extended). The 3-arg form is
+    // (className, db, name) — passing usage there silently records
+    // db=<name>, name=<usage>, corrupting DESCRIBE FUNCTION output.
+    new ExpressionInfo("graft.functions.VectorExprs", null, name, usage, "")
 
   /** Install the functions on an already-built session (idempotent). */
   def register(spark: SparkSession): SparkSession = {

@@ -166,10 +166,15 @@ object Streaming {
       .select(col("event_id").as("purchase_id"), col("user_id").as("purchase_user"),
         col("ts").as("purchase_ts"), col("value"))
       .withWatermark("purchase_ts", "2 hours")
+    // Both time bounds are expressed directly on the raw timestamp columns:
+    // StreamingJoinHelper only derives state-eviction watermarks from
+    // linear arithmetic over the event-time columns themselves, so a
+    // unix_micros() spelling of the same inequality would join correctly
+    // but never trim join state (unbounded growth on a real stream).
     c.join(p,
         col("click_user") === col("purchase_user") &&
         col("purchase_ts") >= col("click_ts") &&
-        unix_micros(col("purchase_ts")) <= unix_micros(col("click_ts")) + 3600000000L)
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
       .select(col("click_id"), col("purchase_id"), col("click_user").as("user_id"),
         (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("lag_us"),
         round(col("value"), 4).as("purchase_value"))

@@ -160,4 +160,35 @@ class LlmOpsSpec extends SparkSpecBase {
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
     assert(got === Set((1L, 2L, 0.8)))
   }
+
+  test("df-cap zeroes the postings join on a stopword-saturated corpus") {
+    // 60 docs, every one containing 'the', otherwise pairwise-disjoint
+    // tokens: the uncapped inverted index joins 60·59/2 = 1770 candidate
+    // pairs through the one hot key; with the 0.8 cap the stopword's
+    // postings are dropped and the join emits nothing.
+    val rows = (1L to 60L).map(i => (i, s"the u${i}a u${i}b"))
+    val postings = rows.toDF("doc_id", "text")
+      .select($"doc_id",
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.split($"text", " ")).as("tok"))
+    def selfJoinPairs(p: org.apache.spark.sql.DataFrame): Long =
+      p.as("a").join(p.as("b"),
+        $"a.tok" === $"b.tok" && $"a.doc_id" < $"b.doc_id").count()
+    assert(selfJoinPairs(postings) === 1770L)
+    assert(selfJoinPairs(LlmOps.dfCapped(postings, "tok", 0.8)) === 0L)
+  }
+
+  test("jaccard score is computed over the capped (discriminating) token space") {
+    // All 20 docs share 'the' (df = 100% > cap) ⇒ it leaves both the
+    // intersection and the set sizes. Docs 1/2 share 9 rare tokens and
+    // differ in one: capped jaccard = 9/11 ≈ 0.8182 (the uncapped value
+    // would be 10/12 ≈ 0.8333 — asserting the exact decimal proves the
+    // cap participates in scoring, not just candidate pruning).
+    val shared = (1 to 9).map(i => s"s$i").mkString(" ")
+    val rows = Seq((1L, s"the $shared x1"), (2L, s"the $shared x2")) ++
+      (3L to 20L).map(i => (i, s"the u${i}a u${i}b"))
+    val got = LlmOps.jaccardPairs.build(spark, docsDir(rows))
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(got === Set((1L, 2L, 0.8182)))
+  }
 }

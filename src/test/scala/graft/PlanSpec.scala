@@ -67,6 +67,19 @@ class PlanSpec extends SparkSpecBase {
     assert(!beforeWindow.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("neardup cosine runs as a block-grid equi-join, never corpus×corpus") {
+    val plan = planOf(LlmOps.nearDupCosine)
+    // The quadratic pair scan must be distributed through the (ci, cj)
+    // grid-cell equi-join: a BroadcastNestedLoopJoin or CartesianProduct
+    // here means the whole corpus crosses itself on one node — impossible
+    // at 100 TB (the pre-fix shape this test exists to keep out).
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+           plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("cosine_sim"), plan)
+  }
+
   test("events time-range predicates push down on the raw int64 column") {
     import org.apache.spark.sql.functions._
     val df = graft.engine.Tables.events(spark, sfDir)
