@@ -29,11 +29,13 @@ object Soak {
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
 
+    // source values are kept verbatim so the src0-scoped postings join
+    // (llm_jaccard_pairs) really sees 10× its corpus — the df-cap is what
+    // keeps that join linear, and this soak is where that claim is measured
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val dN = docs.count()
     (0 until 10).map { i =>
       docs.withColumn("doc_id", col("doc_id") + lit(i * dN))
-        .withColumn("source", concat(col("source"), lit(s"_$i")))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
@@ -47,7 +49,8 @@ object Soak {
     val heavy = Seq(
       "win_sessionize", "agg_salted_skew", "llm_dedup_hash", "llm_minhash_pairs",
       "llm_tfidf", "llm_ann_lsh", "llm_ann_ivf", "llm_knn_cosine",
-      "llm_neardup_cosine", "text_simhash", "stream_session_window")
+      "llm_neardup_cosine", "llm_jaccard_pairs", "llm_shingle_jaccard",
+      "text_simhash", "stream_session_window")
     heavy.foreach { name =>
       val fn = SparkEntry.queries(name)
       try { fn(spark, dir).count() } catch { case _: Throwable => () } // warm

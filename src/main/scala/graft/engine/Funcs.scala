@@ -334,8 +334,38 @@ object Funcs {
       .orderBy("event_id")
   }
 
+  /** F-family (decimal): fixed-point money round-trip. The corpus stores
+    * money as DOUBLE (FIXTURES choice); a warehouse user's first move is
+    * CAST AS DECIMAL(12,2), so this pins that the double→decimal cast
+    * rounds identically on both engines and that the decimal SUM is the
+    * exact fixed-point one (no float association noise — hence no ROUND
+    * on the aggregate). The dump itself serializes the decimal as its
+    * canonical string ("…​.40", scale visible) plus a double: the compare
+    * harness can hash neither engine's native decimal (DuckDB's pandas
+    * bridge degrades DECIMAL to float64; Spark dumps Decimal objects), so
+    * the string column is what proves scale-2 fidelity end to end.
+    */
+  val decimalMoney = Q(
+    "func_decimal",
+    """SELECT l_returnflag,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS total_str,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_dbl,
+      |  CAST(CAST(MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS VARCHAR) AS min_str,
+      |  CAST(CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS VARCHAR) AS max_str
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val dec = col("l_extendedprice").cast("decimal(12,2)")
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        sum(dec).cast("decimal(18,2)").cast("string").as("total_str"),
+        sum(dec).cast("double").as("total_dbl"),
+        min(dec).cast("decimal(12,2)").cast("string").as("min_str"),
+        max(dec).cast("decimal(12,2)").cast("string").as("max_str"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(
     mathFuncs, arrayFuncs, stringFuncs, dateFuncs, mapFuncs, aggGroupingSets,
     aggPivot, aggCube, aggStats, aggStringAgg, filterScalarSubquery,
-    unpivotMetrics, aggBool, bitwiseFuncs)
+    unpivotMetrics, aggBool, bitwiseFuncs, decimalMoney)
 }

@@ -24,20 +24,28 @@ import graft.functions.vectors
 object LlmOps {
 
   /** Document-frequency cap for inverted-index joins: removes posting keys
-    * (tokens, shingles) present in more than `frac` of the posting-bearing
-    * docs. One corpus-wide stopword otherwise turns the postings self-join
-    * into ~n² candidate rows on a single hot key — the classic near-dup
-    * blow-up; after the cap, each surviving key contributes at most
-    * (frac·n)² pairs and carries actual similarity signal. `postings` must
-    * be distinct (doc_id, key) rows; the doc count joins in as a broadcast
-    * single-row aggregate and the keep-list applies as a semi-join (small —
-    * one row per vocabulary term).
+    * (tokens, shingles) with df > least(frac·n_docs, absCap). The two
+    * components bound two different blow-ups. The FRACTIONAL cap drops
+    * corpus-wide stopwords — one token shared by every doc otherwise turns
+    * the postings self-join into ~n² candidate rows on a single hot key.
+    * The ABSOLUTE cap bounds per-key join work to absCap² pairs no matter
+    * how the corpus grows: on a corpus whose vocabulary does NOT grow with
+    * size (closed vocab — Heaps' law violated, every key's df fraction
+    * constant), a purely relative cap admits keys whose absolute postings
+    * lists scale linearly with n, and Σdf² goes quadratic anyway — the
+    * same reason [[minhashPairs]] caps its band buckets at an absolute 50.
+    * Keys over the cap carry no near-dup signal either way (membership
+    * shared by thousands of docs identifies nobody). `postings` must be
+    * distinct (doc_id, key) rows; the doc count joins in as a broadcast
+    * single-row aggregate and the keep-list applies as a semi-join (one
+    * row per vocabulary term).
     */
-  private[graft] def dfCapped(postings: DataFrame, key: String, frac: Double): DataFrame = {
+  private[graft] def dfCapped(postings: DataFrame, key: String, frac: Double,
+                              absCap: Long = 2000L): DataFrame = {
     val nDocs = postings.agg(countDistinct("doc_id").as("n_docs"))
     val keep = postings.groupBy(key).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
-      .filter(col("df") <= lit(frac) * col("n_docs"))
+      .filter(col("df") <= least(lit(frac) * col("n_docs"), lit(absCap)))
       .select(key)
     postings.join(keep, Seq(key), "left_semi")
   }
@@ -73,10 +81,10 @@ object LlmOps {
     * one source, via the inverted-index join — explode distinct tokens,
     * join postings on token, count co-occurrences. This is the formulation
     * that scales: candidate pairs are generated only for docs sharing a
-    * token, and the df-cap below (drop tokens in > 80% of in-scope docs)
-    * bounds the postings join at web scale — one stopword shared by every
-    * doc would otherwise make the self-join n²-row regardless of the
-    * inverted-index structure. Capped tokens leave BOTH the intersection
+    * token, and the df-cap below (drop tokens in > 80% of in-scope docs,
+    * or > 2000 docs absolute — see [[dfCapped]]) bounds the postings join
+    * at web scale — one stopword shared by every doc would otherwise make
+    * the self-join n²-row regardless of the inverted-index structure. Capped tokens leave BOTH the intersection
     * and the set sizes, so the score is Jaccard over the discriminating
     * (non-ubiquitous) token space — the similarity a stopword-filtered
     * dedup pipeline actually wants; the oracle applies the identical cap.
@@ -94,7 +102,7 @@ object LlmOps {
       |dfc AS (SELECT tok, COUNT(*) AS df FROM tok0 GROUP BY 1),
       |tok AS (
       |  SELECT t.doc_id, t.tok FROM tok0 t JOIN dfc USING (tok) CROSS JOIN nd
-      |  WHERE dfc.df <= 0.8 * nd.n_docs),
+      |  WHERE dfc.df <= least(0.8 * nd.n_docs, 2000)),
       |sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
       |inter AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
@@ -136,12 +144,12 @@ object LlmOps {
     * docs keep most shingles in common while random co-occurrence stays
     * near zero, so shingling separates true near-dups far better than the
     * unigram token sets above. Same inverted-index join, same df-cap
-    * protection as [[jaccardPairs]] (here 10% of docs — shingles are far
-    * sparser than unigrams, so a boilerplate bigram shared by a tenth of
-    * the corpus is already pure noise; at the fixtures no shingle reaches
-    * the cap, so results are the uncapped ones while the guard stays
-    * load-bearing for saturated corpora — PropertySpec exercises that
-    * corner). The shingle is `concat_ws` over a 2-slice so Spark and
+    * protection as [[jaccardPairs]] (here 10% of docs, 2000 absolute —
+    * shingles are far sparser than unigrams, so a boilerplate bigram
+    * shared by a tenth of the corpus is already pure noise; at the
+    * fixtures no shingle reaches either bound, so results are the
+    * uncapped ones while the guard stays load-bearing for saturated or
+    * closed-vocabulary corpora). The shingle is `concat_ws` over a 2-slice so Spark and
     * DuckDB build byte-identical keys (both slice 1-based and truncate at
     * the array end); docs with fewer than two tokens emit NO shingles on
     * either side (a when-guard here, `range(1, len)` being empty at
@@ -161,7 +169,7 @@ object LlmOps {
       |dfc AS (SELECT sh, COUNT(*) AS df FROM sh0 GROUP BY 1),
       |sh AS (
       |  SELECT t.doc_id, t.sh FROM sh0 t JOIN dfc USING (sh) CROSS JOIN nd
-      |  WHERE dfc.df <= 0.1 * nd.n_docs),
+      |  WHERE dfc.df <= least(0.1 * nd.n_docs, 2000)),
       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
       |inter AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c

@@ -611,11 +611,43 @@ object LogOps {
       .orderBy("event_id")
   }
 
+  /** S-family (CSV): a real codec round-trip — orders is written out as
+    * headered CSV and read back through
+    * [[graft.sources.LogSource.readCsv]] with an explicit schema, then
+    * profiled per status. The oracle computes the same profile straight
+    * from the parquet view, so anything the CSV writer/parser mangles —
+    * quoting, the timestamp format, double text round-trip — breaks the
+    * hash. The write is a tiny local staging step; the graded path is the
+    * reader, which splits on line boundaries across executors like any
+    * text source at 100 TB.
+    */
+  val csvRoundtrip = Q(
+    "csv_roundtrip",
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  ROUND(SUM(o_totalprice), 2) AS total,
+      |  CAST(MIN(o_orderdate) AS TIMESTAMP) AS first_ts,
+      |  CAST(MAX(o_orderdate) AS TIMESTAMP) AS last_ts
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    val out = s"/tmp/graft_csv/${new java.io.File(dir).getName}/orders"
+    Tables.orders(s, dir).write.mode("overwrite").option("header", "true").csv(out)
+    graft.sources.LogSource.readCsv(s, out,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING"))
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("total"),
+        min("o_orderdate").as("first_ts"),
+        max("o_orderdate").as("last_ts"))
+      .orderBy("o_orderstatus")
+  }
+
   val all: Seq[Q] = Seq(
     errorRateDaily, grepRegex, regexExtract, regexReplace, stringFuncs,
     parseFields, timeBuckets, jsonExtract, tokenize, saltedAgg,
     winTopk, winRankNtile, winPctRank, winLagGap, winRunningSum, winMovingAvg,
     winFirstLast, winSessionize,
     joinRangeEvents, joinAsofEvents, parseLines, funnel, retention, topPaths,
-    anomalyZscore, winTimeRange)
+    anomalyZscore, winTimeRange, csvRoundtrip)
 }

@@ -48,10 +48,11 @@ object GraftFunctions {
           args(2).eval().asInstanceOf[Number].longValue()) }))
 
   private def info(name: String, usage: String): ExpressionInfo =
-    // 5-arg form: (className, db, name, usage, extended). The 3-arg form is
+    // Full (non-deprecated) constructor. Beware the 3-arg form: it is
     // (className, db, name) — passing usage there silently records
     // db=<name>, name=<usage>, corrupting DESCRIBE FUNCTION output.
-    new ExpressionInfo("graft.functions.VectorExprs", null, name, usage, "")
+    new ExpressionInfo("graft.functions.VectorExprs", null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   /** Install the functions on an already-built session (idempotent). */
   def register(spark: SparkSession): SparkSession = {

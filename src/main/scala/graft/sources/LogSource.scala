@@ -44,6 +44,15 @@ object LogSource {
   def readJsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** S-family (CSV): delimited ingest with explicit schema — like
+    * [[readJsonLines]], never inferSchema at scale (inference is a full
+    * extra pass over the corpus). CSV files split on line boundaries
+    * across executors exactly like raw text, so a 100 TB landing
+    * directory parallelizes without any pre-splitting.
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
   /** Streaming twin of S3: tail -f over a growing log directory. */
   def streamTextLog(spark: SparkSession, path: String,
                     pattern: String = defaultPattern): DataFrame =

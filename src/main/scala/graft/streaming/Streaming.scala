@@ -102,6 +102,52 @@ object Streaming {
       }
   }
 
+  /** T6 + T4 (state eviction): the burst detector with an event-time idle
+    * timeout. A user whose last error sits more than `idleEvictMs` behind
+    * the advancing watermark has their state removed, so the state store
+    * is bounded by the ACTIVE-user set instead of the all-time user set —
+    * on an unbounded log that is the difference between per-executor state
+    * that fits in memory and state that grows forever ([[errorBursts]]
+    * deliberately omits the timeout so its output is exactly the batch
+    * formula; this variant is the production shape). After eviction a
+    * returning user restarts the count from zero.
+    */
+  def errorBurstsEvicting(events: Dataset[Ev],
+                          idleEvictMs: Long = 3600000L): Dataset[Alert] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .filter(_.event_type == "error")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[BurstState, Alert](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Ev], state: GroupState[BurstState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(BurstState(0L, 0L))
+            var maxTsMs = Long.MinValue
+            val alerts = scala.collection.mutable.ArrayBuffer.empty[Alert]
+            rows.foreach { ev =>
+              maxTsMs = math.max(maxTsMs, ev.ts.getTime)
+              st = st.copy(errors = st.errors + 1)
+              if (st.errors % 3 == 0) {
+                st = st.copy(alerts = st.alerts + 1)
+                alerts += Alert(userId, st.errors, st.alerts)
+              }
+            }
+            state.update(st)
+            // The timeout must sit strictly above the current watermark or
+            // Spark rejects it (a batch can deliver only late rows).
+            if (maxTsMs != Long.MinValue)
+              state.setTimeoutTimestamp(
+                math.max(maxTsMs + idleEvictMs, state.getCurrentWatermarkMs() + 1))
+            alerts.iterator
+          }
+      }
+  }
+
   /** T6 on the Spark 4 state API: the same burst detector as a
     * [[StatefulProcessor]] for `transformWithState` — typed per-state-var
     * handles (vs one opaque blob), TTL support, and timers without the
