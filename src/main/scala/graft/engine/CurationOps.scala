@@ -175,6 +175,33 @@ object CurationOps {
       .limit(20)
   }
 
+  /** Curation (domain mixing): per-source resampling weights to reach a
+    * uniform target mixture — weight = target_frac / actual_frac, the
+    * number every data-mixture stage multiplies its per-domain sampling
+    * rate by (weight > 1 ⇒ upsample/repeat epochs, < 1 ⇒ downsample).
+    * One count-shuffle on `source` plus two single-row aggregates that
+    * broadcast; nothing touches the text column, so the plan is identical
+    * at 100 TB.
+    */
+  val domainMix = Q(
+    "llm_domain_mix",
+    """WITH per AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+      |tot AS (SELECT SUM(n_docs) AS total, COUNT(*) AS n_sources FROM per)
+      |SELECT source, n_docs,
+      |  ROUND(CAST(n_docs AS DOUBLE) / tot.total, 4) AS actual_frac,
+      |  ROUND((1.0 / tot.n_sources) / (CAST(n_docs AS DOUBLE) / tot.total), 4) AS weight
+      |FROM per CROSS JOIN tot ORDER BY source""".stripMargin) { (s, dir) =>
+    val per = Tables.documents(s, dir)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val tot = per.agg(sum("n_docs").as("total"), count(lit(1)).as("n_sources"))
+    val actual = col("n_docs").cast("double") / col("total")
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        round(actual, 4).as("actual_frac"),
+        round((lit(1.0) / col("n_sources")) / actual, 4).as("weight"))
+      .orderBy("source")
+  }
+
   /** Length profiling: fixed-width histogram over n_chars (100-char bins)
     * with per-bin bounds — the curation dashboard's length distribution.
     */
@@ -196,5 +223,5 @@ object CurationOps {
 
   val all: Seq[Q] = Seq(
     trainTestSplit, stratifiedSample, dedupCanonical, packSequences,
-    bigramVocab, histogramChars)
+    bigramVocab, histogramChars, domainMix)
 }

@@ -496,6 +496,44 @@ object LlmOps {
       .orderBy("doc_id", "rn")
   }
 
+  /** D-family (decontamination): training docs sharing any word-8-gram
+    * with the benchmark/eval set — the standard n-gram-overlap test-set
+    * leak check run before every serious pretraining job (src0 stands in
+    * for the benchmark; everything else is train). The eval side of the
+    * join is tiny by nature (benchmarks are KBs against a 100 TB train
+    * corpus), so its distinct 8-grams broadcast and the train side is one
+    * scan + hash probe — no shuffle of training text at any scale; output
+    * is the flagged-doc hit list with its shared-8-gram count (the
+    * evidence a human reviews before dropping the doc).
+    */
+  val decontaminate = Q(
+    "llm_decontaminate",
+    """WITH g AS (
+      |  SELECT doc_id, source, ng FROM (
+      |    SELECT doc_id, source, unnest(list_distinct(list_transform(
+      |        range(1, len(string_split(lower(text), ' ')) - 6),
+      |        i -> array_to_string(string_split(lower(text), ' ')[i:i+7], ' ')))) AS ng
+      |    FROM documents) t),
+      |ev AS (SELECT DISTINCT ng FROM g WHERE source = 'src0')
+      |SELECT g.doc_id, g.source, COUNT(DISTINCT g.ng) AS n_shared
+      |FROM g JOIN ev USING (ng)
+      |WHERE g.source <> 'src0'
+      |GROUP BY 1, 2 ORDER BY g.doc_id""".stripMargin) { (s, dir) =>
+    val toks = split(lower(col("text")), " ")
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(transform(
+          when(size(toks) >= lit(8), sequence(lit(1), size(toks) - 7))
+            .otherwise(array().cast("array<int>")),
+          i => concat_ws(" ", slice(toks, i, lit(8)))))).as("ng"))
+    val evalGrams = grams.filter(col("source") === "src0").select("ng").distinct()
+    grams.filter(col("source") =!= "src0")
+      .join(broadcast(evalGrams), Seq("ng"))
+      .groupBy("doc_id", "source")
+      .agg(countDistinct("ng").as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   /** A4 (no oracle — HLL sketches are engine-specific): approximate
     * distinct users per event type; |approx − exact| ≤ 5% is asserted in
     * LlmOpsSpec. At 100 TB this is the only affordable distinct-count.
@@ -575,5 +613,5 @@ object LlmOps {
   val all: Seq[Q] = Seq(
     dedupExact, dedupHash, jaccardPairs, shingleJaccard, knnCosine, annLsh,
     annIvf, nearDupCosine, embedNorm, minhashPairs, tfidf, approxDistinct,
-    approxPercentile, nearDupClusters)
+    approxPercentile, nearDupClusters, decontaminate)
 }

@@ -279,7 +279,43 @@ object TextOps {
       .orderBy("rank")
   }
 
+  /** Quality (repetition): fraction of intra-doc word-trigrams that are
+    * repeats — 1 − distinct/total — the Gopher-style "repeated n-gram"
+    * signal that catches boilerplate and degenerate loops which
+    * length/stopword ratios miss. Pure per-row array math: no shuffle, no
+    * join, embarrassingly parallel at any corpus size; the one output row
+    * per doc carries the counts a downstream threshold filter needs.
+    */
+  val repetition = Q(
+    "text_repetition",
+    """SELECT doc_id, n_tri,
+      |  ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_tri, 4) AS rep_frac
+      |FROM (
+      |  SELECT doc_id,
+      |    len(tris) AS n_tri,
+      |    len(list_distinct(tris)) AS n_distinct
+      |  FROM (
+      |    SELECT doc_id, list_transform(
+      |        range(1, len(string_split(lower(text), ' ')) - 1),
+      |        i -> array_to_string(string_split(lower(text), ' ')[i:i+2], ' ')) AS tris
+      |    FROM documents) t) t2
+      |WHERE n_tri > 0 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val toks = split(lower(col("text")), " ")
+    val tris = transform(
+      when(size(toks) >= lit(3), sequence(lit(1), size(toks) - 2))
+        .otherwise(array().cast("array<int>")),
+      i => concat_ws(" ", slice(toks, i, lit(3))))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(tris).cast("long").as("n_tri"),
+        size(array_distinct(tris)).cast("long").as("n_distinct"))
+      .filter(col("n_tri") > 0)
+      .select(col("doc_id"), col("n_tri"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tri"), 4).as("rep_frac"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     langProfile, langId, qualityScore, tokenCount, fingerprint, simhash,
-    simhashPairs, zipfRanks)
+    simhashPairs, zipfRanks, repetition)
 }

@@ -193,6 +193,73 @@ object Streaming {
         OutputMode.Append())
   }
 
+  /** [[errorBurstsEvicting]] on the Spark 4 state API: the idle-eviction
+    * semantics expressed with first-class event-time TIMERS instead of the
+    * single GroupState timeout slot. Each batch re-arms one eviction timer
+    * at (last event time + idleEvictMs) — deleting the previously armed
+    * one first, since timers are not replaced implicitly and a stale timer
+    * would fire later and clear a still-active user's state. On expiry the
+    * state is dropped, so the store holds only users seen within the idle
+    * horizon of the watermark — the same 100 TB state bound as the
+    * GroupState variant, kept semantically identical so one spec can pin
+    * both implementations against each other.
+    */
+  class EvictingBurstProcessor(idleEvictMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, Alert] {
+    @transient private var burst: org.apache.spark.sql.streaming.ValueState[BurstState] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      burst = getHandle.getValueState[BurstState](
+        "burst",
+        org.apache.spark.sql.Encoders.product[BurstState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(
+        userId: Long, rows: Iterator[Ev],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[Alert] = {
+      var st = Option(burst.get()).getOrElse(BurstState(0L, 0L))
+      var maxTsMs = Long.MinValue
+      val alerts = scala.collection.mutable.ArrayBuffer.empty[Alert]
+      rows.foreach { ev =>
+        maxTsMs = math.max(maxTsMs, ev.ts.getTime)
+        st = st.copy(errors = st.errors + 1)
+        if (st.errors % 3 == 0) {
+          st = st.copy(alerts = st.alerts + 1)
+          alerts += Alert(userId, st.errors, st.alerts)
+        }
+      }
+      burst.update(st)
+      if (maxTsMs != Long.MinValue) {
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(
+          math.max(maxTsMs + idleEvictMs, timers.getCurrentWatermarkInMs() + 1))
+      }
+      alerts.iterator
+    }
+
+    override def handleExpiredTimer(
+        userId: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Alert] = {
+      burst.clear()
+      Iterator.empty
+    }
+  }
+
+  def errorBurstsTwsEvicting(events: Dataset[Ev],
+                             idleEvictMs: Long = 3600000L): Dataset[Alert] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .filter(_.event_type == "error")
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new EvictingBurstProcessor(idleEvictMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   // ---- T7: stream-stream join ----
 
   /** T7: watermarked stream-stream inner join — each click joined to the

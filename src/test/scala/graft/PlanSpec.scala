@@ -114,4 +114,39 @@ class PlanSpec extends SparkSpecBase {
     val shuffles = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size
     assert(shuffles == 1, s"expected 1 user_id shuffle, got $shuffles\n$plan")
   }
+
+  /** Queries whose plan legitimately contains a CartesianProduct or
+    * BroadcastNestedLoopJoin, each with the reason the unbounded-join rule
+    * does not apply. Everything else in the registry must plan without
+    * either node — the single most common way a query that passes at
+    * sf0.01 dies at 100 TB is an accidental cartesian (a typo'd join key,
+    * a non-equi condition Spark can't hash) that nobody looked at.
+    */
+  private val unboundedJoinAllowlist: Map[String, String] = Map(
+    "join_cross"            -> "the operator IS a cartesian (5-row region × 25-row nation dims)",
+    "llm_knn_cosine"        -> "100-row query side broadcast over the corpus — corpus never shuffles",
+    "llm_ann_lsh"           -> "bucketed candidates; residual BNLJ side is the 100-row query set",
+    "llm_ann_ivf"           -> "centroid table ≤ 2^bits rows, broadcast by construction",
+    "llm_jaccard_pairs"     -> "single-row n_docs aggregate cross-joined into the df-cap",
+    "llm_shingle_jaccard"   -> "single-row n_docs aggregate cross-joined into the df-cap",
+    "llm_tfidf"             -> "single-row corpus-count aggregate cross-joined into idf",
+    "filter_scalar_subquery"-> "single-row scalar aggregate broadcast as the filter bound",
+    "llm_domain_mix"        -> "single-row totals aggregate cross-joined into the weights",
+    "sql_not_in_nulls"      -> ("null-aware anti join is Spark's only NOT IN implementation — " +
+                                "the query exists to pin NOT IN's NULL semantics; the scale " +
+                                "rewrite is NOT EXISTS (covered by join_anti), and the outer " +
+                                "cross join is two single-row aggregates"))
+
+  test("no query in the registry plans an unbounded cartesian or nested-loop join") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan =
+        try fn(spark, sfDir).queryExecution.executedPlan.toString
+        catch { case e: Throwable => s"PLANNING FAILED: ${e.getMessage}" }
+      val hasUnbounded =
+        plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin")
+      if (hasUnbounded && !unboundedJoinAllowlist.contains(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"queries with un-allowlisted cartesian/BNLJ plans: $offenders")
+  }
 }

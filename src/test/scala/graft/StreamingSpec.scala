@@ -141,6 +141,42 @@ class StreamingSpec extends SparkSpecBase {
     assert(got === Seq(Streaming.Alert(6L, 3L, 1L)))
   }
 
+  test("timer-based transformWithState eviction matches the GroupState timeout variant") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // identical scenario to the GroupState eviction test above: user 7's
+      // two pre-idle errors must not combine with the two post-idle ones
+      val input = MemoryStream[Streaming.Ev](spark)
+      val q = Streaming.errorBurstsTwsEvicting(input.toDS())
+        .writeStream.format("memory").queryName("tws_evict_sink").outputMode("append").start()
+      try {
+        input.addData(Seq(
+          Streaming.Ev(1L, ts(0), 7L, "error", 1.0),
+          Streaming.Ev(2L, ts(1), 7L, "error", 1.0)))
+        q.processAllAvailable()
+        input.addData(Seq(Streaming.Ev(3L, ts(600), 6L, "error", 1.0)))
+        q.processAllAvailable()
+        input.addData(Seq(Streaming.Ev(4L, ts(601), 6L, "error", 1.0)))
+        q.processAllAvailable()
+        input.addData(Seq(
+          Streaming.Ev(5L, ts(610), 7L, "error", 1.0),
+          Streaming.Ev(6L, ts(611), 7L, "error", 1.0)))
+        q.processAllAvailable()
+        input.addData(Seq(Streaming.Ev(7L, ts(620), 6L, "error", 1.0)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("tws_evict_sink").as[Streaming.Alert].collect().toSeq
+      assert(got === Seq(Streaming.Alert(6L, 3L, 1L)))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState burst detector matches flatMapGroupsWithState") {
     // the Spark 4 state API needs the RocksDB provider for streaming state
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
