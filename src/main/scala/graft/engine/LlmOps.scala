@@ -404,6 +404,48 @@ object LlmOps {
       .orderBy("label")
   }
 
+  /** D4 (quantization): symmetric per-vector int8 scalar quantization —
+    * scale = max|vᵢ|/127, qᵢ = clamp(round(vᵢ/scale)), the 4× memory
+    * reduction every billion-vector ANN deployment applies before
+    * anything else — with the reconstruction-error profile that tells you
+    * whether it was safe (max error ≤ scale/2 by construction, pinned in
+    * LlmOpsSpec). Pure per-row array math in whole-stage codegen: no
+    * shuffle, no state, linear at any corpus size. Both engines evaluate
+    * the identical double-precision expression tree (float→double widen,
+    * divide, half-away-from-zero round, clamp, multiply) so the oracle
+    * hash-matches bit-for-bit at 6 decimals.
+    */
+  val quantizeInt8 = Q(
+    "llm_quantize_int8",
+    """SELECT vec_id,
+      |  ROUND(s, 6) AS scale,
+      |  ROUND(list_max(errs), 6) AS max_err,
+      |  ROUND(list_sum(errs) / len(errs), 6) AS mean_err
+      |FROM (
+      |  SELECT vec_id, s,
+      |    list_transform(v, x ->
+      |      abs(x - greatest(-127, least(127, round(x / s))) * s)) AS errs
+      |  FROM (
+      |    SELECT vec_id, embedding::DOUBLE[] AS v,
+      |      list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127 AS s
+      |    FROM embeddings) t
+      |  WHERE s > 0) t2
+      |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val scaleCol = aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x))) / 127
+    val errs = transform(col("v"), x =>
+      abs(x - greatest(lit(-127.0), least(lit(127.0), round(x / col("s")))) * col("s")))
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), v.as("v"), scaleCol.as("s"))
+      .filter(col("s") > 0)
+      .withColumn("errs", errs)
+      .select(col("vec_id"),
+        round(col("s"), 6).as("scale"),
+        round(aggregate(col("errs"), lit(0.0), (a, x) => greatest(a, x)), 6).as("max_err"),
+        round(aggregate(col("errs"), lit(0.0), _ + _) / size(col("errs")), 6).as("mean_err"))
+      .orderBy("vec_id")
+  }
+
   /** D2 perf path (no oracle — xxhash64 seeds are engine-specific):
     * MinHash + LSH banding. 16 hash slots → 4 bands of 4; docs colliding
     * on any band become candidate pairs; the signature-agreement fraction
@@ -613,5 +655,5 @@ object LlmOps {
   val all: Seq[Q] = Seq(
     dedupExact, dedupHash, jaccardPairs, shingleJaccard, knnCosine, annLsh,
     annIvf, nearDupCosine, embedNorm, minhashPairs, tfidf, approxDistinct,
-    approxPercentile, nearDupClusters, decontaminate)
+    approxPercentile, nearDupClusters, decontaminate, quantizeInt8)
 }

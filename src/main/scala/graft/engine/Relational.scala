@@ -87,6 +87,38 @@ object Relational {
       .orderBy("r_name", "n_name")
   }
 
+  /** J-family (skew mitigation): the salted join — the manual fix when one
+    * join key carries a disproportionate share of the fact rows and a
+    * single reducer partition becomes the straggler. The fact side gets a
+    * uniform salt (hash of its own row id, mod R) appended to the join
+    * key; the dim side replicates R ways, one copy per salt value, so
+    * every fact row still finds its match while each hot key's rows
+    * spread over R partitions. R× dim replication is cheap (dims are
+    * small by definition); the RESULT is exactly the unsalted join, which
+    * is what the oracle computes — salting is a physical rewrite, not a
+    * semantic one. (AQE's skew-split does this automatically for
+    * sort-merge joins; the manual form composes with any join and is the
+    * tool when the skew is known ahead of time.)
+    */
+  val joinSaltedSkew = Q(
+    "join_salted_skew",
+    """SELECT c_mktsegment,
+      |  COUNT(*) AS n_orders,
+      |  ROUND(SUM(o_totalprice), 2) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+    val r = 8
+    val facts = Tables.orders(s, dir)
+      .withColumn("salt", pmod(xxhash64(col("o_orderkey")), lit(r)).cast("int"))
+    val dim = Tables.customer(s, dir)
+      .withColumn("salt", explode(sequence(lit(0), lit(r - 1))))
+    facts
+      .join(dim, facts("salt") === dim("salt") && col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("c_mktsegment")
+  }
+
   /** J2: fact × fact equi-join (shuffle join; at cluster scale both sides
     * would be bucketed on the order key to make this exchange-free).
     */
@@ -389,7 +421,7 @@ object Relational {
   val all: Seq[Q] = Seq(
     selProject, filterPredicates, filterLikeNulls,
     joinBroadcastDim, joinFactFact, joinOuter, joinSemi, joinAnti, joinCross,
-    joinNullSafe, aggPricingSummary, aggDistinct, aggRollup, aggPercentile,
+    joinNullSafe, joinSaltedSkew, aggPricingSummary, aggDistinct, aggRollup, aggPercentile,
     aggArgmax, aggCollectList, topkGlobal, setUnion, setIntersectExcept,
     setOpsAll)
 }

@@ -18,6 +18,24 @@ class CurationOpsSpec extends SparkSpecBase {
     dir
   }
 
+  test("domain-mix weights rebalance exactly: actual_frac · weight = target_frac") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mix").toString
+    Seq((1L, "a", "srcA"), (2L, "b", "srcB"), (3L, "c", "srcC"), (4L, "d", "srcC"))
+      .map { case (id, text, src) => (id, text, "en", src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CurationOps.domainMix.build(spark, dir)
+      .select("source", "n_docs", "actual_frac", "weight")
+      .as[(String, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    // 3 sources, target 1/3 each: srcA/srcB at 1/4 upsample ×4/3, srcC at
+    // 1/2 downsamples ×2/3
+    assert(got === Seq(
+      ("srcA", 1L, 0.25, 1.3333), ("srcB", 1L, 0.25, 1.3333), ("srcC", 2L, 0.5, 0.6667)))
+    got.foreach { case (_, _, actual, weight) =>
+      assert(math.abs(actual * weight - 1.0 / 3) < 1e-3)
+    }
+  }
+
   test("train/test split is exhaustive, deterministic, and roughly 80/10/10") {
     val got = CurationOps.trainTestSplit.build(spark, sfDir)
       .select("split", "n_docs").as[(String, Long)].collect().toMap

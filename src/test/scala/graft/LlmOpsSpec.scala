@@ -161,6 +161,40 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(got === Set((1L, 2L, 0.8)))
   }
 
+  test("int8 quantization: reconstruction error bounded by scale/2, every vector covered") {
+    val rows = LlmOps.quantizeInt8.build(spark, sfDir)
+      .select("vec_id", "scale", "max_err", "mean_err")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, scale, maxErr, meanErr) =>
+      assert(scale > 0, s"vec $id: zero scale")
+      // round-to-nearest puts every dim within half a quantization step;
+      // both dumped values are independently rounded to 6 dp, so allow a
+      // ulp of display rounding on each side
+      assert(maxErr <= scale / 2 + 1e-6, s"vec $id: max_err $maxErr > scale/2 ${scale / 2}")
+      assert(meanErr <= maxErr + 1e-9)
+    }
+  }
+
+  test("decontaminate flags exactly the train doc carrying a planted eval 8-gram") {
+    // doc 1 is the "benchmark" (source src0 in the builder's scoping);
+    // doc 10 embeds one verbatim 8-gram from it, doc 11 shares only
+    // shorter fragments — only doc 10 may be flagged.
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val leaked   = "noise1 alpha beta gamma delta epsilon zeta eta theta noise2"
+    val clean    = "alpha beta gamma noise3 epsilon zeta eta noise4 iota kappa"
+    val dir = java.nio.file.Files.createTempDirectory("graft-decon").toString
+    Seq(
+      (1L, evalText, "en", "src0", evalText.length.toLong),
+      (10L, leaked, "en", "src1", leaked.length.toLong),
+      (11L, clean, "en", "src1", clean.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = LlmOps.decontaminate.build(spark, dir)
+      .select("doc_id", "n_shared").as[(Long, Long)].collect().toSet
+    assert(got === Set((10L, 1L)))
+  }
+
   test("df-cap zeroes the postings join on a stopword-saturated corpus") {
     // 60 docs, every one containing 'the', otherwise pairwise-disjoint
     // tokens: the uncapped inverted index joins 60·59/2 = 1770 candidate

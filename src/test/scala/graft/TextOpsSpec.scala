@@ -17,6 +17,17 @@ class TextOpsSpec extends SparkSpecBase {
     dir
   }
 
+  test("repetition: repeated-trigram fraction on hand-computable docs") {
+    // "a b a b a b": trigrams (a b a)(b a b)(a b a)(b a b) → 4 total,
+    // 2 distinct → rep 0.5; an all-distinct doc scores 0; a 2-token doc
+    // has no trigrams and is excluded.
+    val dir = docsDir(Seq(
+      (1L, "a b a b a b"), (2L, "one two three four"), (3L, "too short")))
+    val got = graft.engine.TextOps.repetition.build(spark, dir)
+      .select("doc_id", "n_tri", "rep_frac").as[(Long, Long, Double)].collect().toSet
+    assert(got === Set((1L, 4L, 0.5), (2L, 2L, 0.0)))
+  }
+
   test("language-id picks the marker-dominant language; no markers → und") {
     val dir = docsDir(Seq(
       (1L, "the cat and a dog sat on the mat"),
