@@ -161,5 +161,23 @@ object MultiModalOps {
       .orderBy("kind", "bin")
   }
 
-  val all: Seq[Q] = Seq(kindStats, frameSample, featureProfile)
+  /** Exact media dedup on the BINARY payload — same digest-shuffle design
+    * as `llm_dedup_hash` but through the binary column: the dedup key is
+    * the 16-byte md5 computed in the scan projection, so multi-MB payloads
+    * never shuffle and never reach the aggregation. (The oracle hashes the
+    * text the payload was derived from — byte-identical utf-8.)
+    */
+  val dedupPayload = Q(
+    "mm_dedup_payload",
+    """SELECT (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+      |  md5(text) AS payload_hash,
+      |  MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1, 2 ORDER BY keeper_id""".stripMargin) { (s, dir) =>
+    MultiModal.mediaFromDocuments(Tables.documents(s, dir))
+      .groupBy(col("kind"), md5(col("payload")).as("payload_hash"))
+      .agg(min("media_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keeper_id")
+  }
+
+  val all: Seq[Q] = Seq(kindStats, frameSample, featureProfile, dedupPayload)
 }

@@ -41,6 +41,20 @@ class SourcesAndUdafSpec extends SparkSpecBase {
     assert(got === Seq((1L, "click", 2.5), (2L, "error", 0.5)))
   }
 
+  test("S-CSV: commas, embedded quotes, and nulls survive the write→read round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    val src = Seq(
+      (1L, Some("plain")),
+      (2L, Some("with,comma")),
+      (3L, Some("with \"quotes\" inside")),
+      (4L, None))
+    src.toDF("id", "s").write.mode("overwrite").option("header", "true").csv(dir)
+    val got = LogSource.readCsv(spark, dir,
+        StructType(Seq(StructField("id", LongType), StructField("s", StringType))))
+      .as[(Long, Option[String])].collect().sortBy(_._1).toSeq
+    assert(got === src)
+  }
+
   test("A10: minhash UDAF — identical token sets give identical signatures; merge ≡ single-pass") {
     val minhash = MinHashAgg.udaf(16)
     val toks = Seq(
