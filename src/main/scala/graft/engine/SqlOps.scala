@@ -16,6 +16,7 @@ object SqlOps {
       .foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
     Tables.events(s, dir).createOrReplaceTempView("events")
     Tables.documents(s, dir).createOrReplaceTempView("documents")
+    Tables.embeddings(s, dir).createOrReplaceTempView("embeddings")
   }
 
   private def sql(name: String, oracle: String)(text: String): Q =

@@ -9,6 +9,16 @@ import org.apache.spark.sql.SparkSession
   */
 class GraftExtensionsSpec extends SparkSpecBase {
 
+  test("GraftSession.open: views + SQL functions usable in one call") {
+    val s = GraftSession.open(spark, sfDir)
+    val rows = s.sql(
+      """SELECT d.doc_id, ROUND(cosine_sim(e.embedding, e.embedding), 4) AS self_sim
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |WHERE d.doc_id < 5 ORDER BY d.doc_id""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-6))
+  }
+
   test("runtime registration exposes kernels to spark.sql") {
     GraftFunctions.register(spark)
     val row = spark.sql(
