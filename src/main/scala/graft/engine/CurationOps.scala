@@ -27,10 +27,10 @@ object CurationOps {
     * deterministic "coin" for splits and samples. Identical on both engines
     * because md5 of the decimal string is engine-independent.
     */
-  private def hashByte(c: Column): Column =
+  private[engine] def hashByte(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 2), 16, 10).cast("long")
 
-  private val hashByteSql =
+  private[engine] val hashByteSql =
     "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT"
 
   /** Deterministic 80/10/10 train/valid/test split by content-independent
@@ -202,6 +202,50 @@ object CurationOps {
       .orderBy("source")
   }
 
+  /** The nightly curation pipeline, end to end as ONE composed plan:
+    * exact dedup (keep min doc_id per content digest) → quality gate
+    * (≥ 20 non-empty tokens) → deterministic 80/10/10 split → per
+    * (split, lang) profile. This is the query a training-data team runs
+    * over each crawl drop; registering the composition (not just the
+    * stages) proves the operators chain without materialization barriers.
+    * Plan shape at 100 TB: one digest-keyed semi-join (16-byte keys — the
+    * text never shuffles for dedup), then map-only gate + split, then one
+    * partial-aggregated groupBy over a (3 splits × langs) keyspace.
+    */
+  val curationPipeline = Q(
+    "llm_curation_pipeline",
+    s"""WITH keep AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |ded AS (
+       |  SELECT d.doc_id, d.lang, d.text FROM documents d JOIN keep USING (doc_id)),
+       |gated AS (
+       |  SELECT * FROM ded
+       |  WHERE len(list_filter(string_split(lower(text), ' '), t -> t <> '')) >= 20),
+       |sp AS (
+       |  SELECT CASE WHEN h < 205 THEN 'train' WHEN h < 230 THEN 'valid'
+       |              ELSE 'test' END AS split,
+       |    lang, CAST(ceil(length(text) / 4.0) AS BIGINT) AS est
+       |  FROM (SELECT $hashByteSql AS h, lang, text FROM gated) t)
+       |SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(est) AS BIGINT) AS est_tokens
+       |FROM sp GROUP BY split, lang ORDER BY split, lang""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val keepers = docs
+      .groupBy(md5(col("text")).as("digest"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val nTokens = size(filter(split(lower(col("text")), " "), t => t =!= ""))
+    val h = hashByte(col("doc_id"))
+    docs.join(keepers, Seq("doc_id"), "left_semi")
+      .filter(nTokens >= 20)
+      .select(
+        when(h < 205, "train").when(h < 230, "valid").otherwise("test").as("split"),
+        col("lang"),
+        ceil(length(col("text")) / 4.0).as("est"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("est").as("est_tokens"))
+      .orderBy("split", "lang")
+  }
+
   /** Length profiling: fixed-width histogram over n_chars (100-char bins)
     * with per-bin bounds — the curation dashboard's length distribution.
     */
@@ -223,5 +267,5 @@ object CurationOps {
 
   val all: Seq[Q] = Seq(
     trainTestSplit, stratifiedSample, dedupCanonical, packSequences,
-    bigramVocab, histogramChars, domainMix)
+    bigramVocab, histogramChars, domainMix, curationPipeline)
 }

@@ -93,7 +93,11 @@ object TextOps {
   }
 
   /** Quality scoring: token stats + stopword ratio → a single comparable
-    * score. All arithmetic double, identical term order both sides.
+    * score. All arithmetic double, identical term order both sides. Docs
+    * with zero non-empty tokens are excluded rather than divided by zero —
+    * Spark and DuckDB disagree on double x/0 rendering, so an unguarded
+    * ratio is a latent oracle divergence (none in the fixtures, which is
+    * exactly why the guard must be structural, not assumed).
     */
   val qualityScore = Q(
     "text_quality_score",
@@ -107,6 +111,7 @@ object TextOps {
       |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
       |      / len(list_filter(toks, t -> t <> '')) AS avg_tok_len
       |  FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents) t1) t2
+      |WHERE n_tokens > 0
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val toks = split(lower(col("text")), " ")
     val nonEmpty = filter(toks, t => t =!= "")
@@ -115,6 +120,7 @@ object TextOps {
     val stopRatio = size(stopHits).cast("double") / nTokens
     val avgTokLen = length(regexp_replace(col("text"), " ", "")).cast("double") / nTokens
     Tables.documents(s, dir)
+      .filter(nTokens > 0)
       .select(
         col("doc_id"),
         nTokens.as("n_tokens"),

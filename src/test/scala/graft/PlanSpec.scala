@@ -80,6 +80,15 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("cosine_sim"), plan)
   }
 
+  test("decontamination broadcasts the eval n-grams; train side joins without sorting") {
+    val plan = planOf(LlmOps.decontaminate)
+    // the scale contract: the (tiny) benchmark side broadcasts, the
+    // (enormous) train side is scan → explode → hash probe, never a
+    // sort-merge of training text
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("events time-range predicates push down on the raw int64 column") {
     import org.apache.spark.sql.functions._
     val df = graft.engine.Tables.events(spark, sfDir)

@@ -231,6 +231,33 @@ class StreamingSpec extends SparkSpecBase {
     assert(pairs === Set((10L, 20L), (11L, 21L)))
   }
 
+  test("streaming text-log grep: tail -f over a log dir, filtered live") {
+    // logdb's core interactive flow — follow a growing log directory and
+    // grep it — as readStream.text → parse → filter. New files appearing
+    // in the directory are new micro-batches.
+    val dir = java.nio.file.Files.createTempDirectory("graft-taillog").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.log"),
+      """2024-01-01T10:00:00 INFO api: ok
+        |2024-01-01T10:00:01 ERROR api: boom
+        |""".stripMargin)
+    val errs = graft.sources.LogSource.streamTextLog(spark, dir)
+      .filter(col("level") === "ERROR")
+    assert(errs.isStreaming)
+    val q = errs.writeStream.format("memory").queryName("grep_sink")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/b.log"),
+        """2024-01-01T10:00:02 WARN api: hmm
+          |2024-01-01T10:00:03 ERROR db: down
+          |""".stripMargin)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("grep_sink").select("component", "message")
+      .as[(String, String)].collect().toSet
+    assert(got === Set(("api", "boom"), ("db", "down")))
+  }
+
   test("day-partitioned streaming sink lands prunable parquet") {
     val base = java.nio.file.Files.createTempDirectory("graft-stream-sink").toString
     val input = MemoryStream[Streaming.Ev](spark)
