@@ -47,8 +47,13 @@ object Funcs {
       |  CAST(len(embedding) AS INTEGER) AS dim,
       |  ROUND(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x), 'sum'), 4) AS sumsq,
       |  ROUND(list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)), 'max'), 4) AS max_abs,
-      |  ROUND(embedding[1]::DOUBLE, 4) AS first_val
+      |  ROUND(embedding[1]::DOUBLE, 4) + 0 AS first_val
       |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    // `+ 0` on first_val: a tiny negative first element rounds to IEEE
+    // -0.0 in DuckDB but to +0.0 through Spark's BigDecimal round; adding
+    // positive zero maps -0.0 → +0.0 (IEEE addition) on both engines so
+    // the dumped strings agree. Found at sf0.1 — sf0.01 has no such value,
+    // which is why the gate alone can't be trusted for sign-of-zero.
     val asDouble = transform(col("embedding"), x => x.cast("double"))
     Tables.embeddings(s, dir)
       .select(
@@ -57,7 +62,7 @@ object Funcs {
         round(aggregate(transform(asDouble, x => x * x), lit(0.0), (acc, v) => acc + v), 4)
           .as("sumsq"),
         round(array_max(transform(asDouble, x => abs(x))), 4).as("max_abs"),
-        round(element_at(col("embedding"), 1).cast("double"), 4).as("first_val"))
+        (round(element_at(col("embedding"), 1).cast("double"), 4) + lit(0.0)).as("first_val"))
       .orderBy("vec_id")
   }
 
@@ -169,16 +174,20 @@ object Funcs {
     """SELECT l_returnflag,
       |  ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
       |  ROUND(var_samp(l_quantity), 4) AS var_qty,
-      |  ROUND(corr(l_quantity, l_discount), 4) AS corr_qd,
-      |  ROUND(covar_samp(l_quantity, l_discount), 4) AS cov_qd
+      |  ROUND(corr(l_quantity, l_discount), 4) + 0 AS corr_qd,
+      |  ROUND(covar_samp(l_quantity, l_discount), 4) + 0 AS cov_qd
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    // `+ 0` on the signed statistics: a correlation/covariance that rounds
+    // to zero from below is IEEE -0.0 in DuckDB but +0.0 via Spark's
+    // BigDecimal round; adding positive zero normalizes both (same fix as
+    // func_array.first_val — see its comment).
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
       .agg(
         round(stddev_samp("l_quantity"), 4).as("sd_qty"),
         round(var_samp("l_quantity"), 4).as("var_qty"),
-        round(corr("l_quantity", "l_discount"), 4).as("corr_qd"),
-        round(covar_samp("l_quantity", "l_discount"), 4).as("cov_qd"))
+        (round(corr("l_quantity", "l_discount"), 4) + lit(0.0)).as("corr_qd"),
+        (round(covar_samp("l_quantity", "l_discount"), 4) + lit(0.0)).as("cov_qd"))
       .orderBy("l_returnflag")
   }
 

@@ -215,7 +215,7 @@ object LlmOps {
     */
   val knnCosine = Q(
     "llm_knn_cosine",
-    """SELECT q_id, vec_id, cos_sim, rn FROM (
+    """SELECT q_id, vec_id, cos_sim + 0 AS cos_sim, rn FROM (
       |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
       |    ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
       |      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
@@ -232,12 +232,16 @@ object LlmOps {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val cos = round(vectors.cosineSim(col("q_emb"), col("embedding")), 4)
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id").asc)
+    // `+ 0` on the dumped cos_sim: a rank-k similarity that rounds to zero
+    // from below would print -0 in DuckDB and 0 here (sign-of-zero, see
+    // func_array.first_val); comparisons are unaffected (-0.0 == 0.0) so
+    // the ranking itself is identical either way.
     broadcast(q)
       .join(e, col("vec_id") =!= col("q_id"))
       .withColumn("cos_sim", cos)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 10)
-      .select("q_id", "vec_id", "cos_sim", "rn")
+      .select(col("q_id"), col("vec_id"), (col("cos_sim") + lit(0.0)).as("cos_sim"), col("rn"))
       .orderBy("q_id", "rn")
   }
 
