@@ -50,7 +50,11 @@ object Soak {
       "win_sessionize", "agg_salted_skew", "llm_dedup_hash", "llm_minhash_pairs",
       "llm_tfidf", "llm_ann_lsh", "llm_ann_ivf", "llm_knn_cosine",
       "llm_neardup_cosine", "llm_jaccard_pairs", "llm_shingle_jaccard",
-      "text_simhash", "stream_session_window")
+      "text_simhash", "stream_session_window",
+      // the soak dir replicates only events/documents/embeddings, so the
+      // list stays within those tables
+      "llm_decontaminate", "llm_curation_pipeline", "llm_quantize_int8",
+      "agg_approx_topk")
     heavy.foreach { name =>
       val fn = SparkEntry.queries(name)
       try { fn(spark, dir).count() } catch { case _: Throwable => () } // warm

@@ -610,6 +610,25 @@ object LlmOps {
       .orderBy("event_type")
   }
 
+  /** A4 (heavy hitters, no oracle — the datasketches binary layout is
+    * engine-specific): approximate top-k most frequent tokens via Spark
+    * 4's `approx_top_k` (frequent-items sketch). The affordable form of
+    * "what are the dominant tokens/URLs/error codes" at 100 TB: the
+    * sketch is fixed-size per partition and merges, where the exact
+    * groupBy-count must shuffle one row per distinct key. On the
+    * fixture's small vocabulary the sketch is exact — LlmOpsSpec asserts
+    * it equals the exact top-k, which is the estimation-quality contract.
+    */
+  val approxTopK = Q.noOracle("agg_approx_topk") { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .agg(expr("approx_top_k(tok, 10)").as("topk"))
+      .select(explode(col("topk")).as("entry"))
+      .select(col("entry.item").as("tok"), col("entry.count").as("freq"))
+      .orderBy(desc("freq"), asc("tok"))
+  }
+
   /** Connected components over a near-dup pair set by iterative min-label
     * propagation: every node adopts the smallest label among itself and its
     * neighbors until fixpoint (or maxIter). Each round is one shuffle on the
@@ -659,5 +678,5 @@ object LlmOps {
   val all: Seq[Q] = Seq(
     dedupExact, dedupHash, jaccardPairs, shingleJaccard, knnCosine, annLsh,
     annIvf, nearDupCosine, embedNorm, minhashPairs, tfidf, approxDistinct,
-    approxPercentile, nearDupClusters, decontaminate, quantizeInt8)
+    approxPercentile, nearDupClusters, decontaminate, quantizeInt8, approxTopK)
 }

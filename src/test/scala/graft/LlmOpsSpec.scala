@@ -161,6 +161,21 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(got === Set((1L, 2L, 0.8)))
   }
 
+  test("approx top-k tokens equals exact top-k on the small-vocabulary fixture") {
+    val approx = LlmOps.approxTopK.build(spark, sfDir)
+      .select("tok", "freq").as[(String, Long)].collect().toSeq
+    val exact = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.lower($"text"), " ")).as("tok"))
+      .filter($"tok" =!= "")
+      .groupBy("tok").count()
+      .orderBy($"count".desc, $"tok".asc)
+      .limit(10)
+      .select("tok", "count").as[(String, Long)].collect().toSeq
+    assert(approx === exact)
+  }
+
   test("int8 quantization: reconstruction error bounded by scale/2, every vector covered") {
     val rows = LlmOps.quantizeInt8.build(spark, sfDir)
       .select("vec_id", "scale", "max_err", "mean_err")
