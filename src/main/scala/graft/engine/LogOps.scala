@@ -643,11 +643,56 @@ object LogOps {
       .orderBy("o_orderstatus")
   }
 
+  /** Retention/downsampling policy — the log-database housekeeping job:
+    * events in the last 14 days (relative to the corpus high-water mark)
+    * are hot and kept in full; older events keep all errors but sample
+    * low-value types at ~10% via the deterministic id-hash coin (no
+    * rand() — reruns and the oracle agree on exact membership). Emitted
+    * as the per-(type, tier) keep profile an operator reviews before the
+    * policy deletes anything. Plan shape: single-row max-ts aggregate
+    * broadcast into a map-only classification, then one small groupBy —
+    * the full log is scanned once, nothing wide shuffles.
+    */
+  val retentionPolicy = Q(
+    "log_retention_policy",
+    """WITH mx AS (SELECT MAX(ts) AS mts FROM events),
+      |cls AS (
+      |  SELECT event_type,
+      |    CASE WHEN ts >= mts - INTERVAL 14 DAY THEN 'hot' ELSE 'cold' END AS tier,
+      |    CASE WHEN event_type = 'error' THEN 1
+      |         WHEN ts >= mts - INTERVAL 14 DAY THEN 1
+      |         WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 2))::BIGINT < 26 THEN 1
+      |         ELSE 0 END AS kept
+      |  FROM events CROSS JOIN mx)
+      |SELECT event_type, tier, COUNT(*) AS n_total,
+      |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+      |  ROUND(CAST(SUM(kept) AS DOUBLE) / COUNT(*), 4) AS kept_frac
+      |FROM cls GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val mx = Tables.events(s, dir).agg(max("ts").as("mts"))
+    val h = conv(substring(md5(col("event_id").cast("string")), 1, 2), 16, 10).cast("long")
+    val isHot = col("ts") >= col("mts") - expr("INTERVAL 14 DAYS")
+    val kept = when(col("event_type") === "error", 1)
+      .when(isHot, 1)
+      .when(h < 26, 1)
+      .otherwise(0)
+    Tables.events(s, dir)
+      .crossJoin(broadcast(mx))
+      .select(col("event_type"),
+        when(isHot, "hot").otherwise("cold").as("tier"),
+        kept.as("kept"))
+      .groupBy("event_type", "tier")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum("kept").as("n_kept"),
+        round(sum("kept").cast("double") / count(lit(1)), 4).as("kept_frac"))
+      .orderBy("event_type", "tier")
+  }
+
   val all: Seq[Q] = Seq(
     errorRateDaily, grepRegex, regexExtract, regexReplace, stringFuncs,
     parseFields, timeBuckets, jsonExtract, tokenize, saltedAgg,
     winTopk, winRankNtile, winPctRank, winLagGap, winRunningSum, winMovingAvg,
     winFirstLast, winSessionize,
     joinRangeEvents, joinAsofEvents, parseLines, funnel, retention, topPaths,
-    anomalyZscore, winTimeRange, csvRoundtrip)
+    anomalyZscore, winTimeRange, csvRoundtrip, retentionPolicy)
 }
