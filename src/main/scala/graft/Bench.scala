@@ -69,10 +69,16 @@ object Bench {
     // JSON line. Emit it through two prefix-free channels as well: a file
     // (for the driver) and raw stderr (for humans running via sbt).
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(out),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: Throwable => () }
+    // delete any stale file first so a failed write surfaces as a MISSING
+    // file, never as a silently re-consumed previous run
+    try {
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(out))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(out),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch {
+      case e: Throwable => System.err.println(s"bench: could not write $out: $e")
+    }
     System.err.println(line)
     spark.stop()
   }

@@ -628,7 +628,12 @@ object LogOps {
       |  CAST(MIN(o_orderdate) AS TIMESTAMP) AS first_ts,
       |  CAST(MAX(o_orderdate) AS TIMESTAMP) AS last_ts
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
-    val out = s"/tmp/graft_csv/${new java.io.File(dir).getName}/orders"
+    // unique per-invocation staging dir: a fixed path keyed on the fixture
+    // name would race when two drivers (a Verify dump and a Bench warm
+    // loop, say) build this query against the same fixture concurrently —
+    // one's overwrite deletes the directory the other is reading back
+    val out = java.nio.file.Files.createTempDirectory("graft-csv-roundtrip")
+      .resolve("orders").toString
     Tables.orders(s, dir).write.mode("overwrite").option("header", "true").csv(out)
     graft.sources.LogSource.readCsv(s, out,
       org.apache.spark.sql.types.StructType.fromDDL(
@@ -669,7 +674,7 @@ object LogOps {
       |  ROUND(CAST(SUM(kept) AS DOUBLE) / COUNT(*), 4) AS kept_frac
       |FROM cls GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
     val mx = Tables.events(s, dir).agg(max("ts").as("mts"))
-    val h = conv(substring(md5(col("event_id").cast("string")), 1, 2), 16, 10).cast("long")
+    val h = CurationOps.hashByte(col("event_id"))
     val isHot = col("ts") >= col("mts") - expr("INTERVAL 14 DAYS")
     val kept = when(col("event_type") === "error", 1)
       .when(isHot, 1)

@@ -148,13 +148,19 @@ class PlanSpec extends SparkSpecBase {
                                 "cross join is two single-row aggregates"))
 
   test("no query in the registry plans an unbounded cartesian or nested-loop join") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan =
-        try fn(spark, sfDir).queryExecution.executedPlan.toString
-        catch { case e: Throwable => s"PLANNING FAILED: ${e.getMessage}" }
-      val hasUnbounded =
-        plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin")
-      if (hasUnbounded && !unboundedJoinAllowlist.contains(name)) Some(name) else None
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> (try Right(fn(spark, sfDir).queryExecution.executedPlan.toString)
+               catch { case e: Throwable => Left(e.getMessage) })
+    }
+    // a query that fails to PLAN is itself a failure — swallowing it would
+    // let a broken no-oracle query (with no other registry-wide coverage)
+    // ship green
+    val broken = results.collect { case (name, Left(msg)) => s"$name: $msg" }
+    assert(broken.isEmpty, s"queries failed to plan: $broken")
+    val offenders = results.collect {
+      case (name, Right(plan))
+        if (plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin")) &&
+           !unboundedJoinAllowlist.contains(name) => name
     }
     assert(offenders.isEmpty,
       s"queries with un-allowlisted cartesian/BNLJ plans: $offenders")
