@@ -675,8 +675,44 @@ object LlmOps {
       .orderBy(col("cluster_id"))
   }
 
+  /** D4 (embedding health): per-dimension mean / spread / range over the
+    * whole corpus — the drift check that catches a dead dimension, a
+    * mis-scaled encoder, or a normalization bug before billions of vectors
+    * are indexed. posexplode fans each vector into (dim, value) rows and a
+    * partial-aggregating groupBy on the 64 dimension ids does the rest: the
+    * shuffle carries one row per (partition × dim), never per vector, so
+    * the pass is a single linear scan at any corpus size. Values widen
+    * float→double before any arithmetic on both sides; at 4 decimals the
+    * sum-order nondeterminism of a distributed mean/stddev is far below the
+    * rounding quantum.
+    */
+  val embedDimStats = Q(
+    "llm_embed_dim_stats",
+    """SELECT i - 1 AS dim, COUNT(*) AS n,
+      |  ROUND(AVG(CAST(x AS DOUBLE)), 4) AS mean,
+      |  ROUND(STDDEV_SAMP(CAST(x AS DOUBLE)), 4) AS std,
+      |  ROUND(MIN(CAST(x AS DOUBLE)), 4) AS min_v,
+      |  ROUND(MAX(CAST(x AS DOUBLE)), 4) AS max_v
+      |FROM (
+      |  SELECT unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings) t
+      |GROUP BY i ORDER BY dim""".stripMargin) { (s, dir) =>
+    Tables.embeddings(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"), col("x").cast("double").as("x"))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("x")), 4).as("mean"),
+        round(stddev_samp(col("x")), 4).as("std"),
+        round(min(col("x")), 4).as("min_v"),
+        round(max(col("x")), 4).as("max_v"))
+      .orderBy("dim")
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupHash, jaccardPairs, shingleJaccard, knnCosine, annLsh,
     annIvf, nearDupCosine, embedNorm, minhashPairs, tfidf, approxDistinct,
-    approxPercentile, nearDupClusters, decontaminate, quantizeInt8, approxTopK)
+    approxPercentile, nearDupClusters, decontaminate, quantizeInt8, approxTopK,
+    embedDimStats)
 }

@@ -321,7 +321,118 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** PII patterns shared by the scrub query and its oracle. Written in the
+    * common subset of Java regex (Spark) and RE2 (DuckDB): character
+    * classes, bounded repetition and ASCII `\b` behave identically in both
+    * engines — no backreferences or lookaround, which RE2 lacks.
+    */
+  private val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val ipv4Re  = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  private val phoneRe = """\b\d{3}-\d{3,4}-\d{4}\b"""
+
+  /** PII scrub: detect-and-redact emails / IPv4s / phone numbers — the
+    * compliance pass every training-data pipeline runs before anything else
+    * ships. Pure per-row regex map: no shuffle, no join, embarrassingly
+    * parallel; the redacted text replaces the original in place so payload
+    * bytes cross the wire exactly once (here hashed to md5 so the oracle
+    * hash-checks the full redacted string without dumping megabytes).
+    *
+    * The fixture corpus is synthetic word salad with zero organic PII, so
+    * the query plants one email / IP / phone per document, derived
+    * deterministically from doc_id on BOTH sides — the redaction machinery
+    * is exercised on real hits and the hash check stays engine-independent.
+    * Redaction order (email → IP → phone) is fixed: email bodies contain
+    * dots and digits, so the narrower patterns run after emails are gone.
+    */
+  val piiScrub = Q(
+    "text_pii_scrub",
+    s"""WITH raw AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || doc_id || '@mail.example.com from 10.' ||
+       |    (doc_id % 200) || '.0.' || (doc_id % 250) || ' tel 555-' ||
+       |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-1234' AS raw
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(raw, '$emailRe')) AS INTEGER) AS n_email,
+       |  CAST(len(regexp_extract_all(raw, '$ipv4Re')) AS INTEGER) AS n_ip,
+       |  CAST(len(regexp_extract_all(raw, '$phoneRe')) AS INTEGER) AS n_phone,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(raw,
+       |    '$emailRe', '<EMAIL>', 'g'),
+       |    '$ipv4Re', '<IP>', 'g'),
+       |    '$phoneRe', '<PHONE>', 'g')) AS red_md5
+       |FROM raw ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val raw = concat(
+      col("text"), lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com from 10."), (col("doc_id") % 200).cast("string"),
+      lit(".0."), (col("doc_id") % 250).cast("string"), lit(" tel 555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit("-1234"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), raw.as("raw"))
+      .select(
+        col("doc_id"),
+        regexp_count(col("raw"), lit(emailRe)).as("n_email"),
+        regexp_count(col("raw"), lit(ipv4Re)).as("n_ip"),
+        regexp_count(col("raw"), lit(phoneRe)).as("n_phone"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("raw"),
+          emailRe, "<EMAIL>"),
+          ipv4Re, "<IP>"),
+          phoneRe, "<PHONE>")).as("red_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Boilerplate phrase detection (CCNet/RefinedWeb-style): a token
+    * trigram occurring in ≥ [[boilerDf]] distinct documents is boilerplate
+    * (headers, footers, licence blurbs); each document reports how much of
+    * it is boilerplate. Two-pass shape: (1) trigram → distinct-doc count
+    * via partial-aggregating groupBy — the only shuffle, keyed on short
+    * trigram strings (at 100 TB the shuffle key would be xxhash64(trigram),
+    * the same digest-not-payload trick the dedup family uses; kept as the
+    * raw string here so the DuckDB oracle is bit-exact); (2) the surviving
+    * boilerplate set is tiny by construction (a phrase in ≥5 docs at sf0.01
+    * → 151 rows) and joins back as an explicit broadcast — the corpus side
+    * never reshuffles.
+    */
+  private val boilerDf = 5
+
+  val boilerplateNgrams = Q(
+    "text_boilerplate_ngrams",
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+       |  FROM documents),
+       |tri AS (
+       |  SELECT doc_id, array_to_string(ts[i:i+2], ' ') AS g
+       |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i FROM toks) t),
+       |boiler AS (
+       |  SELECT g FROM tri GROUP BY g HAVING COUNT(DISTINCT doc_id) >= $boilerDf)
+       |SELECT tri.doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_tri,
+       |  CAST(COUNT(boiler.g) AS BIGINT) AS n_boiler,
+       |  ROUND(CAST(COUNT(boiler.g) AS DOUBLE) / COUNT(*), 4) AS boiler_frac
+       |FROM tri LEFT JOIN boiler ON tri.g = boiler.g
+       |GROUP BY tri.doc_id ORDER BY tri.doc_id""".stripMargin) { (s, dir) =>
+    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+    val tri = Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("ts"))
+      .select(col("doc_id"), explode(
+        when(size(col("ts")) >= 3, transform(
+          sequence(lit(1), size(col("ts")) - 2),
+          i => concat_ws(" ", slice(col("ts"), i, lit(3)))))
+          .otherwise(array().cast("array<string>"))).as("g"))
+    val boiler = tri.groupBy("g")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= boilerDf)
+      .select(col("g").as("bg"))
+    tri.join(broadcast(boiler), col("g") === col("bg"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tri"),
+        count(col("bg")).as("n_boiler"))
+      .select(col("doc_id"), col("n_tri"), col("n_boiler"),
+        round(col("n_boiler").cast("double") / col("n_tri"), 4).as("boiler_frac"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     langProfile, langId, qualityScore, tokenCount, fingerprint, simhash,
-    simhashPairs, zipfRanks, repetition)
+    simhashPairs, zipfRanks, repetition, piiScrub, boilerplateNgrams)
 }

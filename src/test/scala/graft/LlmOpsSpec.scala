@@ -240,4 +240,18 @@ class LlmOpsSpec extends SparkSpecBase {
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
     assert(got === Set((1L, 2L, 0.8182)))
   }
+
+  test("embed dim stats: hand-computable per-dimension moments") {
+    // dim 0 sees {1, 3}: mean 2, std sqrt(2); dim 1 sees {2, 4}: mean 3.
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb").toString
+    Seq((1L, Array(1f, 2f), 0), (2L, Array(3f, 4f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = LlmOps.embedDimStats.build(spark, dir)
+      .select("dim", "n", "mean", "std", "min_v", "max_v")
+      .as[(Long, Long, Double, Double, Double, Double)].collect().toSet
+    assert(got === Set(
+      (0L, 2L, 2.0, 1.4142, 1.0, 3.0),
+      (1L, 2L, 3.0, 1.4142, 2.0, 4.0)))
+  }
 }

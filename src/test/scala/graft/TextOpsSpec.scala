@@ -84,4 +84,33 @@ class TextOpsSpec extends SparkSpecBase {
     assert(r.getInt(1) === nTok)
     assert(r.getDouble(3) === expected)
   }
+
+  test("pii scrub counts organic + planted hits and redacts them all") {
+    // doc 3 carries organic PII on top of the one planted email/IP/phone
+    // the query derives from doc_id; the md5 must match the fully-redacted
+    // string (organic AND planted occurrences replaced).
+    val dir = docsDir(Seq(
+      (3L, "mail bob.smith@corp.example.org or 192.168.0.1 call 555-123-4567")))
+    val r = TextOps.piiScrub.build(spark, dir).collect().head
+    assert((r.getInt(1), r.getInt(2), r.getInt(3)) === ((2, 2, 2)))
+    val expectedRedacted =
+      "mail <EMAIL> or <IP> call <PHONE>" +
+        " contact <EMAIL> from <IP> tel <PHONE>"
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(expectedRedacted.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(r.getString(4) === md5)
+  }
+
+  test("boilerplate ngrams: a trigram in >= 5 docs flags; rare ones do not") {
+    // docs 1-5 share the leading trigram "x y z" (df 5 = threshold);
+    // doc 6 is all-unique so none of its trigrams are boilerplate.
+    val rows = (1L to 5L).map(i => (i, s"x y z a$i b$i c$i")) :+
+      (6L, "p q r s t u")
+    val got = TextOps.boilerplateNgrams.build(spark, docsDir(rows))
+      .select("doc_id", "n_tri", "n_boiler", "boiler_frac")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // 6 tokens → 4 trigrams; exactly one ("x y z") is boilerplate.
+    assert(got === ((1L to 5L).map(i => (i, 4L, 1L, 0.25)).toSet + ((6L, 4L, 0L, 0.0))))
+  }
 }
