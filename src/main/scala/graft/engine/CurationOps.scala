@@ -265,7 +265,36 @@ object CurationOps {
       .orderBy("bin")
   }
 
+  /** Exact-quota sample: precisely k docs per stratum (vs
+    * [[stratifiedSample]]'s Bernoulli coin, whose per-stratum count is only
+    * k in expectation) — the op behind fixed-size eval/dev sets. The
+    * "random" order is the md5 of the id, so the chosen k are reproducible
+    * across reruns and engines, yet uncorrelated with id order or any
+    * content attribute. Plan shape: identical to win_topk — one shuffle on
+    * the stratum key, rank, filter; at real scale the stratum key would
+    * widen to (lang, shard) to bound any one reducer, with a second
+    * k-of-k·shards pass (the standard distributed top-k two-step).
+    */
+  private val quotaK = 20
+
+  val quotaSample = Q(
+    "llm_quota_sample",
+    s"""SELECT lang, doc_id, rn FROM (
+       |  SELECT lang, doc_id,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY lang
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rn
+       |  FROM documents) t
+       |WHERE rn <= $quotaK ORDER BY lang, rn""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= quotaK)
+      .orderBy("lang", "rn")
+  }
+
   val all: Seq[Q] = Seq(
     trainTestSplit, stratifiedSample, dedupCanonical, packSequences,
-    bigramVocab, histogramChars, domainMix, curationPipeline)
+    bigramVocab, histogramChars, domainMix, curationPipeline, quotaSample)
 }

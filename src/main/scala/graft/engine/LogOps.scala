@@ -693,11 +693,58 @@ object LogOps {
       .orderBy("event_type", "tier")
   }
 
+  /** Time-series gap fill (resample): hourly count + volume per event type
+    * over the full [min, max] hour range of the corpus, with missing
+    * (hour, type) cells emitted as explicit zeros — the dashboard/alerting
+    * staple where a silent hour must plot as 0, not vanish. Plan shape:
+    * the only data-sized pass is the per-(hour, type) groupBy over events
+    * (one shuffle, partial-aggregated); the hour spine is exploded from a
+    * single-row min/max aggregate and crossed with the ≤5-row distinct
+    * type dim — both metadata-sized and broadcast, so the fill join costs
+    * nothing at any corpus size. At 100 TB the spine is still just
+    * hours × types (a year ≈ 9k rows × types).
+    */
+  val resampleFill = Q(
+    "log_resample_fill",
+    """WITH agg AS (
+      |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type,
+      |    COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+      |  FROM events GROUP BY 1, 2),
+      |b AS (
+      |  SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS lo,
+      |         CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS hi
+      |  FROM events),
+      |spine AS (
+      |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b),
+      |types AS (SELECT DISTINCT event_type FROM events)
+      |SELECT spine.h AS h, types.event_type AS event_type,
+      |  COALESCE(agg.n, 0) AS n, COALESCE(agg.sum_value, 0.0) AS sum_value
+      |FROM spine CROSS JOIN types
+      |LEFT JOIN agg ON agg.h = spine.h AND agg.event_type = types.event_type
+      |ORDER BY h, event_type""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val agg = ev
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+    val spine = ev
+      .agg(date_trunc("hour", min("ts")).as("lo"),
+           date_trunc("hour", max("ts")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 HOUR"))).as("h"))
+    val types = ev.select("event_type").distinct()
+    spine.crossJoin(broadcast(types))
+      .join(broadcast(agg), Seq("h", "event_type"), "left")
+      .select(col("h"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy("h", "event_type")
+  }
+
   val all: Seq[Q] = Seq(
     errorRateDaily, grepRegex, regexExtract, regexReplace, stringFuncs,
     parseFields, timeBuckets, jsonExtract, tokenize, saltedAgg,
     winTopk, winRankNtile, winPctRank, winLagGap, winRunningSum, winMovingAvg,
     winFirstLast, winSessionize,
     joinRangeEvents, joinAsofEvents, parseLines, funnel, retention, topPaths,
-    anomalyZscore, winTimeRange, csvRoundtrip, retentionPolicy)
+    anomalyZscore, winTimeRange, csvRoundtrip, retentionPolicy, resampleFill)
 }

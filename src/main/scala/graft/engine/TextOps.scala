@@ -432,7 +432,66 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Fuzzy near-dup pairs by blocked edit distance — the record-linkage
+    * classic: block on (lang, exact token count), compare only within a
+    * block, report pairs whose normalized similarity
+    * `1 − lev(a,b) / max(len)` clears [[levSimMin]]. Char-level Levenshtein
+    * catches the typo/OCR-noise duplicates that token-set Jaccard
+    * (llm_jaccard_pairs) and SimHash miss. Plan shape: one equi-join on the
+    * block key — never all-pairs — and blocks larger than [[levBlockCap]]
+    * docs are dropped via a broadcast anti join before pairing (same
+    * hot-key discipline as the Jaccard df-cap): worst-case work is
+    * cap²/2 per block, independent of corpus size. The O(len²) per-pair
+    * kernel runs inside codegen on the candidate set only.
+    *
+    * The fixture's word-soup corpus tops out at sim ≈ 0.37 (no organic
+    * typo-dups), so the reporting floor sits at 0.3 to exercise the
+    * machinery; a production dedup pass would raise it to ≈ 0.8.
+    */
+  private val levSimMin = 0.3
+  private val levBlockCap = 1000
+
+  val levenshteinPairs = Q(
+    "text_levenshtein_pairs",
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, text,
+       |    len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tok
+       |  FROM documents),
+       |ok AS (
+       |  SELECT lang, n_tok FROM t GROUP BY lang, n_tok
+       |  HAVING COUNT(*) <= $levBlockCap)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
+       |  ROUND(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+       |    greatest(len(a.text), len(b.text)), 4) AS sim
+       |FROM t a
+       |JOIN t b ON a.lang = b.lang AND a.n_tok = b.n_tok AND a.doc_id < b.doc_id
+       |JOIN ok ON ok.lang = a.lang AND ok.n_tok = a.n_tok
+       |WHERE 1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+       |    greatest(len(a.text), len(b.text)) >= $levSimMin
+       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    val t = Tables.documents(s, dir).select(
+      col("doc_id"), col("lang"), col("text"),
+      size(filter(split(lower(col("text")), " "), x => x =!= "")).as("n_tok"))
+    val ok = t.groupBy("lang", "n_tok").count()
+      .filter(col("count") <= levBlockCap).drop("count")
+    val blocked = t.join(broadcast(ok), Seq("lang", "n_tok"), "left_semi")
+    val a = blocked.select(col("lang"), col("n_tok"),
+      col("doc_id").as("id_a"), col("text").as("text_a"))
+    val b = blocked.select(col("lang"), col("n_tok"),
+      col("doc_id").as("id_b"), col("text").as("text_b"))
+    val dist = levenshtein(col("text_a"), col("text_b"))
+    val sim = lit(1.0) - dist.cast("double") /
+      greatest(length(col("text_a")), length(col("text_b"))).cast("double")
+    a.join(b, Seq("lang", "n_tok"))
+      .filter(col("id_a") < col("id_b") && sim >= levSimMin)
+      .select(col("id_a"), col("id_b"),
+        dist.cast("long").as("dist"), round(sim, 4).as("sim"))
+      .orderBy("id_a", "id_b")
+  }
+
   val all: Seq[Q] = Seq(
     langProfile, langId, qualityScore, tokenCount, fingerprint, simhash,
-    simhashPairs, zipfRanks, repetition, piiScrub, boilerplateNgrams)
+    simhashPairs, zipfRanks, repetition, piiScrub, boilerplateNgrams,
+    levenshteinPairs)
 }

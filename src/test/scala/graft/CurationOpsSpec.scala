@@ -89,6 +89,24 @@ class CurationOpsSpec extends SparkSpecBase {
     assert(got === Set(("a b", 1L), ("b c", 1L)))
   }
 
+  test("quota sample: exactly k per stratum (all of an under-k stratum)") {
+    val rows = (1L to 30L).map(i => (i, s"doc $i", "en")) ++
+      Seq((101L, "x", "de"), (102L, "y", "de"), (103L, "z", "de"))
+    val dir = docsDir(rows)
+    val got = CurationOps.quotaSample.build(spark, dir)
+      .as[(String, Long, Int)].collect()
+    assert(got.count(_._1 == "en") === 20)
+    assert(got.count(_._1 == "de") === 3)
+    // ranks are dense 1..k within each stratum
+    assert(got.filter(_._1 == "en").map(_._3).sorted === (1 to 20))
+    // the chosen set is a deterministic function of ids: a permuted rerun
+    // picks the identical docs with identical ranks
+    val again = CurationOps.quotaSample
+      .build(spark, docsDir(scala.util.Random.shuffle(rows)))
+      .as[(String, Long, Int)].collect()
+    assert(again.toSet === got.toSet)
+  }
+
   test("histogram bins partition the corpus: counts sum to row count") {
     val bins = CurationOps.histogramChars.build(spark, sfDir)
       .as[(Long, Long, Long, Long)].collect()

@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import graft.engine.LogOps
-import org.apache.spark.sql.functions.{explode, lower, split}
+import org.apache.spark.sql.functions.{explode, hour, lower, split}
 
 /** Semantics checks for the log-analytics operators on hand-computable
   * inputs, plus invariants under permutation (shuffle order must not change
@@ -74,6 +74,21 @@ class LogOpsSpec extends SparkSpecBase {
     val got = LogOps.joinRangeEvents.build(spark, dir)
       .as[(Long, Long)].collect().toSet
     assert(got === Set((1L, 2L)))
+  }
+
+  test("resample fill: silent hours emit explicit zero rows for every type") {
+    // events at hours 0 and 2 only; hour 1 must appear with n=0 for BOTH
+    // types, and 'click' (absent after hour 0) must zero-fill hours 1-2.
+    val dir = eventsDir(Seq(
+      (1L, ts(0), 0L, "view", 2.0, "{}"),
+      (2L, ts(125), 0L, "view", 3.0, "{}"),
+      (3L, ts(5), 0L, "click", 1.5, "{}")))
+    val got = LogOps.resampleFill.build(spark, dir)
+      .select(hour($"h"), $"event_type", $"n", $"sum_value")
+      .as[(Int, String, Long, Double)].collect().toSet
+    assert(got === Set(
+      (0, "click", 1L, 1.5), (1, "click", 0L, 0.0), (2, "click", 0L, 0.0),
+      (0, "view", 1L, 2.0), (1, "view", 0L, 0.0), (2, "view", 1L, 3.0)))
   }
 
   test("tokenize never emits empty tokens and counts every word once") {

@@ -142,6 +142,8 @@ class PlanSpec extends SparkSpecBase {
     "filter_scalar_subquery"-> "single-row scalar aggregate broadcast as the filter bound",
     "llm_domain_mix"        -> "single-row totals aggregate cross-joined into the weights",
     "log_retention_policy"  -> "single-row max-ts aggregate cross-joined into the age tiers",
+    "log_resample_fill"     -> ("hour spine (exploded 1-row min/max agg) × ≤5-row distinct " +
+                                "type dim — both post-aggregation metadata-sized"),
     "sql_not_in_nulls"      -> ("null-aware anti join is Spark's only NOT IN implementation — " +
                                 "the query exists to pin NOT IN's NULL semantics; the scale " +
                                 "rewrite is NOT EXISTS (covered by join_anti), and the outer " +

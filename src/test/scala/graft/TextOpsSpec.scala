@@ -102,6 +102,30 @@ class TextOpsSpec extends SparkSpecBase {
     assert(r.getString(4) === md5)
   }
 
+  test("levenshtein pairs: only same-block pairs compared, sim hand-checked") {
+    // docs 1, 2, 5 share block (xx, 3 tokens); docs 3 (1 token) and 4
+    // (4 tokens) sit in singleton blocks → never paired with anything.
+    val dir = docsDir(Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma"),
+      (5L, "alpha beta gamm"),
+      (3L, "solo"),
+      (4L, "one two three four")))
+    val got = TextOps.levenshteinPairs.build(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // lev(1,5) = 1 deletion over max-len 16 → sim = 1 - 1/16 = 0.9375
+    assert(got === Set(
+      (1L, 2L, 0L, 1.0), (1L, 5L, 1L, 0.9375), (2L, 5L, 1L, 0.9375)))
+  }
+
+  test("levenshtein pairs: an over-cap block is dropped, not exploded") {
+    // 1001 identical two-token docs exceed the 1000-doc block cap → the
+    // anti-join kills the whole block and zero pairs come out (instead of
+    // 500k lev() calls on a degenerate hot block).
+    val dir = docsDir((1L to 1001L).map(i => (i, "a b")))
+    assert(TextOps.levenshteinPairs.build(spark, dir).count() === 0L)
+  }
+
   test("boilerplate ngrams: a trigram in >= 5 docs flags; rare ones do not") {
     // docs 1-5 share the leading trigram "x y z" (df 5 = threshold);
     // doc 6 is all-unique so none of its trigrams are boilerplate.
