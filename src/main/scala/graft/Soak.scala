@@ -54,7 +54,11 @@ object Soak {
       // the soak dir replicates only events/documents/embeddings, so the
       // list stays within those tables
       "llm_decontaminate", "llm_curation_pipeline", "llm_quantize_int8",
-      "agg_approx_topk")
+      "agg_approx_topk",
+      // 10× replication duplicates every text verbatim, so the edit-distance
+      // blocks and the boilerplate df-counts run at their hot-key worst case
+      "text_levenshtein_pairs", "text_boilerplate_ngrams", "text_pii_scrub",
+      "llm_embed_dim_stats", "log_resample_fill", "llm_quota_sample")
     heavy.foreach { name =>
       val fn = SparkEntry.queries(name)
       try { fn(spark, dir).count() } catch { case _: Throwable => () } // warm

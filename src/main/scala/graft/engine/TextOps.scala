@@ -480,18 +480,68 @@ object TextOps {
       col("doc_id").as("id_a"), col("text").as("text_a"))
     val b = blocked.select(col("lang"), col("n_tok"),
       col("doc_id").as("id_b"), col("text").as("text_b"))
-    val dist = levenshtein(col("text_a"), col("text_b"))
-    val sim = lit(1.0) - dist.cast("double") /
-      greatest(length(col("text_a")), length(col("text_b"))).cast("double")
+    val mx = greatest(length(col("text_a")), length(col("text_b")))
+    // Banded kernel: Spark's 3-arg levenshtein bails out (-1) once the
+    // distance provably exceeds the threshold, turning the O(len²) kernel
+    // into O(threshold·len) for the dissimilar majority. The +1 slack makes
+    // the integer-truncated band a strict superset of the sim floor, so the
+    // exact confirm below — the same `1 − d/mx ≥ floor` double arithmetic
+    // the oracle runs — decides every boundary case, never the band.
+    val tSlack = (lit(1.0 - levSimMin) * mx).cast("int") + lit(1)
+    val dist = call_function("levenshtein", col("text_a"), col("text_b"), tSlack)
+    val sim = lit(1.0) - dist.cast("double") / mx.cast("double")
     a.join(b, Seq("lang", "n_tok"))
-      .filter(col("id_a") < col("id_b") && sim >= levSimMin)
+      .filter(col("id_a") < col("id_b") && dist >= 0 && sim >= levSimMin)
       .select(col("id_a"), col("id_b"),
         dist.cast("long").as("dist"), round(sim, 4).as("sim"))
       .orderBy("id_a", "id_b")
   }
 
+  /** Per-source token Shannon entropy — the diversity signal that separates
+    * a rich natural-language source from templated/boilerplate spam (low
+    * entropy) in corpus triage. Computed as H = log2(n) − Σ c·log2(c) / n
+    * rather than −Σ p·log2(p): algebraically identical, but it avoids the
+    * −0.0-vs-0.0 drift a negated zero sum can produce across engines for a
+    * degenerate single-token source, and it never materializes tiny p
+    * ratios. Plan shape: token explode → (source, token) partial-agg
+    * groupBy (the only data-sized shuffle, same key discipline as the
+    * vocab ops), then per-source totals (≤ |sources| rows) re-join as an
+    * explicit broadcast.
+    */
+  val tokenEntropy = Q(
+    "text_token_entropy",
+    """WITH tok AS (
+      |  SELECT source, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS t
+      |  FROM documents),
+      |cnt AS (SELECT source, t, COUNT(*) AS c FROM tok GROUP BY source, t),
+      |tot AS (SELECT source, SUM(c) AS n FROM cnt GROUP BY source)
+      |SELECT cnt.source AS source,
+      |  CAST(MAX(tot.n) AS BIGINT) AS n_tokens,
+      |  COUNT(*) AS n_distinct,
+      |  ROUND(log2(MAX(tot.n)) -
+      |    SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) / MAX(tot.n), 4)
+      |    AS entropy_bits
+      |FROM cnt JOIN tot ON cnt.source = tot.source
+      |GROUP BY cnt.source ORDER BY source""".stripMargin) { (s, dir) =>
+    val cnt = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(filter(split(lower(col("text")), " "), x => x =!= "")).as("t"))
+      .groupBy("source", "t")
+      .agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("source").agg(sum("c").as("n"))
+    cnt.join(broadcast(tot), "source")
+      .groupBy("source")
+      .agg(
+        max("n").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        round(log2(max("n")) -
+          sum(col("c").cast("double") * log2(col("c").cast("double"))) / max("n"), 4)
+          .as("entropy_bits"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(
     langProfile, langId, qualityScore, tokenCount, fingerprint, simhash,
     simhashPairs, zipfRanks, repetition, piiScrub, boilerplateNgrams,
-    levenshteinPairs)
+    levenshteinPairs, tokenEntropy)
 }

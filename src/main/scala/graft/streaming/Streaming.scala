@@ -312,6 +312,28 @@ object Streaming {
       .outputMode("append")
       .start()
 
+  /** S5 (foreachBatch sink): the escape hatch every production pipeline
+    * reaches for when the target needs write semantics Spark's built-in
+    * sinks don't provide (JDBC upsert, lakehouse MERGE, dedup-on-write).
+    * Exactly-once here derives from idempotence, the contract foreachBatch
+    * actually offers: each micro-batch writes its per-type counts into a
+    * directory keyed by its monotonic `batchId`, with mode("overwrite"),
+    * so a replayed batch (post-crash re-delivery is at-least-once)
+    * overwrites its own previous output instead of duplicating it. The
+    * per-batch body is a normal batch write — at 100 TB/day each
+    * micro-batch is just another partitioned append, and the checkpoint
+    * advances only after the body returns.
+    */
+  def startForeachBatchSink(events: DataFrame, path: String,
+                            checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.groupBy("event_type").agg(count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+      }
+      .start()
+
   /** File-based streaming source over an events-shaped directory: new
     * parquet files appearing under `dir` are treated as stream arrivals
     * (the batch parquet corpus replays as a stream).

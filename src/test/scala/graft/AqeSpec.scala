@@ -64,4 +64,30 @@ class AqeSpec extends SparkSpecBase {
       assert(finalPlan.contains("BroadcastHashJoin"), finalPlan)
     }
   }
+
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // At 100 TB the classic kill-shot for a fact⋈dim shuffle join is a
+    // runtime semi-join filter: build a bloom filter from the dim side's
+    // selective predicate, push it into the fact scan, and shuffle only
+    // surviving rows. Spark's InjectRuntimeFilter does exactly this; the
+    // production defaults gate it behind a 10 GB application-side scan, so
+    // the thresholds are lowered here to prove the rewrite fires in this
+    // engine's session, with the dim filter genuinely selective (1 brand
+    // of 25).
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0") {
+      val part = spark.read.parquet(s"$sfDir/part.parquet")
+        .filter(col("p_brand") === "Brand#11")
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val joined = li.join(part, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand").agg(sum("l_quantity").as("qty"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"), optimized)
+      // and the filtered result is still correct
+      val qe = joined.queryExecution
+      assert(qe.executedPlan.execute().count() === 1)
+    }
+  }
 }

@@ -276,6 +276,29 @@ class StreamingSpec extends SparkSpecBase {
     assert(pruned.count() === rows.length) // fixture rows all land on one day
   }
 
+  test("foreachBatch sink: per-batch overwrite is replay-idempotent") {
+    val base = java.nio.file.Files.createTempDirectory("graft-feb").toString
+    val input = MemoryStream[Streaming.Ev](spark)
+    val q = Streaming.startForeachBatchSink(
+      input.toDF().withColumn("props", lit("{}")), s"$base/out", s"$base/ckpt")
+    try {
+      input.addData(rows.take(4)); q.processAllAvailable()
+      input.addData(rows.drop(4)); q.processAllAvailable()
+    } finally q.stop()
+    def totals: Map[String, Long] = spark.read.parquet(s"$base/out/batch=*")
+      .groupBy("event_type").agg(sum("n").as("n"))
+      .as[(String, Long)].collect().toMap
+    val expected = toDf(rows).groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(totals === expected)
+    // replay: re-running a delivered batch must overwrite, not duplicate —
+    // the idempotence exactly-once rests on. Simulate by re-writing batch 0's
+    // content through the same keyed path the sink uses.
+    toDf(rows.take(4)).groupBy("event_type").agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$base/out/batch=0")
+    assert(totals === expected)
+  }
+
   test("file stream source reads the events fixture incrementally") {
     val out = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
     // copy the sf0.001 events through the batch normalizer to get µs ts

@@ -126,6 +126,19 @@ class TextOpsSpec extends SparkSpecBase {
     assert(TextOps.levenshteinPairs.build(spark, dir).count() === 0L)
   }
 
+  test("token entropy: uniform 2-token source = 1 bit; 1-token source = +0.0") {
+    // "a a b b" → n=4, c={2,2}: H = log2(4) − (2·1 + 2·1)/4 = 1.0 exactly
+    val got = TextOps.tokenEntropy.build(spark, docsDir(Seq((1L, "a a b b"))))
+      .as[(String, Long, Long, Double)].collect().head
+    assert(got === (("src0", 4L, 2L, 1.0)))
+    // degenerate single-token source: exactly +0.0 (the log2(n)−Σ/n form
+    // cannot emit −0.0, which would hash-diverge from the oracle)
+    val zero = TextOps.tokenEntropy.build(spark, docsDir(Seq((1L, "a a a"))))
+      .as[(String, Long, Long, Double)].collect().head
+    assert(zero === (("src0", 3L, 1L, 0.0)))
+    assert(java.lang.Double.doubleToLongBits(zero._4) === 0L)
+  }
+
   test("boilerplate ngrams: a trigram in >= 5 docs flags; rare ones do not") {
     // docs 1-5 share the leading trigram "x y z" (df 5 = threshold);
     // doc 6 is all-unique so none of its trigrams are boilerplate.
