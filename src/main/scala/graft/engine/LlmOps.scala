@@ -710,9 +710,41 @@ object LlmOps {
       .orderBy("dim")
   }
 
+  /** D4 (transform, not just profile): project every embedding onto the
+    * unit sphere and ship the normalized vector itself through the hash
+    * gate — the preprocessing step in front of any cosine-metric index
+    * (normalize once, then cosine ≡ dot product). Map-only, codegen'd
+    * kernel, no shuffle. The unit vector dumps as its components scaled to
+    * 1e-4 quanta and cast to integers, joined into one scalar string: it
+    * pins all 64 components bit-for-bit across engines while sidestepping
+    * the one thing that CANNOT be made portable here — Java vs C float
+    * repr (Jackson prints 0.0001 as 1.0E-4) and the sign of a rounded
+    * −0.0 (the integer cast collapses it to 0 on both engines).
+    */
+  val embedNormalize = Q(
+    "llm_embed_normalize",
+    """WITH t AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings)
+      |SELECT vec_id, ROUND(nrm, 4) AS norm,
+      |  array_to_string(list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 10000 / nrm, 0) AS BIGINT)), ',')
+      |    AS unit_q4
+      |FROM t ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        vectors.l2Norm(col("embedding")).as("nrm"))
+      .select(col("vec_id"), round(col("nrm"), 4).as("norm"),
+        concat_ws(",", transform(col("embedding"),
+          x => round(x.cast("double") * 10000 / col("nrm"), 0).cast("long")))
+          .as("unit_q4"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupHash, jaccardPairs, shingleJaccard, knnCosine, annLsh,
     annIvf, nearDupCosine, embedNorm, minhashPairs, tfidf, approxDistinct,
     approxPercentile, nearDupClusters, decontaminate, quantizeInt8, approxTopK,
-    embedDimStats)
+    embedDimStats, embedNormalize)
 }

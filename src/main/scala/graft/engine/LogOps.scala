@@ -648,6 +648,34 @@ object LogOps {
       .orderBy("o_orderstatus")
   }
 
+  /** S-family (ORC): the other columnar lake format a switching user brings
+    * along. Orders round-trips through an ORC write/read (predicate
+    * pushdown, stripe stats and column pruning all work as with parquet —
+    * it is the same DataSource V1 file-scan machinery), profiled per
+    * priority bucket; the oracle computes the identical profile from the
+    * parquet view, so any type mangling in the ORC codec path breaks the
+    * hash. Same staging rationale as [[csvRoundtrip]].
+    */
+  val orcRoundtrip = Q(
+    "orc_roundtrip",
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  ROUND(SUM(o_totalprice), 2) AS total,
+      |  CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+      |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    val out = java.nio.file.Files.createTempDirectory("graft-orc-roundtrip")
+      .resolve("orders").toString
+    Tables.orders(s, dir).write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("total"),
+        min("o_orderkey").as("min_key"),
+        max("o_orderkey").as("max_key"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Retention/downsampling policy — the log-database housekeeping job:
     * events in the last 14 days (relative to the corpus high-water mark)
     * are hot and kept in full; older events keep all errors but sample
@@ -746,5 +774,6 @@ object LogOps {
     winTopk, winRankNtile, winPctRank, winLagGap, winRunningSum, winMovingAvg,
     winFirstLast, winSessionize,
     joinRangeEvents, joinAsofEvents, parseLines, funnel, retention, topPaths,
-    anomalyZscore, winTimeRange, csvRoundtrip, retentionPolicy, resampleFill)
+    anomalyZscore, winTimeRange, csvRoundtrip, retentionPolicy, resampleFill,
+    orcRoundtrip)
 }

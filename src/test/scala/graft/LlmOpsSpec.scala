@@ -241,6 +241,19 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(got === Set((1L, 2L, 0.8182)))
   }
 
+  test("embed normalize: reconstructed unit vectors have norm 1 ± quantum") {
+    val rows = LlmOps.embedNormalize.build(spark, sfDir)
+      .select("unit_q4").as[String].collect()
+    assert(rows.length === 500)
+    rows.foreach { s =>
+      val q = s.split(",").map(_.toLong)
+      assert(q.length === 64)
+      val norm = math.sqrt(q.map(v => (v / 10000.0) * (v / 10000.0)).sum)
+      // each component is off by ≤ 0.5 quanta → norm error ≤ 64·1e-4 loose
+      assert(math.abs(norm - 1.0) < 64 * 1e-4, s"norm=$norm")
+    }
+  }
+
   test("embed dim stats: hand-computable per-dimension moments") {
     // dim 0 sees {1, 3}: mean 2, std sqrt(2); dim 1 sees {2, 4}: mean 3.
     val dir = java.nio.file.Files.createTempDirectory("graft-emb").toString
