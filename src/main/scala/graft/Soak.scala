@@ -46,6 +46,10 @@ object Soak {
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
 
+    // SPARK_GRAFT_SOAK_ONLY=a,b,c restricts the run to the named queries
+    // (dev loop for newly added heavy ops; unset = the full list).
+    val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val heavy = Seq(
       "win_sessionize", "agg_salted_skew", "llm_dedup_hash", "llm_minhash_pairs",
       "llm_tfidf", "llm_ann_lsh", "llm_ann_ivf", "llm_knn_cosine",
@@ -55,11 +59,17 @@ object Soak {
       // list stays within those tables
       "llm_decontaminate", "llm_curation_pipeline", "llm_quantize_int8",
       "agg_approx_topk",
-      // 10× replication duplicates every text verbatim, so the edit-distance
-      // blocks and the boilerplate df-counts run at their hot-key worst case
-      "text_levenshtein_pairs", "text_boilerplate_ngrams", "text_pii_scrub",
+      // 10× verbatim replication is the boilerplate df-counter's hot-key
+      // worst case (every trigram's df multiplies by 10) — soaked on
+      // purpose. text_levenshtein_pairs is deliberately NOT here: verbatim
+      // replication multiplies its (lang, n_tok) block density by 10 and
+      // pair work by up to 100, and the block cap then bounds work at
+      // cardinality × cap²/2 ≈ 10⁶ O(len²) kernels — a fixed worst-case
+      // cost (~minutes) that measures the cap, not scaling; the cap
+      // behavior is spec-pinned instead (TextOpsSpec over-cap test).
+      "text_boilerplate_ngrams", "text_pii_scrub",
       "llm_embed_dim_stats", "log_resample_fill", "llm_quota_sample")
-    heavy.foreach { name =>
+    heavy.filter(n => only.forall(_.contains(n))).foreach { name =>
       val fn = SparkEntry.queries(name)
       try { fn(spark, dir).count() } catch { case _: Throwable => () } // warm
       val t0 = System.nanoTime()

@@ -62,5 +62,29 @@ object SqlOps {
     sql("sql_not_in_nulls", text)(text)
   }
 
-  val all: Seq[Q] = Seq(shippingPriority, notInNulls)
+  /** TPC-H Q5-shaped local-supplier volume: the 6-table join that exercises
+    * Catalyst's join reordering and broadcast selection end to end —
+    * region/nation prune first (broadcastable dims), the customer⋈supplier
+    * nation-equality rides the fact join, and only the date-windowed slice
+    * of orders reaches the wide lineitem join. Submitted as SQL text;
+    * identical text runs on both engines.
+    */
+  val localSupplierVolume: Q = {
+    val text =
+      """SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin
+    sql("sql_local_supplier_volume", text)(text)
+  }
+
+  val all: Seq[Q] = Seq(shippingPriority, notInNulls, localSupplierVolume)
 }

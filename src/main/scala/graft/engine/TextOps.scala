@@ -441,15 +441,23 @@ object TextOps {
     * block key — never all-pairs — and blocks larger than [[levBlockCap]]
     * docs are dropped via a broadcast anti join before pairing (same
     * hot-key discipline as the Jaccard df-cap): worst-case work is
-    * cap²/2 per block, independent of corpus size. The O(len²) per-pair
-    * kernel runs inside codegen on the candidate set only.
+    * cap²/2 per block times the key cardinality, independent of corpus
+    * size. The cap is deliberately tight (100): (lang, token count) is a
+    * ~450-key demo key chosen for oracle expressibility, so block density
+    * grows linearly with the corpus and pair work quadratically — measured
+    * in the 10× soak, where verbatim replicas push every block past the
+    * cap and the anti-join (correctly) drops them. A production deployment
+    * swaps in a high-cardinality blocking key — a SimHash band or MinHash
+    * bucket, as text_simhash_pairs/llm_minhash_pairs build — and keeps
+    * this pairing stage unchanged. The O(len²) per-pair kernel runs inside
+    * codegen on the candidate set only.
     *
     * The fixture's word-soup corpus tops out at sim ≈ 0.37 (no organic
     * typo-dups), so the reporting floor sits at 0.3 to exercise the
     * machinery; a production dedup pass would raise it to ≈ 0.8.
     */
   private val levSimMin = 0.3
-  private val levBlockCap = 1000
+  private val levBlockCap = 100
 
   val levenshteinPairs = Q(
     "text_levenshtein_pairs",

@@ -119,11 +119,13 @@ class TextOpsSpec extends SparkSpecBase {
   }
 
   test("levenshtein pairs: an over-cap block is dropped, not exploded") {
-    // 1001 identical two-token docs exceed the 1000-doc block cap → the
+    // 101 identical two-token docs exceed the 100-doc block cap → the
     // anti-join kills the whole block and zero pairs come out (instead of
-    // 500k lev() calls on a degenerate hot block).
-    val dir = docsDir((1L to 1001L).map(i => (i, "a b")))
+    // 5k lev() calls on a degenerate hot block); an at-cap block survives.
+    val dir = docsDir((1L to 101L).map(i => (i, "a b")))
     assert(TextOps.levenshteinPairs.build(spark, dir).count() === 0L)
+    val atCap = docsDir((1L to 100L).map(i => (i, "a b")))
+    assert(TextOps.levenshteinPairs.build(spark, atCap).count() === 100L * 99 / 2)
   }
 
   test("token entropy: uniform 2-token source = 1 bit; 1-token source = +0.0") {
