@@ -68,7 +68,11 @@ object Bench {
     // sbt prefixes stdout with [info], which breaks machine parsing of the
     // JSON line. Emit it through two prefix-free channels as well: a file
     // (for the driver) and raw stderr (for humans running via sbt).
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    // default path is keyed on the fixture name so two Bench runs against
+    // different sf dirs never clobber each other's result file; a same-sf
+    // retry overwriting its predecessor is the desired latest-wins
+    val sfBase = java.nio.file.Paths.get(sfDir).getFileName.toString
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"/tmp/graft_bench_$sfBase.json")
     // delete any stale file first so a failed write surfaces as a MISSING
     // file, never as a silently re-consumed previous run
     try {

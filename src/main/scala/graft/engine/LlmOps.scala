@@ -689,14 +689,17 @@ object LlmOps {
   val embedDimStats = Q(
     "llm_embed_dim_stats",
     """SELECT i - 1 AS dim, COUNT(*) AS n,
-      |  ROUND(AVG(CAST(x AS DOUBLE)), 4) AS mean,
+      |  ROUND(AVG(CAST(x AS DOUBLE)), 4) + 0 AS mean,
       |  ROUND(STDDEV_SAMP(CAST(x AS DOUBLE)), 4) AS std,
-      |  ROUND(MIN(CAST(x AS DOUBLE)), 4) AS min_v,
-      |  ROUND(MAX(CAST(x AS DOUBLE)), 4) AS max_v
+      |  ROUND(MIN(CAST(x AS DOUBLE)), 4) + 0 AS min_v,
+      |  ROUND(MAX(CAST(x AS DOUBLE)), 4) + 0 AS max_v
       |FROM (
       |  SELECT unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
       |  FROM embeddings) t
       |GROUP BY i ORDER BY dim""".stripMargin) { (s, dir) =>
+    // `+ 0` on mean/min_v/max_v: a dimension whose mean rounds to zero from
+    // below (dims 9 and 24 at sf0.1: means ≈ −2e−05) prints -0 in DuckDB
+    // and 0 here — same sign-of-zero class as first_val/corr_qd (Funcs).
     Tables.embeddings(s, dir)
       .select(posexplode(col("embedding")).as(Seq("dim", "x")))
       .select(col("dim").cast("long").as("dim"), col("x").cast("double").as("x"))
@@ -731,10 +734,13 @@ object LlmOps {
       |  array_to_string(list_transform(embedding,
       |    x -> CAST(round(CAST(x AS DOUBLE) * 10000 / nrm, 0) AS BIGINT)), ',')
       |    AS unit_q4
-      |FROM t ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      |FROM t WHERE nrm > 0 ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    // nrm > 0 is a structural guard, not a fixture assumption: an all-zero
+    // (dead) vector would divide by zero — NaN→0 here vs NULL in DuckDB.
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"),
         vectors.l2Norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
       .select(col("vec_id"), round(col("nrm"), 4).as("norm"),
         concat_ws(",", transform(col("embedding"),
           x => round(x.cast("double") * 10000 / col("nrm"), 0).cast("long")))

@@ -621,6 +621,34 @@ object LogOps {
     * reader, which splits on line boundaries across executors like any
     * text source at 100 TB.
     */
+  /** One staged copy of orders per (fixture, format) per JVM. A fixed path
+    * keyed only on the fixture would race across processes (a Verify dump
+    * and a Bench warm loop building against the same fixture concurrently —
+    * one's overwrite deletes the directory the other is reading back), so
+    * the root stays a per-process temp dir; memoizing inside the process
+    * stops every build() (Bench warm+timed passes, PlanSpec's registry-wide
+    * plan scan) from rewriting the full table and leaking a fresh dir. The
+    * shutdown hook reclaims the staging on JVM exit.
+    */
+  private val stagedRoundtrip =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+  private def stageOrders(s: org.apache.spark.sql.SparkSession, dir: String,
+                          format: String): String =
+    stagedRoundtrip.computeIfAbsent((dir, format), { _ =>
+      val root = java.nio.file.Files.createTempDirectory(s"graft-$format-roundtrip")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        try Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+        catch { case _: Throwable => () }
+      }))
+      val out = root.resolve("orders").toString
+      val w = Tables.orders(s, dir).write.mode("overwrite")
+      if (format == "csv") w.option("header", "true").csv(out) else w.orc(out)
+      out
+    })
+
   val csvRoundtrip = Q(
     "csv_roundtrip",
     """SELECT o_orderstatus, COUNT(*) AS n,
@@ -628,13 +656,7 @@ object LogOps {
       |  CAST(MIN(o_orderdate) AS TIMESTAMP) AS first_ts,
       |  CAST(MAX(o_orderdate) AS TIMESTAMP) AS last_ts
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
-    // unique per-invocation staging dir: a fixed path keyed on the fixture
-    // name would race when two drivers (a Verify dump and a Bench warm
-    // loop, say) build this query against the same fixture concurrently —
-    // one's overwrite deletes the directory the other is reading back
-    val out = java.nio.file.Files.createTempDirectory("graft-csv-roundtrip")
-      .resolve("orders").toString
-    Tables.orders(s, dir).write.mode("overwrite").option("header", "true").csv(out)
+    val out = stageOrders(s, dir, "csv")
     graft.sources.LogSource.readCsv(s, out,
       org.apache.spark.sql.types.StructType.fromDDL(
         "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
@@ -663,9 +685,7 @@ object LogOps {
       |  CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
       |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
-    val out = java.nio.file.Files.createTempDirectory("graft-orc-roundtrip")
-      .resolve("orders").toString
-    Tables.orders(s, dir).write.mode("overwrite").orc(out)
+    val out = stageOrders(s, dir, "orc")
     s.read.orc(out)
       .groupBy("o_orderpriority")
       .agg(

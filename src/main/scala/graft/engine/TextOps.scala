@@ -475,7 +475,8 @@ object TextOps {
        |FROM t a
        |JOIN t b ON a.lang = b.lang AND a.n_tok = b.n_tok AND a.doc_id < b.doc_id
        |JOIN ok ON ok.lang = a.lang AND ok.n_tok = a.n_tok
-       |WHERE 1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+       |WHERE greatest(len(a.text), len(b.text)) > 0
+       |  AND 1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) /
        |    greatest(len(a.text), len(b.text)) >= $levSimMin
        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
     val t = Tables.documents(s, dir).select(
@@ -498,8 +499,11 @@ object TextOps {
     val tSlack = (lit(1.0 - levSimMin) * mx).cast("int") + lit(1)
     val dist = call_function("levenshtein", col("text_a"), col("text_b"), tSlack)
     val sim = lit(1.0) - dist.cast("double") / mx.cast("double")
+    // mx > 0 is structural: two empty-text docs give sim = 0/0 = NaN, which
+    // Spark's NaN-is-greatest ordering would pass through `>= levSimMin`
+    // while the oracle's NULL division filters the row.
     a.join(b, Seq("lang", "n_tok"))
-      .filter(col("id_a") < col("id_b") && dist >= 0 && sim >= levSimMin)
+      .filter(col("id_a") < col("id_b") && mx > 0 && dist >= 0 && sim >= levSimMin)
       .select(col("id_a"), col("id_b"),
         dist.cast("long").as("dist"), round(sim, 4).as("sim"))
       .orderBy("id_a", "id_b")
