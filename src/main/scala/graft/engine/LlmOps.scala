@@ -748,9 +748,57 @@ object LlmOps {
       .orderBy("vec_id")
   }
 
+  /** D2 (exact-substring form): per-document duplicated-span fraction —
+    * what share of a doc's word-5-gram positions also occur in at least one
+    * OTHER document. This is the doc-level signal behind exact-substring
+    * dedup (drop or trim docs whose text is largely copied elsewhere),
+    * complementing the set-similarity ops: Jaccard/MinHash ask "how similar
+    * is this PAIR", this asks "how much of THIS doc is non-original".
+    *
+    * Shape is linear, not pairwise: positional 5-grams explode map-side,
+    * document frequency per gram is one hash agg over the DISTINCT
+    * (doc, gram) set, and each occurrence joins its gram's df back — an
+    * equi-join on the gram key. No postings self-join, so no df-cap is
+    * needed: a boilerplate gram shared by every doc costs one df row and a
+    * fan-out join, both linear in corpus size. Docs with fewer than five
+    * tokens emit no grams and drop out on both sides.
+    */
+  val dupSpanFraction = Q(
+    "llm_dup_span_fraction",
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ts) - 3),
+      |    i -> array_to_string(ts[i:i+4], ' '))) AS gram
+      |  FROM toks WHERE len(ts) >= 5),
+      |dfc AS (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY 1)
+      |SELECT g.doc_id, COUNT(*) AS n_grams,
+      |  CAST(SUM(CASE WHEN dfc.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |  ROUND(CAST(SUM(CASE WHEN dfc.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 4) AS dup_frac
+      |FROM grams g JOIN dfc USING (gram)
+      |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(transform(
+          when(size(toks) >= lit(5), sequence(lit(1), size(toks) - 4))
+            .otherwise(array().cast("array<int>")),
+          i => concat_ws(" ", slice(toks, i, lit(5))))).as("gram"))
+    val dfc = grams.distinct().groupBy("gram").agg(count(lit(1)).as("df"))
+    grams.join(dfc, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_grams"), 4).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupHash, jaccardPairs, shingleJaccard, knnCosine, annLsh,
     annIvf, nearDupCosine, embedNorm, minhashPairs, tfidf, approxDistinct,
     approxPercentile, nearDupClusters, decontaminate, quantizeInt8, approxTopK,
-    embedDimStats, embedNormalize)
+    embedDimStats, embedNormalize, dupSpanFraction)
 }

@@ -696,6 +696,47 @@ object LogOps {
       .orderBy("o_orderpriority")
   }
 
+  /** Log compaction (CDC/upsert semantics): latest-record-wins per
+    * (user_id, event_type) key, plus how many superseded versions the
+    * compaction would discard. The canonical shape behind `MERGE INTO` /
+    * changelog materialization: one shuffle on the compaction key, then a
+    * per-key window — no join, no second pass for the version count (both
+    * window frames share the one exchange).
+    *
+    * Ordering is on the RAW nanosecond column (`ts_ns`), not the
+    * µs-truncated timestamp: two versions of a key landing in the same
+    * microsecond but different nanoseconds must pick the same winner here
+    * and in the oracle (which orders by the parquet TIMESTAMP_NS natively);
+    * event_id breaks exact-tie nanos deterministically.
+    *
+    * 100 TB: hash-partitioned by key like any compaction job; with the
+    * events table bucketed by user_id the exchange disappears entirely.
+    */
+  val compactLatest = Q(
+    "log_compact_latest",
+    """SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS last_ts,
+      |  value AS last_value, event_id AS last_event_id, n_versions
+      |FROM (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts DESC, event_id DESC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_versions
+      |  FROM events) t
+      |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+    val key = Window.partitionBy("user_id", "event_type")
+    val ord = key.orderBy(col("ts_ns").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("value"),
+        col("event_id"), col("ts_ns"))
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("n_versions", count(lit(1)).over(key))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("ts").as("last_ts"),
+        col("value").as("last_value"), col("event_id").as("last_event_id"),
+        col("n_versions"))
+      .orderBy("user_id", "event_type")
+  }
+
   /** Retention/downsampling policy — the log-database housekeeping job:
     * events in the last 14 days (relative to the corpus high-water mark)
     * are hot and kept in full; older events keep all errors but sample
@@ -795,5 +836,5 @@ object LogOps {
     winFirstLast, winSessionize,
     joinRangeEvents, joinAsofEvents, parseLines, funnel, retention, topPaths,
     anomalyZscore, winTimeRange, csvRoundtrip, retentionPolicy, resampleFill,
-    orcRoundtrip)
+    orcRoundtrip, compactLatest)
 }

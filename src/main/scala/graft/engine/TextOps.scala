@@ -552,8 +552,48 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** D7 (statistical quality): per-document mean unigram log-probability
+    * under the corpus's own unigram distribution — the cheap stand-in for a
+    * KenLM-style perplexity filter. A doc made of common corpus tokens
+    * scores near the corpus mean; a doc of rare/garbled tokens scores far
+    * more negative, and the tails are what a quality gate drops.
+    *
+    * avg log2 p(tok) = avg(log2 c_tok) − log2 N, computed in that split
+    * form so the single-row corpus total N joins in AFTER the per-doc
+    * aggregate (one broadcast row) instead of riding every token
+    * occurrence. Token frequencies join occurrences on the token key — a
+    * vocab-sized equi-join, linear at any corpus size; no driver-side
+    * collect anywhere.
+    */
+  val unigramLogprob = Q(
+    "text_unigram_logprob",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+      |    t -> t <> '')) AS tok
+      |  FROM documents),
+      |freq AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_total FROM freq)
+      |SELECT t.doc_id, COUNT(*) AS n_tok,
+      |  ROUND(AVG(log2(CAST(freq.c AS DOUBLE))) - log2(tot.n_total), 4)
+      |    AS avg_log2p
+      |FROM toks t JOIN freq USING (tok) CROSS JOIN tot
+      |GROUP BY t.doc_id, tot.n_total ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+    val occ = Tables.documents(s, dir).select(col("doc_id"), explode(toks).as("tok"))
+    val freq = occ.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = freq.agg(sum("c").cast("double").as("n_total"))
+    occ.join(freq, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        avg(log2(col("c").cast("double"))).as("avg_log_c"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("avg_log_c") - log2(col("n_total")), 4).as("avg_log2p"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     langProfile, langId, qualityScore, tokenCount, fingerprint, simhash,
     simhashPairs, zipfRanks, repetition, piiScrub, boilerplateNgrams,
-    levenshteinPairs, tokenEntropy)
+    levenshteinPairs, tokenEntropy, unigramLogprob)
 }

@@ -267,4 +267,19 @@ class LlmOpsSpec extends SparkSpecBase {
       (0L, 2L, 2.0, 1.4142, 1.0, 3.0),
       (1L, 2L, 3.0, 1.4142, 2.0, 4.0)))
   }
+
+  test("dup-span fraction: shared 5-grams count, short docs drop out") {
+    val dir = docsDir(Seq(
+      (1L, "a b c d e f"),     // grams: "a b c d e", "b c d e f"
+      (2L, "a b c d e x"),     // grams: "a b c d e", "b c d e x"
+      (3L, "p q r s t u v"),   // 3 grams, none shared
+      (4L, "z z z z")))        // < 5 tokens → no grams → absent
+    val got = LlmOps.dupSpanFraction.build(spark, dir)
+      .select("doc_id", "n_grams", "n_dup", "dup_frac")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === Set(
+      (1L, 2L, 1L, 0.5),
+      (2L, 2L, 1L, 0.5),
+      (3L, 3L, 0L, 0.0)))
+  }
 }

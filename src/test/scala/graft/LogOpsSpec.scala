@@ -100,4 +100,24 @@ class LogOpsSpec extends SparkSpecBase {
       .filter($"t" =!= "").count()
     assert(totalTokens === expected)
   }
+
+  test("compaction keeps the latest version per key and counts the discards") {
+    val dir = eventsDir(Seq(
+      // user 0 "view": three versions → keep event 3 (minute 10), n=3
+      (1L, ts(0), 0L, "view", 1.0, "{}"),
+      (2L, ts(5), 0L, "view", 2.0, "{}"),
+      (3L, ts(10), 0L, "view", 3.0, "{}"),
+      // user 1 "view": exact timestamp tie → higher event_id wins
+      (4L, ts(7), 1L, "view", 4.0, "{}"),
+      (5L, ts(7), 1L, "view", 5.0, "{}"),
+      // user 1 "click": single version survives untouched
+      (6L, ts(2), 1L, "click", 6.0, "{}")))
+    val got = LogOps.compactLatest.build(spark, dir)
+      .select("user_id", "event_type", "last_event_id", "last_value", "n_versions")
+      .as[(Long, String, Long, Double, Long)].collect().toSet
+    assert(got === Set(
+      (0L, "view", 3L, 3.0, 3L),
+      (1L, "view", 5L, 5.0, 2L),
+      (1L, "click", 6L, 6.0, 1L)))
+  }
 }

@@ -141,6 +141,7 @@ class PlanSpec extends SparkSpecBase {
     "llm_tfidf"             -> "single-row corpus-count aggregate cross-joined into idf",
     "filter_scalar_subquery"-> "single-row scalar aggregate broadcast as the filter bound",
     "llm_domain_mix"        -> "single-row totals aggregate cross-joined into the weights",
+    "text_unigram_logprob"  -> "single-row corpus-total aggregate cross-joined into log2 N",
     "log_retention_policy"  -> "single-row max-ts aggregate cross-joined into the age tiers",
     "log_resample_fill"     -> ("hour spine (exploded 1-row min/max agg) × ≤5-row distinct " +
                                 "type dim — both post-aggregation metadata-sized"),

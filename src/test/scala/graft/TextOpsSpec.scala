@@ -152,4 +152,21 @@ class TextOpsSpec extends SparkSpecBase {
     // 6 tokens → 4 trigrams; exactly one ("x y z") is boilerplate.
     assert(got === ((1L to 5L).map(i => (i, 4L, 1L, 0.25)).toSet + ((6L, 4L, 0L, 0.0))))
   }
+
+  test("unigram logprob: hand-computed corpus model, common beats rare") {
+    // corpus: doc 1 = "a a b", doc 2 = "a b" → freq a=3, b=2, N=5
+    val dir = docsDir(Seq((1L, "a a b"), (2L, "a b")))
+    val l3 = math.log(3) / math.log(2)
+    val l5 = math.log(5) / math.log(2)
+    val exp1 = BigDecimal((l3 + l3 + 1.0) / 3 - l5)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp2 = BigDecimal((l3 + 1.0) / 2 - l5)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TextOps.unigramLogprob.build(spark, dir)
+      .select("doc_id", "n_tok", "avg_log2p")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === Set((1L, 3L, exp1), (2L, 2L, exp2)))
+    // the doc weighted toward the more frequent token scores higher
+    assert(exp1 > exp2)
+  }
 }
