@@ -68,7 +68,11 @@ object Soak {
       // cost (~minutes) that measures the cap, not scaling; the cap
       // behavior is spec-pinned instead (TextOpsSpec over-cap test).
       "text_boilerplate_ngrams", "text_pii_scrub",
-      "llm_embed_dim_stats", "log_resample_fill", "llm_quota_sample")
+      "llm_embed_dim_stats", "log_resample_fill", "llm_quota_sample",
+      // verbatim 10× replication makes EVERY doc a full duplicate (each
+      // gram's df ≥ 10), so dup_span_fraction soaks its worst case: the
+      // gram-df join fans out 10× rows but stays linear — no pairwise term
+      "llm_dup_span_fraction", "text_unigram_logprob", "log_compact_latest")
     heavy.filter(n => only.forall(_.contains(n))).foreach { name =>
       val fn = SparkEntry.queries(name)
       try { fn(spark, dir).count() } catch { case _: Throwable => () } // warm

@@ -182,13 +182,18 @@ object LlmOps {
       |JOIN sz sb ON inter.id_b = sb.doc_id
       |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    // tokenize once into a materialized column — an inlined split() tree
+    // inside the lambda would re-tokenize the text per shingle position,
+    // O(len²) per doc (CollapseProject keeps a multiply-referenced
+    // non-cheap alias as a real column)
     val toks = split(lower(col("text")), " ")
     val sh0 = Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("ts"))
       .select(col("doc_id"),
         explode(array_distinct(transform(
-          when(size(toks) >= lit(2), sequence(lit(1), size(toks) - 1))
+          when(size(col("ts")) >= lit(2), sequence(lit(1), size(col("ts")) - 1))
             .otherwise(array().cast("array<int>")),
-          i => concat_ws(" ", slice(toks, i, lit(2)))))).as("sh"))
+          i => concat_ws(" ", slice(col("ts"), i, lit(2)))))).as("sh"))
     val sh = dfCapped(sh0, "sh", 0.1)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
@@ -565,13 +570,16 @@ object LlmOps {
       |FROM g JOIN ev USING (ng)
       |WHERE g.source <> 'src0'
       |GROUP BY 1, 2 ORDER BY g.doc_id""".stripMargin) { (s, dir) =>
+    // tokenize once into a materialized column (same O(len²) trap as the
+    // shingle builder: slice() in the lambda must reference a real column)
     val toks = split(lower(col("text")), " ")
     val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), toks.as("ts"))
       .select(col("doc_id"), col("source"),
         explode(array_distinct(transform(
-          when(size(toks) >= lit(8), sequence(lit(1), size(toks) - 7))
+          when(size(col("ts")) >= lit(8), sequence(lit(1), size(col("ts")) - 7))
             .otherwise(array().cast("array<int>")),
-          i => concat_ws(" ", slice(toks, i, lit(8)))))).as("ng"))
+          i => concat_ws(" ", slice(col("ts"), i, lit(8)))))).as("ng"))
     val evalGrams = grams.filter(col("source") === "src0").select("ng").distinct()
     grams.filter(col("source") =!= "src0")
       .join(broadcast(evalGrams), Seq("ng"))
@@ -779,18 +787,30 @@ object LlmOps {
       |    / COUNT(*), 4) AS dup_frac
       |FROM grams g JOIN dfc USING (gram)
       |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    // tokenize ONCE into a materialized column: slice() inside the lambda
+    // references the token array per gram position, and an inlined
+    // filter(split(...)) tree would re-tokenize the full text for every
+    // position — O(len²) per doc. As a multiply-referenced non-cheap alias
+    // CollapseProject keeps `ts` a real column, so per-position work is the
+    // O(5) slice alone.
     val toks = filter(split(lower(col("text")), " "), t => t =!= "")
-    val grams = Tables.documents(s, dir)
+    // one explode pass, then ONE (doc, gram) pre-aggregation that serves
+    // both sides: its distinct rows feed the gram-df count, its n_occ sums
+    // reconstruct positional totals — so raw gram occurrences shuffle once,
+    // and the df join runs over the (smaller) distinct set
+    val perDoc = Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("ts"))
       .select(col("doc_id"),
         explode(transform(
-          when(size(toks) >= lit(5), sequence(lit(1), size(toks) - 4))
+          when(size(col("ts")) >= lit(5), sequence(lit(1), size(col("ts")) - 4))
             .otherwise(array().cast("array<int>")),
-          i => concat_ws(" ", slice(toks, i, lit(5))))).as("gram"))
-    val dfc = grams.distinct().groupBy("gram").agg(count(lit(1)).as("df"))
-    grams.join(dfc, "gram")
+          i => concat_ws(" ", slice(col("ts"), i, lit(5))))).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("n_occ"))
+    val dfc = perDoc.groupBy("gram").agg(count(lit(1)).as("df"))
+    perDoc.join(dfc, "gram")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .agg(sum(col("n_occ")).as("n_grams"),
+        sum(when(col("df") >= 2, col("n_occ")).otherwise(0L)).as("n_dup"))
       .select(col("doc_id"), col("n_grams"), col("n_dup"),
         round(col("n_dup").cast("double") / col("n_grams"), 4).as("dup_frac"))
       .orderBy("doc_id")
