@@ -72,7 +72,8 @@ object Soak {
       // verbatim 10× replication makes EVERY doc a full duplicate (each
       // gram's df ≥ 10), so dup_span_fraction soaks its worst case: the
       // gram-df join fans out 10× rows but stays linear — no pairwise term
-      "llm_dup_span_fraction", "text_unigram_logprob", "log_compact_latest")
+      "llm_dup_span_fraction", "text_unigram_logprob", "log_compact_latest",
+      "log_peak_concurrency")
     heavy.filter(n => only.forall(_.contains(n))).foreach { name =>
       val fn = SparkEntry.queries(name)
       try { fn(spark, dir).count() } catch { case _: Throwable => () } // warm

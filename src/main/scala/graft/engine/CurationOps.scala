@@ -294,7 +294,48 @@ object CurationOps {
       .orderBy("lang", "rn")
   }
 
+  /** Weighted sample: top-5 docs per source under Duffield–Lund–Thorup
+    * priority sampling — priority q = w/u with weight w = n_chars and
+    * u ∈ (0,1] a deterministic uniform from the id hash, so longer docs
+    * are proportionally likelier to be drawn and a rerun (or the other
+    * engine) draws the identical sample. u uses the first 8 md5 hex chars
+    * (32 bits) and the priority is ONE IEEE division — division is
+    * correctly rounded, so both engines rank on bit-identical doubles
+    * (never ln/pow, which are only faithfully rounded and may disagree in
+    * the last ulp across libm implementations).
+    *
+    * 100 TB: map-side hash + one per-source top-k window — the win_topk
+    * shape; no global sort, no driver state.
+    */
+  val weightedSample = Q(
+    "llm_weighted_sample",
+    """SELECT source, doc_id, n_chars, ROUND(priority, 4) AS priority, rn FROM (
+      |  SELECT source, doc_id, n_chars,
+      |    CAST(n_chars AS DOUBLE) * 4294967296.0 /
+      |      (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+      |      AS priority,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY
+      |      CAST(n_chars AS DOUBLE) * 4294967296.0 /
+      |        (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+      |      DESC, doc_id) AS INTEGER) AS rn
+      |  FROM documents) t
+      |WHERE rn <= 5 ORDER BY source, rn""".stripMargin) { (s, dir) =>
+    val h32 = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val priority = col("n_chars").cast("double") * lit(4294967296.0) / (h32 + lit(1))
+    val w = Window.partitionBy("source").orderBy(col("priority").desc, col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        priority.as("priority"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        round(col("priority"), 4).as("priority"), col("rn"))
+      .orderBy("source", "rn")
+  }
+
   val all: Seq[Q] = Seq(
     trainTestSplit, stratifiedSample, dedupCanonical, packSequences,
-    bigramVocab, histogramChars, domainMix, curationPipeline, quotaSample)
+    bigramVocab, histogramChars, domainMix, curationPipeline, quotaSample,
+    weightedSample)
 }

@@ -340,13 +340,21 @@ object LogOps {
       |  MIN(ts) AS session_start, MAX(ts) AS session_end
       |FROM sess GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
+    sessionTable(s, dir).orderBy("user_id", "session_id")
+  }
+
+  /** The sessionized table (user_id, session_id, n_events, session_start,
+    * session_end) — shared by [[winSessionize]] and [[peakConcurrency]];
+    * both window passes and the final groupBy ride ONE user_id exchange.
+    */
+  private def sessionTable(s: org.apache.spark.sql.SparkSession,
+                           dir: String): org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val flagged = Tables.events(s, dir)
+    Tables.events(s, dir)
       .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
       .withColumn("new_sess",
         when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > gapUs, 1)
           .otherwise(0))
-    flagged
       .withColumn("session_id",
         sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast("long"))
@@ -355,7 +363,6 @@ object LogOps {
         count(lit(1)).as("n_events"),
         min("ts").as("session_start"),
         max("ts").as("session_end"))
-      .orderBy("user_id", "session_id")
   }
 
   /** J6: range join — error within 1 h after a purchase, same user. The
@@ -737,6 +744,75 @@ object LogOps {
       .orderBy("user_id", "event_type")
   }
 
+  /** Peak concurrent sessions per day — the classic interval sweep-line as
+    * a window plan: each session emits (+1 at start, −1 at end), the
+    * running sum over (ts, +1-before-−1) is instantaneous concurrency, and
+    * the daily max is the peak. Ordering −1 after +1 at the same instant
+    * gives closed-interval overlap semantics (a session ending at T and
+    * one starting at T overlap); the default RANGE frame makes tied
+    * deltas order-invariant (peers share one running value).
+    *
+    * Sessions are swept within their START day (a session crossing
+    * midnight doesn't carry into the next day's count) — that keeps the
+    * sweep partitioned by day, so each day's scan is independent and the
+    * operator scales by day-count, not corpus size. The unbounded-carry
+    * variant adds a per-day carry-in join (sessions spanning the boundary)
+    * on top of the same sweep; at a 30-minute gap cap the difference is at
+    * most the handful of midnight-straddling sessions.
+    *
+    * 100 TB: two exchanges total — user_id (shared with sessionize) then
+    * day; within a day the sweep is a single sorted pass. For
+    * million-session days, sub-partition by hour with hour-boundary
+    * carry-ins (same shape, one more prefix-sum level).
+    */
+  val peakConcurrency = Q(
+    "log_peak_concurrency",
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id, ts
+      |  FROM flagged),
+      |sessions AS (
+      |  SELECT user_id, session_id,
+      |    MIN(ts) AS session_start, MAX(ts) AS session_end
+      |  FROM sess GROUP BY user_id, session_id),
+      |deltas AS (
+      |  SELECT CAST(date_trunc('day', session_start) AS TIMESTAMP) AS day,
+      |    session_start AS ts, 1 AS delta FROM sessions
+      |  UNION ALL
+      |  SELECT CAST(date_trunc('day', session_start) AS TIMESTAMP) AS day,
+      |    session_end AS ts, -1 AS delta FROM sessions),
+      |run AS (
+      |  SELECT day, delta,
+      |    SUM(delta) OVER (PARTITION BY day ORDER BY ts, delta DESC) AS conc
+      |  FROM deltas)
+      |SELECT day,
+      |  CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+      |  CAST(MAX(conc) AS BIGINT) AS peak_concurrent
+      |FROM run GROUP BY day ORDER BY day""".stripMargin) { (s, dir) =>
+    val sessions = sessionTable(s, dir)
+      .select(date_trunc("day", col("session_start")).as("day"),
+        col("session_start"), col("session_end"))
+    val deltas = sessions
+      .select(col("day"), col("session_start").as("ts"), lit(1).as("delta"))
+      .unionByName(sessions
+        .select(col("day"), col("session_end").as("ts"), lit(-1).as("delta")))
+    val sweep = Window.partitionBy("day").orderBy(col("ts").asc, col("delta").desc)
+    deltas
+      .withColumn("conc", sum("delta").over(sweep))
+      .groupBy("day")
+      .agg(sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_sessions"),
+        max("conc").cast("long").as("peak_concurrent"))
+      .orderBy("day")
+  }
+
   /** Retention/downsampling policy — the log-database housekeeping job:
     * events in the last 14 days (relative to the corpus high-water mark)
     * are hot and kept in full; older events keep all errors but sample
@@ -836,5 +912,5 @@ object LogOps {
     winFirstLast, winSessionize,
     joinRangeEvents, joinAsofEvents, parseLines, funnel, retention, topPaths,
     anomalyZscore, winTimeRange, csvRoundtrip, retentionPolicy, resampleFill,
-    orcRoundtrip, compactLatest)
+    orcRoundtrip, compactLatest, peakConcurrency)
 }

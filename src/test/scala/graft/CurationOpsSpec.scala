@@ -116,4 +116,22 @@ class CurationOpsSpec extends SparkSpecBase {
       assert(lo >= bin * 100 && hi < (bin + 1) * 100 && lo <= hi)
     }
   }
+
+  test("weighted sample: matches a pure-Scala DLT priority recomputation") {
+    // ten docs, one source, weights = text lengths; expected top-5 computed
+    // independently with java MessageDigest + the same q = w·2³²/(h+1)
+    val rows = (1L to 10L).map(i => (i, "x" * (i * 7 % 13 + 3).toInt, "en"))
+    val dir = docsDir(rows)
+    def prio(id: Long, w: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 8)
+      w.toDouble * 4294967296.0 / (java.lang.Long.parseLong(hex, 16) + 1)
+    }
+    val expected = rows.map { case (id, text, _) => (id, prio(id, text.length)) }
+      .sortBy { case (id, p) => (-p, id) }.take(5).map(_._1)
+    val got = CurationOps.weightedSample.build(spark, dir)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got === expected)
+  }
 }

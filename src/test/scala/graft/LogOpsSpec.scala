@@ -101,6 +101,25 @@ class LogOpsSpec extends SparkSpecBase {
     assert(totalTokens === expected)
   }
 
+  test("peak concurrency: sweep-line counts overlaps, closed intervals touch") {
+    val dir = eventsDir(Seq(
+      // u0 session [0,10], u1 session [5,15] → overlap in [5,10], conc 2
+      (1L, ts(0), 0L, "view", 1.0, "{}"),
+      (2L, ts(10), 0L, "view", 1.0, "{}"),
+      (3L, ts(5), 1L, "view", 1.0, "{}"),
+      (4L, ts(15), 1L, "view", 1.0, "{}"),
+      // u2 point-session [20,20] — alone, conc 1
+      (5L, ts(20), 2L, "view", 1.0, "{}"),
+      // u3 [30,40] ends exactly where u4 [40,40] starts → closed-interval
+      // semantics: they overlap at minute 40, conc 2
+      (6L, ts(30), 3L, "view", 1.0, "{}"),
+      (7L, ts(40), 3L, "view", 1.0, "{}"),
+      (8L, ts(40), 4L, "view", 1.0, "{}")))
+    val got = LogOps.peakConcurrency.build(spark, dir)
+      .select("n_sessions", "peak_concurrent").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((5L, 2L)))
+  }
+
   test("compaction keeps the latest version per key and counts the discards") {
     val dir = eventsDir(Seq(
       // user 0 "view": three versions → keep event 3 (minute 10), n=3
