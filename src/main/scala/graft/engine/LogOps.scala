@@ -813,6 +813,58 @@ object LogOps {
       .orderBy("day")
   }
 
+  /** Equal-width numeric histogram of the value column (50-unit bins):
+    * bin id by one IEEE-exact division + floor, so both engines bucket
+    * every edge case identically; the pct column normalizes by the grand
+    * total via a window over the ALREADY-AGGREGATED ≤ 10 bin rows — the
+    * unpartitioned window runs over bin-count rows, never event rows.
+    * 100 TB: one partial+final hash agg on a 10-value key.
+    */
+  val valueHistogram = Q(
+    "log_value_histogram",
+    """SELECT bin, CAST(bin * 50 AS DOUBLE) AS lo,
+      |  CAST(bin * 50 + 50 AS DOUBLE) AS hi, COUNT(*) AS n,
+      |  ROUND(100.0 * COUNT(*) / SUM(COUNT(*)) OVER (), 4) AS pct
+      |FROM (SELECT CAST(floor(value / 50) AS BIGINT) AS bin FROM events) t
+      |GROUP BY bin ORDER BY bin""".stripMargin) { (s, dir) =>
+    val all = Window.partitionBy()
+    Tables.events(s, dir)
+      .select(floor(col("value") / 50).cast("long").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"), (col("bin") * 50).cast("double").as("lo"),
+        (col("bin") * 50 + 50).cast("double").as("hi"), col("n"),
+        round(lit(100.0) * col("n") / sum("n").over(all), 4).as("pct"))
+      .orderBy("bin")
+  }
+
+  /** Cumulative distinct users by day — audience growth: each user counts
+    * on the day of their FIRST event, and the running sum over days is the
+    * lifetime distinct-user curve. Two hash aggs (user → first day, day →
+    * new users) and a running window over the ≤ day-count rows; the
+    * distinct-by-user work is the per-user min, so no count-distinct state
+    * grows with history. 100 TB: user agg shuffles on user_id (bucketing
+    * removes it), day spine is metadata-sized.
+    */
+  val cumulativeUsers = Q(
+    "log_cumulative_users",
+    """WITH firstd AS (
+      |  SELECT user_id, MIN(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS day
+      |  FROM events GROUP BY user_id),
+      |daily AS (SELECT day, COUNT(*) AS new_users FROM firstd GROUP BY day)
+      |SELECT day, new_users,
+      |  CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+      |FROM daily ORDER BY day""".stripMargin) { (s, dir) =>
+    val run = Window.orderBy("day")
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(min(date_trunc("day", col("ts"))).as("day"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users", sum("new_users").over(run).cast("long"))
+      .orderBy("day")
+  }
+
   /** Retention/downsampling policy — the log-database housekeeping job:
     * events in the last 14 days (relative to the corpus high-water mark)
     * are hot and kept in full; older events keep all errors but sample
@@ -912,5 +964,6 @@ object LogOps {
     winFirstLast, winSessionize,
     joinRangeEvents, joinAsofEvents, parseLines, funnel, retention, topPaths,
     anomalyZscore, winTimeRange, csvRoundtrip, retentionPolicy, resampleFill,
-    orcRoundtrip, compactLatest, peakConcurrency)
+    orcRoundtrip, compactLatest, peakConcurrency, valueHistogram,
+    cumulativeUsers)
 }

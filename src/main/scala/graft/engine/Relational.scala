@@ -418,10 +418,39 @@ object Relational {
       .orderBy(asc_nulls_first("k"))
   }
 
+  /** Key-skew diagnostic: the distribution of per-key group sizes — the
+    * number the salting/AQE decisions hang on. Two-level agg: sizes per
+    * key (the real shuffle), then one single-row profile over the key
+    * population. `percentile` here is the exact interpolating aggregate
+    * (matches DuckDB quantile_cont); at billions of keys swap the final
+    * pass to approx_percentile (agg_approx_percentile) — the per-key sizes
+    * stage is identical either way.
+    */
+  val aggKeySkewProfile = Q(
+    "agg_key_skew_profile",
+    """WITH sizes AS (
+      |  SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY l_orderkey)
+      |SELECT COUNT(*) AS n_keys,
+      |  ROUND(AVG(n), 4) AS avg_n,
+      |  ROUND(quantile_cont(n, 0.5), 4) AS p50_n,
+      |  ROUND(quantile_cont(n, 0.99), 4) AS p99_n,
+      |  CAST(MAX(n) AS BIGINT) AS max_n
+      |FROM sizes""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        round(avg("n"), 4).as("avg_n"),
+        round(expr("percentile(n, 0.5)"), 4).as("p50_n"),
+        round(expr("percentile(n, 0.99)"), 4).as("p99_n"),
+        max("n").as("max_n"))
+  }
+
   val all: Seq[Q] = Seq(
     selProject, filterPredicates, filterLikeNulls,
     joinBroadcastDim, joinFactFact, joinOuter, joinSemi, joinAnti, joinCross,
     joinNullSafe, joinSaltedSkew, aggPricingSummary, aggDistinct, aggRollup, aggPercentile,
     aggArgmax, aggCollectList, topkGlobal, setUnion, setIntersectExcept,
-    setOpsAll)
+    setOpsAll, aggKeySkewProfile)
 }

@@ -120,6 +120,30 @@ class LogOpsSpec extends SparkSpecBase {
     assert(got === Seq((5L, 2L)))
   }
 
+  test("cumulative users: each user counts once, on their first day") {
+    def day(d: Int, minute: Int) = new Timestamp(1704067200000L + d * 86400000L + minute * 60000L)
+    val dir = eventsDir(Seq(
+      (1L, day(0, 0), 0L, "view", 1.0, "{}"),
+      (2L, day(0, 5), 1L, "view", 1.0, "{}"),
+      (3L, day(1, 0), 0L, "view", 1.0, "{}"),  // u0 again — not new
+      (4L, day(2, 0), 2L, "view", 1.0, "{}"),
+      (5L, day(2, 1), 0L, "view", 1.0, "{}")))
+    val got = LogOps.cumulativeUsers.build(spark, dir)
+      .select("new_users", "cum_users").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((2L, 2L), (1L, 3L)))  // day0: u0,u1; day2: u2
+  }
+
+  test("value histogram: exact bin edges land in the upper bin, pcts sum to 100") {
+    val dir = eventsDir(Seq(
+      (1L, ts(0), 0L, "view", 0.0, "{}"),    // bin 0 (lo edge)
+      (2L, ts(1), 0L, "view", 49.99, "{}"),  // bin 0
+      (3L, ts(2), 0L, "view", 50.0, "{}"),   // bin 1 (exact edge → upper)
+      (4L, ts(3), 0L, "view", 149.5, "{}"))) // bin 2
+    val got = LogOps.valueHistogram.build(spark, dir)
+      .select("bin", "n", "pct").as[(Long, Long, Double)].collect().toSeq
+    assert(got === Seq((0L, 2L, 50.0), (1L, 1L, 25.0), (2L, 1L, 25.0)))
+  }
+
   test("compaction keeps the latest version per key and counts the discards") {
     val dir = eventsDir(Seq(
       // user 0 "view": three versions → keep event 3 (minute 10), n=3
