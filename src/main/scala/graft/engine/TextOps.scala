@@ -592,8 +592,34 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Canonical text normalization — the first stage of every dedup/quality
+    * pipeline: lowercase, strip non-alphanumerics, collapse runs of
+    * whitespace, trim. Map-only (no shuffle, fused into the scan); the
+    * regexes are in the RE2 ∩ Java subset (character classes and +, no
+    * backrefs/lookaround) so both engines rewrite identically — same
+    * constraint as the PII scrubber. Emits before/after lengths so the
+    * aggressiveness of the normalization is itself profiled.
+    */
+  val normalize = Q(
+    "text_normalize",
+    """SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |    ' +', ' ', 'g')) AS norm_text,
+      |  CAST(length(text) AS BIGINT) AS n_before,
+      |  CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS n_after
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), norm.as("norm_text"),
+        length(col("text")).cast("long").as("n_before"),
+        length(norm).cast("long").as("n_after"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     langProfile, langId, qualityScore, tokenCount, fingerprint, simhash,
     simhashPairs, zipfRanks, repetition, piiScrub, boilerplateNgrams,
-    levenshteinPairs, tokenEntropy, unigramLogprob)
+    levenshteinPairs, tokenEntropy, unigramLogprob, normalize)
 }

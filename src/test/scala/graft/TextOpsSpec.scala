@@ -169,4 +169,17 @@ class TextOpsSpec extends SparkSpecBase {
     // the doc weighted toward the more frequent token scores higher
     assert(exp1 > exp2)
   }
+
+  test("normalize: strips punctuation, collapses whitespace, trims") {
+    val dir = docsDir(Seq(
+      (1L, "  Hello,   World! 42  "),
+      (2L, "ALL-CAPS...and/or (symbols)"),
+      (3L, "???")))
+    val got = TextOps.normalize.build(spark, dir)
+      .select("doc_id", "norm_text", "n_after").as[(Long, String, Long)].collect().toSet
+    assert(got === Set(
+      (1L, "hello world 42", 14L),
+      (2L, "allcapsandor symbols", 20L),
+      (3L, "", 0L)))
+  }
 }
