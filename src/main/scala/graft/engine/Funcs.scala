@@ -373,8 +373,39 @@ object Funcs {
       .orderBy("l_returnflag")
   }
 
+  /** F-family nested data: build nested structs, serialize with to_json
+    * (both engines emit identical compact JSON — verified for ints,
+    * strings, arrays, nesting; doubles are deliberately EXCLUDED from the
+    * JSON payload because the engines' shortest-float printers disagree),
+    * extract a field by direct dot access, and re-extract one through a
+    * JSON path — the full struct lifecycle a log/ETL user exercises.
+    * Map-only, fused into the scan.
+    */
+  val structFuncs = Q(
+    "func_struct",
+    """SELECT o_orderkey,
+      |  to_json(struct_pack(key := o_orderkey, status := o_orderstatus,
+      |    meta := struct_pack(prio := o_orderpriority, cust := o_custkey)))
+      |    AS js,
+      |  struct_extract(struct_pack(prio := o_orderpriority,
+      |    cust := o_custkey), 'prio') AS direct_prio,
+      |  json_extract_string(to_json(struct_pack(meta := struct_pack(
+      |    prio := o_orderpriority))), '$.meta.prio') AS rt_prio
+      |FROM orders WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val meta = struct(col("o_orderpriority").as("prio"), col("o_custkey").as("cust"))
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey"),
+        to_json(struct(col("o_orderkey").as("key"),
+          col("o_orderstatus").as("status"), meta.as("meta"))).as("js"),
+        meta.getField("prio").as("direct_prio"),
+        get_json_object(to_json(struct(struct(col("o_orderpriority").as("prio"))
+          .as("meta"))), "$.meta.prio").as("rt_prio"))
+      .orderBy("o_orderkey")
+  }
+
   val all: Seq[Q] = Seq(
     mathFuncs, arrayFuncs, stringFuncs, dateFuncs, mapFuncs, aggGroupingSets,
     aggPivot, aggCube, aggStats, aggStringAgg, filterScalarSubquery,
-    unpivotMetrics, aggBool, bitwiseFuncs, decimalMoney)
+    unpivotMetrics, aggBool, bitwiseFuncs, decimalMoney, structFuncs)
 }

@@ -652,7 +652,11 @@ object LogOps {
       }))
       val out = root.resolve("orders").toString
       val w = Tables.orders(s, dir).write.mode("overwrite")
-      if (format == "csv") w.option("header", "true").csv(out) else w.orc(out)
+      format match {
+        case "csv"  => w.option("header", "true").csv(out)
+        case "json" => w.json(out)
+        case _      => w.orc(out)
+      }
       out
     })
 
@@ -700,6 +704,33 @@ object LogOps {
         round(sum("o_totalprice"), 2).as("total"),
         min("o_orderkey").as("min_key"),
         max("o_orderkey").as("max_key"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** JSON-lines round-trip (S-family, completing parquet/CSV/ORC/JSON):
+    * write orders as JSON lines, read back with an explicit schema (ISO
+    * timestamps re-parse losslessly at the corpus's millisecond
+    * precision), profile against the parquet original in the oracle. Same
+    * shared staging as the CSV/ORC twins.
+    */
+  val jsonRoundtrip = Q(
+    "json_roundtrip",
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  ROUND(AVG(o_totalprice), 2) AS avg_price,
+      |  CAST(MIN(o_custkey) AS BIGINT) AS min_cust,
+      |  CAST(MAX(o_orderdate) AS TIMESTAMP) AS last_ts
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    val out = stageOrders(s, dir, "json")
+    s.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING"))
+      .json(out)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg("o_totalprice"), 2).as("avg_price"),
+        min("o_custkey").as("min_cust"),
+        max("o_orderdate").as("last_ts"))
       .orderBy("o_orderpriority")
   }
 
@@ -965,5 +996,5 @@ object LogOps {
     joinRangeEvents, joinAsofEvents, parseLines, funnel, retention, topPaths,
     anomalyZscore, winTimeRange, csvRoundtrip, retentionPolicy, resampleFill,
     orcRoundtrip, compactLatest, peakConcurrency, valueHistogram,
-    cumulativeUsers)
+    cumulativeUsers, jsonRoundtrip)
 }
