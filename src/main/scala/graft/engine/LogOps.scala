@@ -828,13 +828,15 @@ object LogOps {
       |  CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
       |  CAST(MAX(conc) AS BIGINT) AS peak_concurrent
       |FROM run GROUP BY day ORDER BY day""".stripMargin) { (s, dir) =>
-    val sessions = sessionTable(s, dir)
+    // both deltas explode from ONE pass over the session table — a UNION
+    // of two selects would duplicate the whole sessionize subtree (and its
+    // user_id exchange) instead of reusing it
+    val deltas = sessionTable(s, dir)
       .select(date_trunc("day", col("session_start")).as("day"),
-        col("session_start"), col("session_end"))
-    val deltas = sessions
-      .select(col("day"), col("session_start").as("ts"), lit(1).as("delta"))
-      .unionByName(sessions
-        .select(col("day"), col("session_end").as("ts"), lit(-1).as("delta")))
+        explode(array(
+          struct(col("session_start").as("ts"), lit(1).as("delta")),
+          struct(col("session_end").as("ts"), lit(-1).as("delta")))).as("d"))
+      .select(col("day"), col("d.ts").as("ts"), col("d.delta").as("delta"))
     val sweep = Window.partitionBy("day").orderBy(col("ts").asc, col("delta").desc)
     deltas
       .withColumn("conc", sum("delta").over(sweep))

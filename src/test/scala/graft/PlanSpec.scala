@@ -124,6 +124,21 @@ class PlanSpec extends SparkSpecBase {
     assert(shuffles == 1, s"expected 1 user_id shuffle, got $shuffles\n$plan")
   }
 
+  test("compaction: row_number and version count share one key exchange") {
+    val plan = planOf(LogOps.compactLatest)
+    val shuffles = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected 1 key shuffle, got $shuffles\n$plan")
+  }
+
+  test("peak concurrency: user_id exchange (sessions) + day exchange (sweep), nothing more") {
+    val plan = planOf(LogOps.peakConcurrency)
+    val user = "Exchange hashpartitioning\\(user_id".r.findAllIn(plan).size
+    val day = "Exchange hashpartitioning\\(day".r.findAllIn(plan).size
+    assert(user == 1 && day >= 1, s"expected 1 user_id + day exchanges\n$plan")
+    // the sweep itself must never collapse to a single partition
+    assert(!plan.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"), plan)
+  }
+
   /** Queries whose plan legitimately contains a CartesianProduct or
     * BroadcastNestedLoopJoin, each with the reason the unbounded-join rule
     * does not apply. Everything else in the registry must plan without
