@@ -816,9 +816,53 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** Embedding clustering E-step (the building block of k-means curation
+    * clustering / semantic mixing): assign every vector to its
+    * max-cosine centroid and profile the clusters. Centroids here are the
+    * k=8 lowest vec_ids — a deterministic seed choice; a real loop feeds
+    * the M-step means back in, same plan shape every iteration.
+    *
+    * 100 TB: the k-row centroid table broadcasts, assignment is a map-side
+    * argmax over the corpus scan (corpus never shuffles — the codegen'd
+    * cosine kernel runs inside the scan pipeline), and the final profile
+    * aggregates on k keys. Assignment ranks on ROUND(cos,4) with
+    * centroid-id tie-break, the same cross-engine-stable ordering the knn
+    * top-k uses.
+    */
+  val centroidAssign = Q(
+    "llm_centroid_assign",
+    """WITH c AS (
+      |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
+      |sim AS (
+      |  SELECT e.vec_id, c.c_id,
+      |    ROUND(list_dot_product(e.embedding::DOUBLE[], c.c_emb::DOUBLE[])
+      |      / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+      |       * sqrt(list_dot_product(c.c_emb::DOUBLE[], c.c_emb::DOUBLE[]))), 4)
+      |      AS cos_sim
+      |  FROM embeddings e CROSS JOIN c),
+      |asg AS (
+      |  SELECT vec_id, c_id, cos_sim,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, c_id) AS rn
+      |  FROM sim)
+      |SELECT c_id, COUNT(*) AS n_members, ROUND(AVG(cos_sim), 4) + 0 AS avg_sim
+      |FROM asg WHERE rn = 1 GROUP BY c_id ORDER BY c_id""".stripMargin) { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+    val c = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos_sim").desc, col("c_id").asc)
+    e.join(broadcast(c))
+      .withColumn("cos_sim", round(vectors.cosineSim(col("embedding"), col("c_emb")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("c_id")
+      .agg(count(lit(1)).as("n_members"),
+        (round(avg("cos_sim"), 4) + lit(0.0)).as("avg_sim"))
+      .orderBy("c_id")
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupHash, jaccardPairs, shingleJaccard, knnCosine, annLsh,
     annIvf, nearDupCosine, embedNorm, minhashPairs, tfidf, approxDistinct,
     approxPercentile, nearDupClusters, decontaminate, quantizeInt8, approxTopK,
-    embedDimStats, embedNormalize, dupSpanFraction)
+    embedDimStats, embedNormalize, dupSpanFraction, centroidAssign)
 }
