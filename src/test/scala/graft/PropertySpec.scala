@@ -147,4 +147,44 @@ class PropertySpec extends SparkSpecBase {
         first.map(_.getLong(2)).sum == docs.length // n_copies sums to input size
     }, cases = 8)
   }
+
+  test("dup-span fraction: verbatim duplicate pushes both docs to 1.0; bounded") {
+    import spark.implicits._
+    val textGen = Gen.chooseNum(5, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta")).map(_.mkString(" ")))
+    check(Prop.forAll(Gen.listOfN(4, textGen)) { texts =>
+      // docs 0 and 1 share the same text → every 5-gram duplicated → 1.0
+      val docs = (texts.head :: texts).zipWithIndex
+        .map { case (t, i) => (i.toLong, t, "en", "src0", t.length.toLong) }
+      val dir = java.nio.file.Files.createTempDirectory("graft-prop").toString
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val rows = graft.engine.LlmOps.dupSpanFraction.build(spark, dir)
+        .select("doc_id", "dup_frac").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      rows.getOrElse(0L, -1.0) == 1.0 && rows.getOrElse(1L, -1.0) == 1.0 &&
+        rows.values.forall(f => f >= 0.0 && f <= 1.0)
+    }, cases = 8)
+  }
+
+  test("peak concurrency: bounded by sessions/day, invariant under permutation") {
+    import spark.implicits._
+    check(Prop.forAll(eventsGen) { evs =>
+      def run(rows: Seq[(Long, Long, Int)]): Seq[(Long, Long)] = {
+        val dir = java.nio.file.Files.createTempDirectory("graft-prop").toString
+        rows.toDF("event_id", "user_id", "minute")
+          .select(col("event_id"),
+            expr("timestamp_micros(1704067200000000 + cast(minute as bigint) * 60000000)").as("ts"),
+            col("user_id"), lit("view").as("event_type"), lit(1.0).as("value"),
+            lit("{}").as("props"))
+          .write.mode("overwrite").parquet(s"$dir/events.parquet")
+        graft.engine.LogOps.peakConcurrency.build(spark, dir)
+          .select("n_sessions", "peak_concurrent").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      }
+      val a = run(evs)
+      a == run(scala.util.Random.shuffle(evs)) &&
+        a.forall { case (n, peak) => peak >= 1 && peak <= n }
+    }, cases = 6)
+  }
 }
