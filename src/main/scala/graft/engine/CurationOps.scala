@@ -334,8 +334,43 @@ object CurationOps {
       .orderBy("source", "rn")
   }
 
+  /** Sliding-window text chunking (RAG / context-window prep): split each
+    * doc into 50-token chunks on a 40-token stride (10-token overlap), the
+    * shape every retrieval and long-context pipeline needs. Map-side only:
+    * tokenize once into a materialized column (the O(len²) inline-lambda
+    * trap — see the n-gram builders), explode chunk indices, slice. Both
+    * engines clamp a trailing short slice identically; docs with zero
+    * tokens emit no chunks on both sides (guarded explicitly — DuckDB's
+    * `//` truncates toward zero, so its unguarded range(0, (-1//40)+1)
+    * would emit one empty chunk).
+    */
+  val chunkText = Q(
+    "llm_chunk_text",
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+      |  FROM documents)
+      |SELECT doc_id, u.i AS chunk_idx,
+      |  CAST(len(ts[(u.i*40+1):(u.i*40+50)]) AS BIGINT) AS n_toks,
+      |  array_to_string(ts[(u.i*40+1):(u.i*40+50)], ' ') AS chunk_text
+      |FROM toks, UNNEST(range(0, ((len(ts)-1)//40)+1)) AS u(i)
+      |WHERE len(ts) >= 1
+      |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+    val chunk = slice(col("ts"), col("chunk_idx").cast("int") * 40 + 1, lit(50))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("ts"))
+      .select(col("doc_id"), col("ts"),
+        explode(when(size(col("ts")) >= 1,
+            sequence(lit(0L), ((size(col("ts")) - 1) / 40).cast("long")))
+          .otherwise(array().cast("array<bigint>"))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(chunk).cast("long").as("n_toks"),
+        concat_ws(" ", chunk).as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val all: Seq[Q] = Seq(
     trainTestSplit, stratifiedSample, dedupCanonical, packSequences,
     bigramVocab, histogramChars, domainMix, curationPipeline, quotaSample,
-    weightedSample)
+    weightedSample, chunkText)
 }

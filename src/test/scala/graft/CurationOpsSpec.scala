@@ -134,4 +134,19 @@ class CurationOpsSpec extends SparkSpecBase {
       .select("doc_id").as[Long].collect().toSeq
     assert(got === expected)
   }
+
+  test("chunking: 40-token stride, 10-token overlap, short tail kept") {
+    // 95 tokens → chunks at 1..50, 41..90, 81..95 (15-token tail)
+    val text = (1 to 95).map(i => s"t$i").mkString(" ")
+    val dir = docsDir(Seq((1L, text, "en"), (2L, "short doc", "en")))
+    val got = CurationOps.chunkText.build(spark, dir)
+      .select("doc_id", "chunk_idx", "n_toks", "chunk_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) ===
+      Seq((1L, 0L, 50L), (1L, 1L, 50L), (1L, 2L, 15L), (2L, 0L, 2L)))
+    val c0 = got(0)._4.split(" "); val c1 = got(1)._4.split(" ")
+    assert(c0.head === "t1" && c0.last === "t50")
+    assert(c1.head === "t41" && c1.last === "t90")   // 10-token overlap
+    assert(got(2)._4.split(" ").head === "t81")
+  }
 }
