@@ -179,5 +179,32 @@ object MultiModalOps {
       .orderBy("keeper_id")
   }
 
-  val all: Seq[Q] = Seq(kindStats, frameSample, featureProfile, dedupPayload)
+  /** Resize/thumbnail profile through [[MultiModal.resizePayload]]: crop
+    * every payload to its first 64 bytes and profile the result per kind
+    * (bytes kept + distinct-thumb count — the dedup rate AFTER lossy
+    * reduction). DuckDB has no BLOB substring, so the oracle slices the
+    * VARCHAR then casts; byte == char slicing holds because the corpus is
+    * pure ASCII (octet_length == length verified over the fixtures), the
+    * same construction mm_kind_stats' octet_length already relies on.
+    * Map-only before a 3-key agg; payload bytes never shuffle.
+    */
+  val resizeProfile = Q(
+    "mm_resize_profile",
+    """SELECT (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(octet_length(substring(text, 1, 64)::BLOB)) AS BIGINT) AS resized_bytes,
+      |  CAST(COUNT(DISTINCT md5(substring(text, 1, 64))) AS BIGINT) AS n_distinct_thumbs
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    MultiModal.resizePayload(
+        MultiModal.mediaFromDocuments(Tables.documents(s, dir)), 64)
+      .groupBy("kind")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(length(col("payload"))).as("resized_bytes"),
+        countDistinct(md5(col("payload"))).as("n_distinct_thumbs"))
+      .orderBy("kind")
+  }
+
+  val all: Seq[Q] = Seq(kindStats, frameSample, featureProfile, dedupPayload,
+    resizeProfile)
 }
