@@ -860,9 +860,71 @@ object LlmOps {
       .orderBy("c_id")
   }
 
+  /** Embedding outlier filter: vectors whose centroid similarity sits more
+    * than 1.5σ below their cluster's mean (2σ is the usual production
+    * cut; the fixture embeddings are near-uniform with min z ≈ −1.8, so
+    * 1.5σ keeps the gate exercising real rows) — the curation gate that drops
+    * mis-embedded/garbage vectors before training. Builds on the
+    * [[centroidAssign]] assignment; cluster stats (mean, σ of the rounded
+    * cos) are quantized to 4 dp on BOTH sides before the z-score, so the
+    * z division runs on bit-identical inputs cross-engine (avg/stddev
+    * accumulation order differs between engines; quantizing first removes
+    * the last-ulp exposure). σ=0 clusters (all-identical sims) are
+    * structurally excluded — z would divide by zero and no member can be
+    * an outlier.
+    *
+    * 100 TB: two map-side passes over the corpus (assign, then re-join the
+    * 8-row quantized stats broadcast); nothing corpus-sized shuffles.
+    */
+  val embedOutliers = Q(
+    "llm_embed_outliers",
+    """WITH c AS (
+      |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
+      |sim AS (
+      |  SELECT e.vec_id, c.c_id,
+      |    ROUND(list_dot_product(e.embedding::DOUBLE[], c.c_emb::DOUBLE[])
+      |      / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+      |       * sqrt(list_dot_product(c.c_emb::DOUBLE[], c.c_emb::DOUBLE[]))), 4)
+      |      AS cos_sim
+      |  FROM embeddings e CROSS JOIN c),
+      |asg AS (
+      |  SELECT vec_id, c_id, cos_sim,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, c_id) AS rn
+      |  FROM sim),
+      |stats AS (
+      |  SELECT c_id, ROUND(AVG(cos_sim), 4) AS mean4,
+      |    ROUND(STDDEV_SAMP(cos_sim), 4) AS std4
+      |  FROM asg WHERE rn = 1 GROUP BY c_id)
+      |SELECT a.vec_id, a.c_id, a.cos_sim + 0 AS cos_sim,
+      |  ROUND((a.cos_sim - s.mean4) / s.std4, 4) AS z
+      |FROM asg a JOIN stats s USING (c_id)
+      |WHERE a.rn = 1 AND s.std4 > 0
+      |  AND (a.cos_sim - s.mean4) / s.std4 < -1.5
+      |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+    val c = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos_sim").desc, col("c_id").asc)
+    val asg = e.join(broadcast(c))
+      .withColumn("cos_sim", round(vectors.cosineSim(col("embedding"), col("c_emb")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "c_id", "cos_sim")
+    val stats = asg.groupBy("c_id")
+      .agg(round(avg("cos_sim"), 4).as("mean4"),
+        round(stddev_samp("cos_sim"), 4).as("std4"))
+    val z = (col("cos_sim") - col("mean4")) / col("std4")
+    asg.join(broadcast(stats), "c_id")
+      .filter(col("std4") > 0 && z < -1.5)
+      .select(col("vec_id"), col("c_id"),
+        (col("cos_sim") + lit(0.0)).as("cos_sim"), round(z, 4).as("z"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupHash, jaccardPairs, shingleJaccard, knnCosine, annLsh,
     annIvf, nearDupCosine, embedNorm, minhashPairs, tfidf, approxDistinct,
     approxPercentile, nearDupClusters, decontaminate, quantizeInt8, approxTopK,
-    embedDimStats, embedNormalize, dupSpanFraction, centroidAssign)
+    embedDimStats, embedNormalize, dupSpanFraction, centroidAssign,
+    embedOutliers)
 }
