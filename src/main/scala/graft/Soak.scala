@@ -73,7 +73,7 @@ object Soak {
       // gram's df ≥ 10), so dup_span_fraction soaks its worst case: the
       // gram-df join fans out 10× rows but stays linear — no pairwise term
       "llm_dup_span_fraction", "text_unigram_logprob", "log_compact_latest",
-      "log_peak_concurrency")
+      "log_peak_concurrency", "llm_centroid_assign", "llm_embed_outliers")
     heavy.filter(n => only.forall(_.contains(n))).foreach { name =>
       val fn = SparkEntry.queries(name)
       try { fn(spark, dir).count() } catch { case _: Throwable => () } // warm
