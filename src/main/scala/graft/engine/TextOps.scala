@@ -306,15 +306,22 @@ object TextOps {
       |        i -> array_to_string(string_split(lower(text), ' ')[i:i+2], ' ')) AS tris
       |    FROM documents) t) t2
       |WHERE n_tri > 0 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    // tokens AND the trigram array are materialized columns: slice() in
+    // the lambda referencing an inlined split() tree re-tokenizes per
+    // position (O(len²) per doc), and `tris` is consumed twice below —
+    // as aliases both are built once per row (CollapseProject keeps
+    // multiply-referenced non-cheap aliases real)
     val toks = split(lower(col("text")), " ")
     val tris = transform(
-      when(size(toks) >= lit(3), sequence(lit(1), size(toks) - 2))
+      when(size(col("ts")) >= lit(3), sequence(lit(1), size(col("ts")) - 2))
         .otherwise(array().cast("array<int>")),
-      i => concat_ws(" ", slice(toks, i, lit(3))))
+      i => concat_ws(" ", slice(col("ts"), i, lit(3))))
     Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("ts"))
+      .select(col("doc_id"), tris.as("tris"))
       .select(col("doc_id"),
-        size(tris).cast("long").as("n_tri"),
-        size(array_distinct(tris)).cast("long").as("n_distinct"))
+        size(col("tris")).cast("long").as("n_tri"),
+        size(array_distinct(col("tris"))).cast("long").as("n_distinct"))
       .filter(col("n_tri") > 0)
       .select(col("doc_id"), col("n_tri"),
         round(lit(1.0) - col("n_distinct").cast("double") / col("n_tri"), 4).as("rep_frac"))
