@@ -898,6 +898,35 @@ object LogOps {
       .orderBy("day")
   }
 
+  /** Linear-regression aggregates (A-family): value-vs-hour-of-day trend
+    * per event type via the SQL-standard regr_* family — slope, intercept,
+    * r², support count. Both engines implement the same closed-form
+    * co-moment formulas; results round to 4 dp (`+ 0` normalizes a
+    * negative zero on the near-zero slopes random data produces). One
+    * partial+final hash agg; co-moments are mergeable, so this is
+    * map-combined like any sum.
+    */
+  val regression = Q(
+    "log_regression",
+    """SELECT event_type,
+      |  CAST(regr_count(value, hour) AS BIGINT) AS n,
+      |  ROUND(regr_slope(value, hour), 4) + 0 AS slope,
+      |  ROUND(regr_intercept(value, hour), 4) + 0 AS icept,
+      |  ROUND(regr_r2(value, hour), 4) + 0 AS r2
+      |FROM (SELECT event_type, CAST(EXTRACT(hour FROM ts) AS DOUBLE) AS hour,
+      |  value FROM events) t
+      |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("event_type"), hour(col("ts")).cast("double").as("hour"), col("value"))
+      .groupBy("event_type")
+      .agg(
+        expr("regr_count(value, hour)").cast("long").as("n"),
+        (round(expr("regr_slope(value, hour)"), 4) + lit(0.0)).as("slope"),
+        (round(expr("regr_intercept(value, hour)"), 4) + lit(0.0)).as("icept"),
+        (round(expr("regr_r2(value, hour)"), 4) + lit(0.0)).as("r2"))
+      .orderBy("event_type")
+  }
+
   /** Retention/downsampling policy — the log-database housekeeping job:
     * events in the last 14 days (relative to the corpus high-water mark)
     * are hot and kept in full; older events keep all errors but sample
@@ -998,5 +1027,5 @@ object LogOps {
     joinRangeEvents, joinAsofEvents, parseLines, funnel, retention, topPaths,
     anomalyZscore, winTimeRange, csvRoundtrip, retentionPolicy, resampleFill,
     orcRoundtrip, compactLatest, peakConcurrency, valueHistogram,
-    cumulativeUsers, jsonRoundtrip)
+    cumulativeUsers, jsonRoundtrip, regression)
 }
