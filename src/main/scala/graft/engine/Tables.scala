@@ -28,6 +28,13 @@ object Tables {
   def prepare(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) would otherwise arrive
+    // as TIMESTAMP_NTZ; reading it as TIMESTAMP (a pure reinterpretation under
+    // the UTC session, matching DuckDB's naive read) keeps `ts` a *raw* scan
+    // column, so time-range predicates push down to parquet row-group pruning
+    // instead of evaluating post-scan — the difference between reading one
+    // day and reading 100 TB.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark
   }
 
@@ -46,22 +53,40 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
-  /** The log/event stream table, with `ts` normalized from epoch-nanos long
-    * to a microsecond TimestampType column (matching DuckDB's native read).
-    * The raw nanos survive as `ts_ns` so range predicates can be pushed down
-    * to parquet as plain INT64 comparisons (a filter on the *converted*
-    * column would not reach the scan).
+  /** The log/event stream table, with `ts` normalized to a microsecond
+    * TimestampType column (matching DuckDB's native read) plus the epoch-nanos
+    * long `ts_ns` for INT64 range arithmetic.
+    *
+    * The generator has shipped `ts` in three physical shapes across fixture
+    * regenerations, so all three are normalized here to identical output:
+    *   - INT64 TIMESTAMP(NANOS): read as epoch-nanos long via
+    *     `spark.sql.legacy.parquet.nanosAsLong`, converted with integer
+    *     `div 1000` (the same µs truncation DuckDB applies natively);
+    *   - TIMESTAMP(MICROS) isAdjustedToUTC=false → Spark TIMESTAMP_NTZ:
+    *     cast to TIMESTAMP — under the UTC session (set in `prepare`) this is
+    *     a pure reinterpretation of the same instant, again matching DuckDB's
+    *     naive read;
+    *   - TIMESTAMP(MICROS) isAdjustedToUTC=true → Spark TIMESTAMP: as-is.
+    * Anything else fails loudly so a future fixture regeneration surfaces as
+    * one clear error instead of 36 downstream analysis exceptions.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = load(spark, dir, "events")
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        // Production shape: TIMESTAMP(NANOS) surfaced as epoch-nanos long.
+      case LongType =>
         raw.withColumn("ts_ns", col("ts"))
           .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
-      case _ =>
-        // Already a genuine TimestampType (e.g. µs parquet from tests).
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
+      case TimestampType =>
         raw.withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
+      case other =>
+        throw new IllegalStateException(
+          s"events.parquet ts column has unsupported type $other — " +
+            "expected INT64 nanos, TIMESTAMP_NTZ, or TIMESTAMP; " +
+            "fixture schema drifted, update Tables.events")
     }
   }
 }

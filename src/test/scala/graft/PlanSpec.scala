@@ -89,10 +89,13 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
-  test("events time-range predicates push down on the raw int64 column") {
+  test("events time-range predicates push down on the raw ts column") {
     import org.apache.spark.sql.functions._
+    // The fixture's µs parquet is read as a raw TimestampType column (see
+    // Tables.prepare: inferTimestampNTZ=false), so a timestamp predicate —
+    // the shape every engine query uses — reaches the parquet scan.
     val df = graft.engine.Tables.events(spark, sfDir)
-      .filter(col("ts_ns") >= lit(1704067200L * 1000000000L))
+      .filter(col("ts") >= lit("2024-01-01 00:00:00").cast("timestamp"))
       .select("event_id")
     val plan = df.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
