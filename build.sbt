@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver machine-parses Bench/Verify stdout. By default sbt routes a
+// forked process' stdout through its logger, prefixing every line with
+// "[info] " — which breaks JSON parsing. StdoutOutput passes the child's
+// stdout through verbatim, and showSuccess drops the trailing
+// "[success] Total time" so the program's last printed line is also the
+// last stdout line of the whole sbt invocation.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(run / outputStrategy, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

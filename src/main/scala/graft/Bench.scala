@@ -51,19 +51,40 @@ object Bench {
     // dominated by GC / scheduler noise (observed 5× swings on an otherwise
     // identical plan); the median is the honest steady-state number and
     // matches the baseline's "warm JVM" protocol.
-    val results = names.map { name =>
+    //
+    // A query that throws is reported as time=null plus an `errors` entry —
+    // never as its exception-path elapsed time, which would fabricate a
+    // sub-0.1 s "result" for a query that did no work.
+    val results: Seq[(String, Option[Double], Option[String])] = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val times = (1 to 5).map { _ =>
+      var err: Option[String] = None
+      val times = (1 to 5).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          err = err.orElse(Some(
+            e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(200)))
+          None
+        }
       }.sorted
-      name -> times(2)
+      if (err.isDefined || times.isEmpty) (name, None, err.orElse(Some("no runs completed")))
+      else (name, Some(times(times.size / 2)), None)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, v, _) => q(k) + ":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val errs = results.collect { case (k, _, Some(e)) => q(k) + ":" + q(e) }
+      .mkString("{", ",", "}")
+    val valid = results.flatMap(_._2)
+    val total = valid.sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""errors":$errs,"valid":${valid.size},"invalid":${results.size - valid.size},"sf":"$sfDir"}"""
     println(line)
     // sbt prefixes stdout with [info], which breaks machine parsing of the
     // JSON line. Emit it through two prefix-free channels as well: a file

@@ -2,7 +2,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Failures are first-class output: every query that throws lands in
+  * verify_failures.json (name → exception) and in a final N/M summary line,
+  * so a regression that silently blanks part of the registry is visible in
+  * the round artifacts instead of one scrolled-away stderr line per query.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -20,11 +26,15 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def keep(name: String): Boolean = only.forall(_.contains(name))
-    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
+    val selected = SparkEntry.queries.filter(kv => keep(kv._1))
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = e.getClass.getName + ": " + String.valueOf(e.getMessage).take(500)
+        failures(name) = msg
+        System.err.println(s"[verify] $name FAILED: $msg")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -42,6 +52,16 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_failures.json"), failJson)
+    val summary =
+      s"[verify] dumped ${selected.size - failures.size}/${selected.size} queries" +
+        (if (failures.isEmpty) "" else s"; ${failures.size} FAILED: ${failures.keys.mkString(", ")}")
+    println(summary)
+    System.err.println(summary)
+    // Deliberately exit 0 even on partial failure: the driver still compares
+    // whatever was dumped, and the manifest + summary carry the failure set.
     spark.stop()
   }
 }
