@@ -512,6 +512,15 @@ object LlmOps {
   /** D6: TF-IDF, top-3 terms per document. Pure composition: tokenize →
     * tf (per-doc counts) → df (distinct-doc counts) → idf join. The corpus
     * size N joins in via a broadcast single-row aggregate, not a collect.
+    *
+    * The tf⋈df join carries NO broadcast hint: df has one row per distinct
+    * token, and vocabulary grows with corpus size (Heaps' law — billions of
+    * keys at 100 TB), so forcing a broadcast there would override Spark's
+    * size threshold and OOM the executors. Both sides are already
+    * hash-partitioned on `tok` by their upstream aggregations, so the join
+    * reuses that partitioning; at fixture scale AQE may still pick BHJ on
+    * its own (within the size threshold), which is fine — the point is the
+    * planner decides from observed sizes, not a hint that lies at scale.
     */
   val tfidf = Q(
     "llm_tfidf",
@@ -538,7 +547,7 @@ object LlmOps {
     val n = docs.agg(count(lit(1)).as("n"))
     val tfidfCol = round(col("tf") * log(col("n").cast("double") / col("df")), 4)
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok").asc)
-    tf.join(broadcast(df), "tok")
+    tf.join(df, "tok")
       .crossJoin(broadcast(n))
       .withColumn("tfidf", tfidfCol)
       .withColumn("rn", row_number().over(w))

@@ -391,29 +391,48 @@ object LogOps {
   }
 
   /** J7: as-of join — for each error event, the user's most recent purchase
-    * at or before it. Window formulation (rn = 1 over ts DESC) keeps the
-    * result deterministic; at cluster scale this becomes a bucketed
-    * sort-merge per user partition with identical semantics.
+    * at or before it.
+    *
+    * Formulated as a merge, not a join: union both event kinds into one
+    * per-user stream, sort it once, and carry the latest purchase forward
+    * with `last_value(..., ignoreNulls)` over a rows-preceding frame. This
+    * is one shuffle on user_id and O(n_events) intermediate rows per user.
+    * The obvious join-then-rank alternative (e ⋈ p ON p.ts <= e.ts, rn=1)
+    * fans out n_errors × n_purchases per user BEFORE the rank prunes it — a
+    * power user with 10⁴ of each makes 10⁸ intermediate rows on a single
+    * key, which is how an as-of join dies at 100 TB.
+    *
+    * Within the merged sort, purchases order before errors at equal ts
+    * (inclusive `p.ts <= e.ts` bound), and equal-ts purchases order by
+    * event_id ascending so the carried value is the max-event_id purchase —
+    * the same deterministic winner the rank formulation picked.
     */
   val joinAsofEvents = Q(
     "join_asof_events",
-    """WITH pairs AS (
-      |  SELECT e.event_id, e.user_id, p.event_id AS purchase_id,
-      |    row_number() OVER (PARTITION BY e.event_id ORDER BY p.ts DESC, p.event_id DESC) AS rn
-      |  FROM events e JOIN events p
-      |    ON e.user_id = p.user_id AND p.event_type = 'purchase' AND p.ts <= e.ts
-      |  WHERE e.event_type = 'error')
-      |SELECT event_id, user_id, purchase_id FROM pairs WHERE rn = 1
+    """WITH merged AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN event_type = 'purchase' THEN event_id END AS purchase_marker
+      |  FROM events WHERE event_type IN ('error', 'purchase')),
+      |filled AS (
+      |  SELECT user_id, event_id, event_type,
+      |    last_value(purchase_marker IGNORE NULLS) OVER (
+      |      PARTITION BY user_id
+      |      ORDER BY ts, CASE WHEN event_type = 'error' THEN 1 ELSE 0 END, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchase_id
+      |  FROM merged)
+      |SELECT event_id, user_id, purchase_id FROM filled
+      |WHERE event_type = 'error' AND purchase_id IS NOT NULL
       |ORDER BY event_id""".stripMargin) { (s, dir) =>
     val ev = Tables.events(s, dir)
-    val e = ev.filter(col("event_type") === "error")
-      .select(col("user_id"), col("event_id"), col("ts"))
-    val p = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
-    val w = Window.partitionBy("event_id").orderBy(desc("p_ts"), desc("purchase_id"))
-    e.join(p, col("user_id") === col("p_user") && col("p_ts") <= col("ts"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    val merged = ev.filter(col("event_type").isin("error", "purchase"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        when(col("event_type") === "purchase", col("event_id")).as("purchase_marker"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), (col("event_type") === "error").cast("int"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged
+      .withColumn("purchase_id", last(col("purchase_marker"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error" && col("purchase_id").isNotNull)
       .select("event_id", "user_id", "purchase_id")
       .orderBy("event_id")
   }
