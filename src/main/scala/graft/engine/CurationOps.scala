@@ -369,8 +369,54 @@ object CurationOps {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Dataset card: the per-source summary table published next to a
+    * training corpus (doc counts, language spread, size stats, exact-dup
+    * contamination, corpus share) — the first artifact anyone asks for
+    * before mixing a source into a run.
+    *
+    * 100 TB: one digest-keyed aggregation finds duplicated digests (16-byte
+    * shuffle rows, text never moves), re-joined to the doc set WITHOUT a
+    * broadcast hint — the dup-digest set grows with the corpus, so the
+    * planner must pick the strategy from observed sizes (same lesson as
+    * tfidf's df side). Everything else is one map-combinable groupBy on
+    * ~20 source keys plus a single-row total broadcast.
+    */
+  val datasetCard = Q(
+    "llm_dataset_card",
+    """WITH dig AS (
+      |  SELECT source, lang, n_chars, md5(text) AS dig FROM documents),
+      |dup AS (SELECT dig FROM dig GROUP BY dig HAVING COUNT(*) > 1),
+      |tot AS (SELECT COUNT(*) AS n_total FROM documents)
+      |SELECT source,
+      |  COUNT(*) AS n_docs,
+      |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  ROUND(AVG(n_chars), 2) AS avg_chars,
+      |  CAST(SUM(CASE WHEN dig.dig IN (SELECT dig FROM dup) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |  ROUND(COUNT(*) * 100.0 / (SELECT n_total FROM tot), 2) AS pct_corpus
+      |FROM dig GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val d = docs.select(col("source"), col("lang"), col("n_chars"),
+      md5(col("text")).as("dig"))
+    val dup = d.groupBy("dig").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select(col("dig"), lit(1).as("is_dup"))
+    val tot = docs.agg(count(lit(1)).as("n_total"))
+    d.join(dup, Seq("dig"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct("lang").as("n_langs"),
+        sum("n_chars").as("total_chars"),
+        round(avg("n_chars"), 2).as("avg_chars"),
+        sum(when(col("is_dup") === 1, 1L).otherwise(0L)).as("n_dup"))
+      .crossJoin(broadcast(tot))
+      .withColumn("pct_corpus", round(col("n_docs") * lit(100.0) / col("n_total"), 2))
+      .drop("n_total")
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(
     trainTestSplit, stratifiedSample, dedupCanonical, packSequences,
     bigramVocab, histogramChars, domainMix, curationPipeline, quotaSample,
-    weightedSample, chunkText)
+    weightedSample, chunkText, datasetCard)
 }

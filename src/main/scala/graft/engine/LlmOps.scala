@@ -930,10 +930,93 @@ object LlmOps {
       .orderBy("vec_id")
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the corpus, then search for near-duplicate pairs ONLY within
+    * each cluster, dropping every vector that has a lower-id in-cluster
+    * neighbor above the similarity threshold. Output: the dropped vectors
+    * with their kept representative (min-id qualifying neighbor) — the
+    * artifact a curation pipeline feeds to the filter stage.
+    *
+    * This is the scale answer to [[nearDupCosine]]'s inherent n²/2: the
+    * cluster assignment (broadcast k centroids, map-side argmax — corpus
+    * never shuffles) cuts candidate pairs to Σ|cluster|²/2, and within each
+    * cluster the same block-grid equi-join as nearDupCosine distributes the
+    * remaining work in B² bounded cells keyed on (c_id, ci, cj). k and B
+    * are the two knobs: k grows with corpus size (SemDeDup used 50k
+    * clusters on LAION), B with the cluster. Threshold 0.4 matches
+    * nearDupCosine on this near-uniform fixture (real text embeddings use
+    * ~0.95+); assignment ranks on ROUND(cos,4) with centroid-id tie-break,
+    * the cross-engine-stable ordering centroidAssign established.
+    */
+  val semDedup = Q(
+    "llm_semdedup",
+    """WITH c AS (
+      |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
+      |sim AS (
+      |  SELECT e.vec_id, e.embedding, c.c_id,
+      |    ROUND(list_dot_product(e.embedding::DOUBLE[], c.c_emb::DOUBLE[])
+      |      / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+      |       * sqrt(list_dot_product(c.c_emb::DOUBLE[], c.c_emb::DOUBLE[]))), 4) AS cos_c
+      |  FROM embeddings e CROSS JOIN c),
+      |asg AS (
+      |  SELECT vec_id, embedding, c_id FROM (
+      |    SELECT vec_id, embedding, c_id,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, c_id) AS rn
+      |    FROM sim) t WHERE rn = 1),
+      |pairs AS (
+      |  SELECT a.c_id, a.vec_id AS id_a, b.vec_id AS id_b,
+      |    list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      |      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+      |       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS cs
+      |  FROM asg a JOIN asg b ON a.c_id = b.c_id AND a.vec_id < b.vec_id),
+      |drops AS (
+      |  SELECT c_id, id_b AS vec_id, id_a AS dup_of, ROUND(cs, 4) AS cos_sim,
+      |    row_number() OVER (PARTITION BY id_b ORDER BY id_a) AS rn
+      |  FROM pairs WHERE cs >= 0.4)
+      |SELECT vec_id, c_id, dup_of, cos_sim FROM drops WHERE rn = 1
+      |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val numBlocks = 8
+    val e = Tables.embeddings(s, dir)
+    val c = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val wAsg = Window.partitionBy("vec_id").orderBy(col("cos_c").desc, col("c_id").asc)
+    val asg = e.join(broadcast(c))
+      .withColumn("cos_c", round(vectors.cosineSim(col("embedding"), col("c_emb")), 4))
+      .withColumn("rn", row_number().over(wAsg))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id"), col("embedding"))
+    // Same one-cell-per-unordered-pair block grid as nearDupCosine, with the
+    // cluster id joined in front — pairs never cross clusters.
+    val aSide = asg
+      .select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("c_id"),
+        pmod(col("vec_id"), lit(numBlocks)).as("blk_a"))
+      .withColumn("cj", explode(sequence(col("blk_a"), lit(numBlocks - 1))))
+      .withColumnRenamed("blk_a", "ci")
+    val bSide = asg
+      .select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("c_id"),
+        pmod(col("vec_id"), lit(numBlocks)).as("blk_b"))
+      .withColumn("ci", explode(sequence(lit(0), col("blk_b"))))
+      .withColumnRenamed("blk_b", "cj")
+    val cos = vectors.cosineSim(col("emb_a"), col("emb_b"))
+    val wDrop = Window.partitionBy("v").orderBy(col("u").asc)
+    aSide.join(bSide, Seq("c_id", "ci", "cj"))
+      .filter(col("id_a") =!= col("id_b") &&
+        (col("ci") =!= col("cj") || col("id_a") < col("id_b")))
+      .filter(cos >= 0.4)
+      .select(col("c_id"),
+        least(col("id_a"), col("id_b")).as("u"),
+        greatest(col("id_a"), col("id_b")).as("v"),
+        round(cos, 4).as("cos_sim"))
+      .withColumn("rn", row_number().over(wDrop))
+      .filter(col("rn") === 1)
+      .select(col("v").as("vec_id"), col("c_id"), col("u").as("dup_of"), col("cos_sim"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupHash, jaccardPairs, shingleJaccard, knnCosine, annLsh,
     annIvf, nearDupCosine, embedNorm, minhashPairs, tfidf, approxDistinct,
     approxPercentile, nearDupClusters, decontaminate, quantizeInt8, approxTopK,
     embedDimStats, embedNormalize, dupSpanFraction, centroidAssign,
-    embedOutliers)
+    embedOutliers, semDedup)
 }

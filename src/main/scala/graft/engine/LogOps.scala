@@ -1038,6 +1038,44 @@ object LogOps {
       .orderBy("h", "event_type")
   }
 
+  /** Gaps-and-islands: maximal runs of consecutive same-type events per
+    * user (the classic "N errors in a row" alerting shape — sessionize cuts
+    * on time gaps, this cuts on value change). The island key is the
+    * rn − rn_per_type difference, constant exactly within a run; both
+    * row_numbers share one user_id sort (the per-type one is a finer
+    * partition of the same ordering), so the window pass is a single
+    * user_id exchange, and the run aggregation groups on (user, type,
+    * island) — bounded keys, map-combinable aggregates. Ordering ties
+    * break on event_id so both engines segment identically; only runs of
+    * ≥ 3 events surface (the alert-worthy ones).
+    */
+  val eventRuns = Q(
+    "log_event_runs",
+    """WITH seq AS (
+      |  SELECT user_id, event_type, ts,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+      |    row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rnt
+      |  FROM events),
+      |runs AS (
+      |  SELECT user_id, event_type, MIN(ts) AS run_start, MAX(ts) AS run_end,
+      |    COUNT(*) AS run_len
+      |  FROM seq GROUP BY user_id, event_type, rn - rnt)
+      |SELECT user_id, event_type, run_start, run_end, CAST(run_len AS BIGINT) AS run_len
+      |FROM runs WHERE run_len >= 3
+      |ORDER BY user_id, run_start, event_type""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val wAll = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wTyp = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    ev.select(col("user_id"), col("event_type"), col("ts"),
+        (row_number().over(wAll) - row_number().over(wTyp)).as("island"))
+      .groupBy("user_id", "event_type", "island")
+      .agg(min("ts").as("run_start"), max("ts").as("run_end"),
+        count(lit(1)).as("run_len"))
+      .filter(col("run_len") >= 3)
+      .select("user_id", "event_type", "run_start", "run_end", "run_len")
+      .orderBy("user_id", "run_start", "event_type")
+  }
+
   val all: Seq[Q] = Seq(
     errorRateDaily, grepRegex, regexExtract, regexReplace, stringFuncs,
     parseFields, timeBuckets, jsonExtract, tokenize, saltedAgg,
@@ -1046,5 +1084,5 @@ object LogOps {
     joinRangeEvents, joinAsofEvents, parseLines, funnel, retention, topPaths,
     anomalyZscore, winTimeRange, csvRoundtrip, retentionPolicy, resampleFill,
     orcRoundtrip, compactLatest, peakConcurrency, valueHistogram,
-    cumulativeUsers, jsonRoundtrip, regression)
+    cumulativeUsers, jsonRoundtrip, regression, eventRuns)
 }

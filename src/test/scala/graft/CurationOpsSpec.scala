@@ -149,4 +149,17 @@ class CurationOpsSpec extends SparkSpecBase {
     assert(c1.head === "t41" && c1.last === "t90")   // 10-token overlap
     assert(got(2)._4.split(" ").head === "t81")
   }
+
+  test("dataset card: per-source rows reconcile with the corpus totals") {
+    val got = CurationOps.datasetCard.build(spark, sfDir).collect()
+    val total = graft.engine.Tables.documents(spark, sfDir).count()
+    assert(got.map(_.getAs[Long]("n_docs")).sum === total)
+    // shares sum to ~100 (each row rounded to 2 dp → ±0.01 per source)
+    val pctSum = got.map(_.getAs[Double]("pct_corpus")).sum
+    assert(math.abs(pctSum - 100.0) <= 0.01 * got.length, s"pct sum $pctSum")
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_dup") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_langs") >= 1L)
+    }
+  }
 }

@@ -282,4 +282,24 @@ class LlmOpsSpec extends SparkSpecBase {
       (2L, 2L, 1L, 0.5),
       (3L, 3L, 0L, 0.0)))
   }
+
+  test("semdedup: drops keep a lower id, clear the threshold, and are a subset of the global pair set") {
+    val drops = LlmOps.semDedup.build(spark, sfDir)
+      .select("vec_id", "c_id", "dup_of", "cos_sim")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(drops.nonEmpty)
+    drops.foreach { case (v, _, u, cs) =>
+      assert(u < v, s"dup_of $u !< vec_id $v")
+      assert(cs >= 0.4, s"($u,$v) cos $cs below threshold")
+    }
+    // each vector is dropped at most once
+    assert(drops.map(_._1).distinct.length === drops.length)
+    // cluster-bucketing only ever removes candidate pairs: every drop must
+    // also be a pair of the exact corpus-wide near-dup scan
+    val pairSet = LlmOps.nearDupCosine.build(spark, sfDir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    drops.foreach { case (v, _, u, _) =>
+      assert(pairSet.contains((u, v)), s"($u,$v) not in global near-dup pairs")
+    }
+  }
 }

@@ -163,4 +163,25 @@ class LogOpsSpec extends SparkSpecBase {
       (1L, "view", 5L, 5.0, 2L),
       (1L, "click", 6L, 6.0, 1L)))
   }
+
+  test("event runs: islands cut on type change, short runs filtered, ts ties break on event_id") {
+    // user 0: view view view (run 3 — events 2,3 share a ts, event_id
+    // orders them into one island) | click (1) | view view (2 — under min)
+    // user 1: error ×4 → one run of 4
+    val dir = eventsDir(Seq(
+      (1L, ts(0), 0L, "view", 1.0, "{}"),
+      (2L, ts(1), 0L, "view", 1.0, "{}"),
+      (3L, ts(1), 0L, "view", 1.0, "{}"),
+      (4L, ts(2), 0L, "click", 1.0, "{}"),
+      (5L, ts(3), 0L, "view", 1.0, "{}"),
+      (6L, ts(4), 0L, "view", 1.0, "{}"),
+      (7L, ts(0), 1L, "error", 1.0, "{}"),
+      (8L, ts(1), 1L, "error", 1.0, "{}"),
+      (9L, ts(2), 1L, "error", 1.0, "{}"),
+      (10L, ts(3), 1L, "error", 1.0, "{}")))
+    val got = LogOps.eventRuns.build(spark, dir)
+      .select("user_id", "event_type", "run_len")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got === Set((0L, "view", 3L), (1L, "error", 4L)))
+  }
 }
