@@ -73,7 +73,12 @@ object Soak {
       // gram's df ≥ 10), so dup_span_fraction soaks its worst case: the
       // gram-df join fans out 10× rows but stays linear — no pairwise term
       "llm_dup_span_fraction", "text_unigram_logprob", "log_compact_latest",
-      "log_peak_concurrency", "llm_centroid_assign", "llm_embed_outliers")
+      "log_peak_concurrency", "llm_centroid_assign", "llm_embed_outliers",
+      // round 3: the rewritten single-pass as-of merge (was the per-user
+      // errors × purchases fanout), semdedup's within-cluster grid (10×
+      // vectors → 100× within-cluster pairs, distributed over c_id×grid
+      // cells), the digest-join dataset card, and the islands window
+      "join_asof_events", "llm_semdedup", "llm_dataset_card", "log_event_runs")
     heavy.filter(n => only.forall(_.contains(n))).foreach { name =>
       val fn = SparkEntry.queries(name)
       try { fn(spark, dir).count() } catch { case _: Throwable => () } // warm

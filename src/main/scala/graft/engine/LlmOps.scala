@@ -655,8 +655,16 @@ object LlmOps {
     * doesn't replay rounds 1..N-1.
     */
   def clusterPairs(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // Materialize the edge list ONCE before iterating: every round joins
+    // against it, and without this the whole upstream pair-generation
+    // pipeline (e.g. the shingle-Jaccard postings join) re-executes per
+    // iteration — measured 87 s → 29 s at sf0.1 for the cluster query
+    // (the remainder is the single pair-generation pass itself). On a real
+    // cluster this is persist-to-disk/checkpoint; localCheckpoint is the
+    // single-JVM equivalent.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
