@@ -86,5 +86,35 @@ object SqlOps {
     sql("sql_local_supplier_volume", text)(text)
   }
 
-  val all: Seq[Q] = Seq(shippingPriority, notInNulls, localSupplierVolume)
+  /** TPC-H Q8-shaped national market share: an 8-relation join (nation
+    * aliased twice — customer's and supplier's sides resolve independently)
+    * feeding a conditional-aggregate share per order year. The deepest
+    * join-reorder exercise in the suite: part and region prune their fact
+    * sides first, both nation aliases and region broadcast, and the
+    * share division runs on two co-grouped conditional sums (one pass, no
+    * self-join of the volume table). Identical text on both engines.
+    */
+  val marketShare: Q = {
+    val text =
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  ROUND(SUM(CASE WHEN n2.n_name = 'NATION_3'
+        |                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |        / SUM(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+        |FROM part
+        |JOIN lineitem ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY year(o_orderdate)
+        |ORDER BY o_year""".stripMargin
+    sql("sql_market_share", text)(text)
+  }
+
+  val all: Seq[Q] = Seq(shippingPriority, notInNulls, localSupplierVolume, marketShare)
 }
