@@ -1076,6 +1076,71 @@ object LogOps {
       .orderBy("user_id", "run_start", "event_type")
   }
 
+  /** Multiline record stitching — the log-ingestion step that reattaches
+    * continuation lines (stack-trace frames, wrapped messages) to their
+    * header line before any parsing: a record is a header plus every
+    * following continuation, identified by the running count of headers in
+    * file order. The corpus is synthesized deterministically from
+    * `documents` (header = parseLines' `src [lang] head` shape; doc_id % 4
+    * "    at token" continuation lines) so both engines stitch the same
+    * stream.
+    *
+    * Scale shape: one shuffle on the file key (`source` stands in for the
+    * file path), then a per-file ordered window and a (file, record)
+    * groupBy. A single enormous file serializes onto one task under this
+    * exact formulation; production splits files into blocks, stitches per
+    * block the same way, and repairs the one boundary record per block pair
+    * — the per-block plan is THIS query unchanged.
+    */
+  val multilineStitch = Q(
+    "log_multiline_stitch",
+    """WITH toks AS (
+      |  SELECT doc_id, source, lang, text,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      |  FROM documents),
+      |lines AS (
+      |  SELECT doc_id, source,
+      |    generate_subscripts(arr, 1) - 1 AS line_no, unnest(arr) AS line
+      |  FROM (
+      |    SELECT doc_id, source,
+      |      list_prepend(source || ' [' || lang || '] ' || substr(text, 1, 20),
+      |        list_transform(list_slice(tk, 1, doc_id % 4),
+      |                       t -> '    at ' || t)) AS arr
+      |    FROM toks) t),
+      |flagged AS (
+      |  SELECT source, doc_id, line_no, line,
+      |    CASE WHEN line LIKE '    at %' THEN 0 ELSE 1 END AS is_header,
+      |    CAST(SUM(CASE WHEN line LIKE '    at %' THEN 0 ELSE 1 END)
+      |      OVER (PARTITION BY source ORDER BY doc_id, line_no
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS record_id
+      |  FROM lines)
+      |SELECT source, record_id, COUNT(*) AS n_lines,
+      |  MIN(CASE WHEN is_header = 1 THEN line END) AS header,
+      |  CAST(SUM(len(line)) AS BIGINT) AS n_chars
+      |FROM flagged GROUP BY source, record_id
+      |ORDER BY source, record_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val tk = filter(split(col("text"), " "), x => x =!= "")
+    val arr = concat(
+      array(concat(col("source"), lit(" ["), col("lang"), lit("] "),
+        substring(col("text"), 1, 20))),
+      transform(slice(tk, lit(1), pmod(col("doc_id"), lit(4)).cast("int")),
+        t => concat(lit("    at "), t)))
+    val lines = docs.select(col("doc_id"), col("source"),
+      posexplode(arr).as(Seq("line_no", "line")))
+    val isHeader = when(col("line").startsWith("    at "), 0).otherwise(1)
+    val w = Window.partitionBy("source").orderBy("doc_id", "line_no")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lines.withColumn("is_header", isHeader)
+      .withColumn("record_id", sum(isHeader).over(w))
+      .groupBy("source", "record_id")
+      .agg(count(lit(1)).as("n_lines"),
+        min(when(col("is_header") === 1, col("line"))).as("header"),
+        sum(length(col("line"))).cast("bigint").as("n_chars"))
+      .orderBy("source", "record_id")
+  }
+
   val all: Seq[Q] = Seq(
     errorRateDaily, grepRegex, regexExtract, regexReplace, stringFuncs,
     parseFields, timeBuckets, jsonExtract, tokenize, saltedAgg,
@@ -1084,5 +1149,5 @@ object LogOps {
     joinRangeEvents, joinAsofEvents, parseLines, funnel, retention, topPaths,
     anomalyZscore, winTimeRange, csvRoundtrip, retentionPolicy, resampleFill,
     orcRoundtrip, compactLatest, peakConcurrency, valueHistogram,
-    cumulativeUsers, jsonRoundtrip, regression, eventRuns)
+    cumulativeUsers, jsonRoundtrip, regression, eventRuns, multilineStitch)
 }

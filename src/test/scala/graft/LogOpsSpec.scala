@@ -184,4 +184,21 @@ class LogOpsSpec extends SparkSpecBase {
       .as[(Long, String, Long)].collect().toSet
     assert(got === Set((0L, "view", 3L), (1L, "error", 4L)))
   }
+
+  test("multiline stitch: continuation lines attach to their header record, per file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs-ml").toString
+    Seq(
+      (4L, "alpha beta gamma", "en", "srcA", 16L),   // 4 % 4 → 0 continuations
+      (5L, "one two three four", "en", "srcA", 18L), // 5 % 4 → 1 continuation
+      (7L, "x y z w", "fr", "srcB", 7L))             // 7 % 4 → 3 continuations
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = LogOps.multilineStitch.build(spark, dir)
+      .select("source", "record_id", "n_lines", "header")
+      .as[(String, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      ("srcA", 1L, 1L, "srcA [en] alpha beta gamma"),
+      ("srcA", 2L, 2L, "srcA [en] one two three four"),
+      ("srcB", 1L, 4L, "srcB [fr] x y z w")))
+  }
 }
