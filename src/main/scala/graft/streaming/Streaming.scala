@@ -102,6 +102,55 @@ object Streaming {
       }
   }
 
+  // ---- T6 applied to ingestion: streaming multiline record stitching ----
+
+  final case class RawLine(source: String, doc_id: Long, line_no: Int, line: String)
+  final case class StitchState(header: String, nLines: Long, nChars: Long, recordNo: Long)
+  final case class StitchedRecord(source: String, record_id: Long, n_lines: Long,
+                                  header: String, n_chars: Long)
+
+  /** Streaming twin of [[graft.engine.LogOps.multilineStitch]]: tail a log
+    * stream and reattach continuation lines to their header record as they
+    * arrive. State per file key is ONE open record (header + running
+    * counters) — constant size no matter how long the file runs; a record
+    * is emitted the moment its successor header arrives, which is the
+    * only point a tailer can know the record is complete. The final
+    * in-flight record intentionally stays in state (it may still be
+    * growing); production adds an event/processing-time timeout flush to
+    * cap emission latency, the same eviction pattern
+    * [[errorBurstsEvicting]] demonstrates.
+    *
+    * Within a micro-batch the group's rows are sorted by (doc_id, line_no)
+    * before folding — Spark does not order rows inside a group, and the
+    * file-tail contract only guarantees order per source ACROSS batches.
+    */
+  def stitchRecords(lines: Dataset[RawLine]): Dataset[StitchedRecord] = {
+    import lines.sparkSession.implicits._
+    lines
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[StitchState, StitchedRecord](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (source: String, rows: Iterator[RawLine], state: GroupState[StitchState]) =>
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[StitchedRecord]
+          rows.toSeq.sortBy(l => (l.doc_id, l.line_no)).foreach { l =>
+            val isHeader = !l.line.startsWith("    at ")
+            if (isHeader) {
+              if (st != null)
+                out += StitchedRecord(source, st.recordNo, st.nLines, st.header, st.nChars)
+              val no = if (st == null) 1L else st.recordNo + 1L
+              st = StitchState(l.line, 1L, l.line.length.toLong, no)
+            } else if (st != null) {
+              st = st.copy(nLines = st.nLines + 1, nChars = st.nChars + l.line.length)
+            }
+            // a continuation with no open record (stream began mid-record)
+            // is dropped: a tailer cannot reconstruct a header it never saw
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   /** T6 + T4 (state eviction): the burst detector with an event-time idle
     * timeout. A user whose last error sits more than `idleEvictMs` behind
     * the advancing watermark has their state removed, so the state store

@@ -313,4 +313,32 @@ class StreamingSpec extends SparkSpecBase {
     val streamTotal = spark.table("file_sink").agg(sum("n")).as[Long].head()
     assert(streamTotal === graft.engine.Tables.events(spark, sfDir).count())
   }
+
+  test("multiline stitch stream: a record emits when its successor header arrives, across batches") {
+    val input = MemoryStream[Streaming.RawLine](spark)
+    val q = Streaming.stitchRecords(input.toDS())
+      .writeStream.format("memory").queryName("stitch_sink").outputMode("append").start()
+    try {
+      // batch 1: record A (header + continuation) completed by record B's
+      // header; B stays open at batch end → only A emits
+      input.addData(
+        Streaming.RawLine("f1", 1L, 0, "hdr A"),
+        Streaming.RawLine("f1", 1L, 1, "    at a1"),
+        Streaming.RawLine("f1", 2L, 0, "hdr B"),
+        Streaming.RawLine("f1", 2L, 1, "    at b1"))
+      q.processAllAvailable()
+      assert(spark.table("stitch_sink").as[Streaming.StitchedRecord].collect().toSet ===
+        Set(Streaming.StitchedRecord("f1", 1L, 2L, "hdr A", 14L)))
+      // batch 2: B grows by one line, then C's header closes it — the
+      // cross-batch continuation must land in B, with record ids running on
+      input.addData(
+        Streaming.RawLine("f1", 2L, 2, "    at b2"),
+        Streaming.RawLine("f1", 3L, 0, "hdr C"))
+      q.processAllAvailable()
+      assert(spark.table("stitch_sink").as[Streaming.StitchedRecord].collect().toSet ===
+        Set(
+          Streaming.StitchedRecord("f1", 1L, 2L, "hdr A", 14L),
+          Streaming.StitchedRecord("f1", 2L, 3L, "hdr B", 23L)))
+    } finally q.stop()
+  }
 }
