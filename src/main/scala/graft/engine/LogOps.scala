@@ -1141,6 +1141,35 @@ object LogOps {
       .orderBy("source", "record_id")
   }
 
+  /** Hourly latency percentiles — the observability staple (p50/p95/p99 of
+    * a measured value per time bucket per event type). Exact interpolated
+    * percentiles here so the DuckDB oracle can hash-match
+    * (`percentile` ≡ `quantile_cont`); at 100 TB the per-(hour, type)
+    * groups are what make the exact sort affordable — each group sorts
+    * independently after one partial-aggregated shuffle — and the
+    * registered approx family (`agg_approx_percentile`, mergeable sketch)
+    * is the drop-in when even that is too much.
+    */
+  val latencyPercentiles = Q(
+    "log_latency_percentiles",
+    """SELECT date_trunc('hour', ts) AS h, event_type,
+      |  COUNT(*) AS n,
+      |  ROUND(quantile_cont(value, 0.5), 4) AS p50,
+      |  ROUND(quantile_cont(value, 0.95), 4) AS p95,
+      |  ROUND(quantile_cont(value, 0.99), 4) AS p99
+      |FROM events WHERE event_type IN ('view', 'click', 'purchase')
+      |GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .orderBy("h", "event_type")
+  }
+
   val all: Seq[Q] = Seq(
     errorRateDaily, grepRegex, regexExtract, regexReplace, stringFuncs,
     parseFields, timeBuckets, jsonExtract, tokenize, saltedAgg,
@@ -1149,5 +1178,6 @@ object LogOps {
     joinRangeEvents, joinAsofEvents, parseLines, funnel, retention, topPaths,
     anomalyZscore, winTimeRange, csvRoundtrip, retentionPolicy, resampleFill,
     orcRoundtrip, compactLatest, peakConcurrency, valueHistogram,
-    cumulativeUsers, jsonRoundtrip, regression, eventRuns, multilineStitch)
+    cumulativeUsers, jsonRoundtrip, regression, eventRuns, multilineStitch,
+    latencyPercentiles)
 }
