@@ -78,7 +78,8 @@ object Soak {
       // errors × purchases fanout), semdedup's within-cluster grid (10×
       // vectors → 100× within-cluster pairs, distributed over c_id×grid
       // cells), the digest-join dataset card, and the islands window
-      "join_asof_events", "llm_semdedup", "llm_dataset_card", "log_event_runs")
+      "join_asof_events", "llm_semdedup", "llm_dataset_card", "log_event_runs",
+      "log_multiline_stitch", "log_latency_percentiles")
     heavy.filter(n => only.forall(_.contains(n))).foreach { name =>
       val fn = SparkEntry.queries(name)
       try { fn(spark, dir).count() } catch { case _: Throwable => () } // warm

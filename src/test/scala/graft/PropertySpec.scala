@@ -187,4 +187,46 @@ class PropertySpec extends SparkSpecBase {
         a.forall { case (n, peak) => peak >= 1 && peak <= n }
     }, cases = 6)
   }
+
+  test("event runs: engine islands match a sequential fold on any stream") {
+    import spark.implicits._
+    val runsGen: Gen[Seq[(Long, Long, String, Int)]] = for {
+      n <- Gen.chooseNum(1, 30)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.chooseNum(0L, 2L)
+        t <- Gen.oneOf("a", "b")
+        m <- Gen.chooseNum(0, 10)
+      } yield (u, t, m))
+    } yield rows.zipWithIndex.map { case ((u, t, m), i) => (i.toLong + 1, u, t, m) }
+    check(Prop.forAll(runsGen) { rows =>
+      // reference: per user, order by (minute, event_id), fold consecutive
+      // same-type runs, keep length >= 3 — the definition, executed naively
+      val expected = rows.groupBy(_._2).toSeq.flatMap { case (u, evs) =>
+        val ordered = evs.sortBy(r => (r._4, r._1))
+        val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+        var curType: String = null
+        var len = 0L
+        ordered.foreach { case (_, _, t, _) =>
+          if (t == curType) len += 1
+          else {
+            if (curType != null) runs += ((u, curType, len))
+            curType = t; len = 1
+          }
+        }
+        if (curType != null) runs += ((u, curType, len))
+        runs.filter(_._3 >= 3)
+      }.sorted
+      val dir = java.nio.file.Files.createTempDirectory("graft-prop-runs").toString
+      rows.toDF("event_id", "user_id", "event_type", "minute")
+        .select(col("event_id"),
+          expr("timestamp_micros(1704067200000000 + cast(minute as bigint) * 60000000)").as("ts"),
+          col("user_id"), col("event_type"), lit(1.0).as("value"),
+          lit("{}").as("props"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val got = graft.engine.LogOps.eventRuns.build(spark, dir)
+        .select("user_id", "event_type", "run_len").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sorted
+      got == expected
+    }, cases = 8)
+  }
 }
