@@ -1021,10 +1021,50 @@ object LlmOps {
       .orderBy("vec_id")
   }
 
+  /** D4 (embedding redundancy): the most-correlated dimension pairs — the
+    * diagnostic run before dimensionality reduction or feature pruning
+    * (|corr| ≈ 1 between two dimensions means one of them buys nothing).
+    *
+    * Plan: posexplode to (vec_id, dim, x), self-join on vec_id to form the
+    * d² grid per vector, then ONE corr aggregation over d(d−1)/2 pair keys.
+    * The fanout is corpus × d²/2 rows but collapses by partial aggregation
+    * (corr's co-moments are map-combinable) before the exchange — the
+    * shuffle carries partitions × 2016 rows, not vectors × 2016. Linear in
+    * corpus size with a d² constant; at d in the thousands the same
+    * co-moments come from a per-partition Gram-matrix accumulation
+    * (mapPartitions + BLAS), feeding the identical final aggregate.
+    * Selection runs on ROUND(corr, 4) with a (d_i, d_j) tiebreak so both
+    * engines pick the same top rows despite sum-order float jitter.
+    */
+  val embedCorrPairs = Q(
+    "llm_embed_corr_pairs",
+    """WITH px AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT a.dim AS d_i, b.dim AS d_j,
+      |    ROUND(corr(a.x, b.x), 4) + 0 AS corr_v
+      |  FROM px a JOIN px b ON a.vec_id = b.vec_id AND a.dim < b.dim
+      |  GROUP BY a.dim, b.dim)
+      |SELECT d_i, d_j, corr_v FROM pairs
+      |ORDER BY abs(corr_v) DESC, d_i, d_j LIMIT 10""".stripMargin) { (s, dir) =>
+    val px = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"), col("x").cast("double").as("x"))
+    val a = px.select(col("vec_id"), col("dim").as("d_i"), col("x").as("xi"))
+    val b = px.select(col("vec_id").as("vid_b"), col("dim").as("d_j"), col("x").as("xj"))
+    a.join(b, col("vec_id") === col("vid_b") && col("d_i") < col("d_j"))
+      .groupBy("d_i", "d_j")
+      .agg((round(corr(col("xi"), col("xj")), 4) + lit(0.0)).as("corr_v"))
+      .orderBy(abs(col("corr_v")).desc, col("d_i"), col("d_j"))
+      .limit(10)
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupHash, jaccardPairs, shingleJaccard, knnCosine, annLsh,
     annIvf, nearDupCosine, embedNorm, minhashPairs, tfidf, approxDistinct,
     approxPercentile, nearDupClusters, decontaminate, quantizeInt8, approxTopK,
     embedDimStats, embedNormalize, dupSpanFraction, centroidAssign,
-    embedOutliers, semDedup)
+    embedOutliers, semDedup, embedCorrPairs)
 }

@@ -268,6 +268,28 @@ class LlmOpsSpec extends SparkSpecBase {
       (1L, 2L, 3.0, 1.4142, 2.0, 4.0)))
   }
 
+  test("embed corr pairs: a duplicated dimension tops the list at corr 1") {
+    // dims 0 and 1 identical → corr 1; dim 2 runs against them (corr -1 on
+    // this 3-point set would need exact anti-linearity, so use a kinked
+    // series that correlates imperfectly)
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb-corr").toString
+    Seq(
+      (1L, Array(1f, 1f, 5f), 0),
+      (2L, Array(2f, 2f, 1f), 0),
+      (3L, Array(3f, 3f, 4f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = LlmOps.embedCorrPairs.build(spark, dir)
+      .select("d_i", "d_j", "corr_v")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.length === 3)
+    assert(got.head === ((0L, 1L, 1.0)))
+    // remaining pairs (0,2) and (1,2) carry the identical imperfect corr
+    assert(got.drop(1).map(r => (r._1, r._2)).toSet === Set((0L, 2L), (1L, 2L)))
+    assert(got.drop(1).map(_._3).distinct.length === 1)
+    assert(math.abs(got(1)._3) < 1.0)
+  }
+
   test("dup-span fraction: shared 5-grams count, short docs drop out") {
     val dir = docsDir(Seq(
       (1L, "a b c d e f"),     // grams: "a b c d e", "b c d e f"
