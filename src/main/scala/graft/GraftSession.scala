@@ -15,8 +15,9 @@ import org.apache.spark.sql.SparkSession
   *
   * `open` is idempotent and safe on a session the caller built with its own
   * confs: it only (1) applies the runtime-settable corpus confs
-  * ([[graft.engine.Tables.prepare]] — UTC session time, the nanos-timestamp
-  * read shim), (2) registers every corpus table as a temp view, and
+  * ([[graft.engine.Tables.prepare]] — UTC session time, the events
+  * timestamp-encoding read shims), (2) registers every corpus table as a
+  * temp view, and
   * (3) installs the codegen'd vector SQL functions. Sessions built with
   * `spark.sql.extensions=graft.functions.GraftExtensions` already have the
   * functions; re-registering is a no-op.
