@@ -1025,16 +1025,19 @@ object LlmOps {
     * diagnostic run before dimensionality reduction or feature pruning
     * (|corr| ≈ 1 between two dimensions means one of them buys nothing).
     *
-    * Plan: posexplode to (vec_id, dim, x), self-join on vec_id to form the
-    * d² grid per vector, then ONE corr aggregation over d(d−1)/2 pair keys.
-    * The fanout is corpus × d²/2 rows but collapses by partial aggregation
-    * (corr's co-moments are map-combinable) before the exchange — the
-    * shuffle carries partitions × 2016 rows, not vectors × 2016. Linear in
-    * corpus size with a d² constant; at d in the thousands the same
-    * co-moments come from a per-partition Gram-matrix accumulation
-    * (mapPartitions + BLAS), feeding the identical final aggregate.
-    * Selection runs on ROUND(corr, 4) with a (d_i, d_j) tiebreak so both
-    * engines pick the same top rows despite sum-order float jitter.
+    * Plan: each vector expands to its OWN d(d−1)/2 (d_i, d_j, xi, xj)
+    * structs map-side — straight from the array column, no posexplode
+    * self-join, so the corpus never shuffles at all — and one corr
+    * aggregation with map-combinable co-moments collapses the fanout
+    * before the exchange: the shuffle carries partitions × 2016 rows, not
+    * vectors × 2016. (The oracle spells the same pairs as an unnest
+    * self-join because SQL lacks the in-row expansion; only the values
+    * must match, not the plan.) Linear in corpus size with a d² constant;
+    * at d in the thousands the same co-moments come from a per-partition
+    * Gram-matrix accumulation (mapPartitions + BLAS), feeding the
+    * identical final aggregate. Selection runs on ROUND(corr, 4) with a
+    * (d_i, d_j) tiebreak so both engines pick the same top rows despite
+    * sum-order float jitter.
     */
   val embedCorrPairs = Q(
     "llm_embed_corr_pairs",
@@ -1049,12 +1052,17 @@ object LlmOps {
       |  GROUP BY a.dim, b.dim)
       |SELECT d_i, d_j, corr_v FROM pairs
       |ORDER BY abs(corr_v) DESC, d_i, d_j LIMIT 10""".stripMargin) { (s, dir) =>
-    val px = Tables.embeddings(s, dir)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
-      .select(col("vec_id"), col("dim").cast("long").as("dim"), col("x").cast("double").as("x"))
-    val a = px.select(col("vec_id"), col("dim").as("d_i"), col("x").as("xi"))
-    val b = px.select(col("vec_id").as("vid_b"), col("dim").as("d_j"), col("x").as("xj"))
-    a.join(b, col("vec_id") === col("vid_b") && col("d_i") < col("d_j"))
+    val e = col("embedding")
+    val pairStructs = flatten(transform(
+      sequence(lit(0), size(e) - 2),
+      i => transform(
+        sequence(i + 1, size(e) - 1),
+        j => struct(
+          i.cast("long").as("d_i"), j.cast("long").as("d_j"),
+          e(i).cast("double").as("xi"), e(j).cast("double").as("xj")))))
+    Tables.embeddings(s, dir)
+      .select(explode(pairStructs).as("p"))
+      .select(col("p.d_i"), col("p.d_j"), col("p.xi"), col("p.xj"))
       .groupBy("d_i", "d_j")
       .agg((round(corr(col("xi"), col("xj")), 4) + lit(0.0)).as("corr_v"))
       .orderBy(abs(col("corr_v")).desc, col("d_i"), col("d_j"))
