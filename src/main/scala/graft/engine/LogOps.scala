@@ -365,6 +365,55 @@ object LogOps {
         max("ts").as("session_end"))
   }
 
+  /** Session-duration profile — the summary a session table exists to
+    * answer (how long do sessions run, how many events do they carry, per
+    * day): p50/p95 duration and mean event count over [[sessionTable]]'s
+    * output, grouped by session-start day. Adds ONE aggregation over the
+    * (already tiny relative to events) session rows on top of sessionize's
+    * single user_id exchange; the exact per-group quantile sort is over
+    * sessions-per-day, the approx-sketch family is the documented
+    * beyond-that path.
+    */
+  val sessionDurations = Q(
+    "log_session_durations",
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flagged),
+      |sessions AS (
+      |  SELECT user_id, session_id, COUNT(*) AS n_events,
+      |    MIN(ts) AS session_start, MAX(ts) AS session_end
+      |  FROM sess GROUP BY user_id, session_id)
+      |SELECT date_trunc('day', session_start) AS day,
+      |  COUNT(*) AS n_sessions,
+      |  ROUND(quantile_cont((epoch_us(session_end) - epoch_us(session_start))
+      |    / 1000000.0, 0.5), 4) AS p50_dur_s,
+      |  ROUND(quantile_cont((epoch_us(session_end) - epoch_us(session_start))
+      |    / 1000000.0, 0.95), 4) AS p95_dur_s,
+      |  ROUND(AVG(n_events), 4) AS avg_events
+      |FROM sessions GROUP BY 1 ORDER BY day""".stripMargin) { (s, dir) =>
+    sessionTable(s, dir)
+      .groupBy(date_trunc("day", col("session_start")).as("day"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        round(expr(
+          "percentile((unix_micros(session_end) - unix_micros(session_start)) / 1000000.0d, 0.5)"),
+          4).as("p50_dur_s"),
+        round(expr(
+          "percentile((unix_micros(session_end) - unix_micros(session_start)) / 1000000.0d, 0.95)"),
+          4).as("p95_dur_s"),
+        round(avg("n_events"), 4).as("avg_events"))
+      .orderBy("day")
+  }
+
   /** J6: range join — error within 1 h after a purchase, same user. The
     * user_id equi-key keeps this a real hash join (band predicate applied
     * post-match) rather than a nested-loop cross product.
@@ -1179,5 +1228,5 @@ object LogOps {
     anomalyZscore, winTimeRange, csvRoundtrip, retentionPolicy, resampleFill,
     orcRoundtrip, compactLatest, peakConcurrency, valueHistogram,
     cumulativeUsers, jsonRoundtrip, regression, eventRuns, multilineStitch,
-    latencyPercentiles)
+    latencyPercentiles, sessionDurations)
 }
