@@ -79,7 +79,8 @@ object Soak {
       // vectors → 100× within-cluster pairs, distributed over c_id×grid
       // cells), the digest-join dataset card, and the islands window
       "join_asof_events", "llm_semdedup", "llm_dataset_card", "log_event_runs",
-      "log_multiline_stitch", "log_latency_percentiles")
+      "log_multiline_stitch", "log_latency_percentiles",
+      "llm_embed_corr_pairs", "log_session_durations")
     heavy.filter(n => only.forall(_.contains(n))).foreach { name =>
       val fn = SparkEntry.queries(name)
       try { fn(spark, dir).count() } catch { case _: Throwable => () } // warm
