@@ -210,6 +210,58 @@ object LlmOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** D2 applied: the near-dup pair set turned into the filter decision a
+    * curation pipeline actually executes — drop every doc that has a
+    * lower-id near-duplicate (the same deterministic keeper rule as
+    * [[semDedup]], direct pairs rather than transitive closure so the rule
+    * stays one SQL statement; [[nearDupClusters]] is the transitive
+    * variant), reported as per-source survival stats. Plan adds one
+    * distinct + left join + 20-key aggregate on top of the pair scan; the
+    * drop set shuffles as bare doc_ids.
+    */
+  val nearDupFilter = Q(
+    "llm_neardup_filter",
+    """WITH sh0 AS (
+      |  SELECT doc_id, sh FROM (
+      |    SELECT doc_id, unnest(list_distinct(list_transform(
+      |        range(1, len(string_split(lower(text), ' '))),
+      |        i -> array_to_string(string_split(lower(text), ' ')[i:i+1], ' ')))) AS sh
+      |    FROM documents) t),
+      |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM sh0),
+      |dfc AS (SELECT sh, COUNT(*) AS df FROM sh0 GROUP BY 1),
+      |sh AS (
+      |  SELECT t.doc_id, t.sh FROM sh0 t JOIN dfc USING (sh) CROSS JOIN nd
+      |  WHERE dfc.df <= least(0.1 * nd.n_docs, 2000)),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |drops AS (
+      |  SELECT DISTINCT id_b AS doc_id FROM inter
+      |  JOIN sz sa ON inter.id_a = sa.doc_id
+      |  JOIN sz sb ON inter.id_b = sb.doc_id
+      |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5)
+      |SELECT d.source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |  ROUND(SUM(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+      |    / COUNT(*), 4) AS drop_rate
+      |FROM documents d LEFT JOIN drops dr ON d.doc_id = dr.doc_id
+      |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, dir) =>
+    val drops = shingleJaccard.build(s, dir)
+      .select(col("id_b").as("doc_id")).distinct()
+      .withColumn("dropped", lit(1))
+    Tables.documents(s, dir)
+      .join(drops, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(col("dropped"), lit(0))).cast("bigint").as("n_dropped"))
+      .withColumn("drop_rate",
+        round(col("n_dropped") * lit(1.0) / col("n_docs"), 4))
+      .orderBy("source")
+  }
+
   /** D3: brute-force cosine top-k — the exact baseline ANN answers are
     * measured against. The 100-row query side is broadcast (plan shows
     * BroadcastNestedLoopJoin over the corpus scan), so the 2000-vector —
@@ -1074,5 +1126,5 @@ object LlmOps {
     annIvf, nearDupCosine, embedNorm, minhashPairs, tfidf, approxDistinct,
     approxPercentile, nearDupClusters, decontaminate, quantizeInt8, approxTopK,
     embedDimStats, embedNormalize, dupSpanFraction, centroidAssign,
-    embedOutliers, semDedup, embedCorrPairs)
+    embedOutliers, semDedup, embedCorrPairs, nearDupFilter)
 }

@@ -268,6 +268,17 @@ class LlmOpsSpec extends SparkSpecBase {
       (1L, 2L, 3.0, 1.4142, 2.0, 4.0)))
   }
 
+  test("neardup filter: dropped total equals the distinct lower-id-pair targets") {
+    val expectedDrops = LlmOps.shingleJaccard.build(spark, sfDir)
+      .select("id_b").distinct().count()
+    val profile = LlmOps.nearDupFilter.build(spark, sfDir)
+      .select("n_docs", "n_dropped").as[(Long, Long)].collect()
+    assert(profile.map(_._2).sum === expectedDrops)
+    assert(profile.map(_._1).sum ===
+      graft.engine.Tables.documents(spark, sfDir).count())
+    profile.foreach { case (n, d) => assert(d <= n) }
+  }
+
   test("embed corr pairs: a duplicated dimension tops the list at corr 1") {
     // dims 0 and 1 identical → corr 1; dim 2 runs against them (corr -1 on
     // this 3-point set would need exact anti-linearity, so use a kinked
