@@ -102,6 +102,23 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"), plan)
   }
 
+  test("as-of merge runs on a single user_id hash exchange, no pair join") {
+    val plan = planOf(LogOps.joinAsofEvents)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles\n$plan")
+    assert(!plan.contains("Join"), plan)  // the fanout formulation is gone
+  }
+
+  test("event runs: both windows and the island groupBy share one user_id exchange") {
+    val plan = planOf(LogOps.eventRuns)
+    // hashpartitioning(user_id) satisfies the finer (user_id, event_type)
+    // window clustering AND the (user, type, island) aggregation — Spark
+    // plans all three on one exchange; a regression to per-key exchanges
+    // would triple the shuffle volume of the hottest log-table pattern
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles\n$plan")
+  }
+
   test("bigram vocab top-k is a TakeOrdered over a partial-aggregated count") {
     val plan = planOf(CurationOps.bigramVocab)
     assert(plan.contains("TakeOrderedAndProject"), plan)
@@ -160,6 +177,7 @@ class PlanSpec extends SparkSpecBase {
     "llm_embed_outliers"    -> "k=8 centroid table broadcast; 8-row stats re-broadcast",
     "llm_jaccard_pairs"     -> "single-row n_docs aggregate cross-joined into the df-cap",
     "llm_shingle_jaccard"   -> "single-row n_docs aggregate cross-joined into the df-cap",
+    "llm_neardup_filter"    -> "inherits llm_shingle_jaccard's single-row df-cap cross-join",
     "llm_tfidf"             -> "single-row corpus-count aggregate cross-joined into idf",
     "filter_scalar_subquery"-> "single-row scalar aggregate broadcast as the filter bound",
     "llm_domain_mix"        -> "single-row totals aggregate cross-joined into the weights",
