@@ -347,8 +347,13 @@ object LogOps {
     * session_end) — shared by [[winSessionize]] and [[peakConcurrency]];
     * both window passes and the final groupBy ride ONE user_id exchange.
     */
-  private def sessionTable(s: org.apache.spark.sql.SparkSession,
-                           dir: String): org.apache.spark.sql.DataFrame = {
+  /** Per-event frame with its gap-session id — the pre-aggregation stage
+    * of [[sessionTable]], shared by [[typeAffinity]] (which needs the
+    * event_type column the session rollup discards). Same single user_id
+    * exchange.
+    */
+  private def sessionizedEvents(s: org.apache.spark.sql.SparkSession,
+                                dir: String): org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     Tables.events(s, dir)
       .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
@@ -358,12 +363,16 @@ object LogOps {
       .withColumn("session_id",
         sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast("long"))
+  }
+
+  private def sessionTable(s: org.apache.spark.sql.SparkSession,
+                           dir: String): org.apache.spark.sql.DataFrame =
+    sessionizedEvents(s, dir)
       .groupBy("user_id", "session_id")
       .agg(
         count(lit(1)).as("n_events"),
         min("ts").as("session_start"),
         max("ts").as("session_end"))
-  }
 
   /** Session-duration profile — the summary a session table exists to
     * answer (how long do sessions run, how many events do they carry, per
@@ -412,6 +421,73 @@ object LogOps {
           4).as("p95_dur_s"),
         round(avg("n_events"), 4).as("avg_events"))
       .orderBy("day")
+  }
+
+  /** Event-type affinity — market-basket association over sessions: for
+    * every type pair, how many sessions contain both, and the lift
+    * (co-rate over the independence prediction — lift > 1 means the pair
+    * travels together). The classic recommendation/analytics primitive,
+    * here at its natural log-table grain (session = basket, type = item).
+    *
+    * Scale shape: the distinct (session, type) frame rides sessionize's
+    * user_id exchange; with a bounded type vocabulary the pair self-join
+    * is |sessions| × C(types-per-session, 2) rows feeding a partial
+    * aggregation on ≤ C(|types|, 2) keys, and the marginals broadcast
+    * back. A high-cardinality item space (retail SKUs) would df-cap the
+    * postings exactly like [[graft.engine.LlmOps.jaccardPairs]].
+    */
+  val typeAffinity = Q(
+    "log_type_affinity",
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, event_type,
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flagged),
+      |st AS (SELECT DISTINCT user_id, session_id, event_type FROM sess),
+      |n AS (SELECT COUNT(*) AS n_sessions FROM
+      |        (SELECT DISTINCT user_id, session_id FROM st) t),
+      |marg AS (SELECT event_type, COUNT(*) AS m FROM st GROUP BY 1),
+      |co AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_co
+      |  FROM st a JOIN st b
+      |    ON a.user_id = b.user_id AND a.session_id = b.session_id
+      |   AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, n_co,
+      |  ROUND(CAST(n_co AS DOUBLE) * n.n_sessions
+      |    / (ma.m * mb.m), 4) AS lift
+      |FROM co
+      |JOIN marg ma ON co.type_a = ma.event_type
+      |JOIN marg mb ON co.type_b = mb.event_type
+      |CROSS JOIN n
+      |ORDER BY type_a, type_b""".stripMargin) { (s, dir) =>
+    val st = sessionizedEvents(s, dir)
+      .select("user_id", "session_id", "event_type").distinct()
+    val n = st.select("user_id", "session_id").distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val marg = st.groupBy(col("event_type")).agg(count(lit(1)).as("m"))
+    val co = st.as("a")
+      .join(st.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.session_id") === col("b.session_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_co"))
+    co
+      .join(broadcast(marg.select(col("event_type").as("type_a"), col("m").as("ma"))), "type_a")
+      .join(broadcast(marg.select(col("event_type").as("type_b"), col("m").as("mb"))), "type_b")
+      .crossJoin(broadcast(n))
+      .select(col("type_a"), col("type_b"), col("n_co"),
+        round(col("n_co").cast("double") * col("n_sessions") / (col("ma") * col("mb")), 4)
+          .as("lift"))
+      .orderBy("type_a", "type_b")
   }
 
   /** J6: range join — error within 1 h after a purchase, same user. The
@@ -1228,5 +1304,5 @@ object LogOps {
     anomalyZscore, winTimeRange, csvRoundtrip, retentionPolicy, resampleFill,
     orcRoundtrip, compactLatest, peakConcurrency, valueHistogram,
     cumulativeUsers, jsonRoundtrip, regression, eventRuns, multilineStitch,
-    latencyPercentiles, sessionDurations)
+    latencyPercentiles, sessionDurations, typeAffinity)
 }
