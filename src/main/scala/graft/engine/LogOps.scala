@@ -490,6 +490,36 @@ object LogOps {
       .orderBy("type_a", "type_b")
   }
 
+  /** Event-type transition matrix — the first-order Markov view of user
+    * behavior (from each type, where do users go next, with what
+    * probability). Complements [[topPaths]] (whole-session sequences) and
+    * [[typeAffinity]] (unordered co-occurrence) with the ordered pairwise
+    * view. One lag window on the user_id exchange, a ≤|types|² aggregate,
+    * and a window-over-aggregate for the row-normalized probabilities —
+    * nothing data-sized moves after the partial agg.
+    */
+  val typeTransitions = Q(
+    "log_type_transitions",
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events)
+      |SELECT prev_type, event_type AS next_type, COUNT(*) AS n,
+      |  ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY prev_type), 4) AS p
+      |FROM seq WHERE prev_type IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wNorm = Window.partitionBy("prev_type")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        lag("event_type", 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n") * lit(1.0) / sum("n").over(wNorm), 4))
+      .orderBy("prev_type", "next_type")
+  }
+
   /** J6: range join — error within 1 h after a purchase, same user. The
     * user_id equi-key keeps this a real hash join (band predicate applied
     * post-match) rather than a nested-loop cross product.
@@ -1304,5 +1334,5 @@ object LogOps {
     anomalyZscore, winTimeRange, csvRoundtrip, retentionPolicy, resampleFill,
     orcRoundtrip, compactLatest, peakConcurrency, valueHistogram,
     cumulativeUsers, jsonRoundtrip, regression, eventRuns, multilineStitch,
-    latencyPercentiles, sessionDurations, typeAffinity)
+    latencyPercentiles, sessionDurations, typeAffinity, typeTransitions)
 }
