@@ -520,6 +520,46 @@ object LogOps {
       .orderBy("prev_type", "next_type")
   }
 
+  /** Rolling 7-day active users + DAU/WAU stickiness — the growth metric
+    * whose distributed form is genuinely non-obvious: a rolling DISTINCT
+    * does not decompose from daily distinct counts (users active on many
+    * days would double-count), so the scale-out formulation fans each
+    * (user, day) row out to the ≤ 7 windows it participates in map-side
+    * and lets ONE distinct aggregation per window day do the dedup. The
+    * shuffle carries user-days × 7 rows — linear in activity, not in
+    * users × days — and no self-join or per-window rescan exists anywhere.
+    * (The approx variant swaps the distinct for mergeable HLL sketches per
+    * day, union-merged over the window — `agg_approx_distinct` is the
+    * registered sketch.) Windows are reported only for observed days (the
+    * dau join prunes the fanout's tail beyond the last day).
+    */
+  val rollingWau = Q(
+    "log_rolling_wau",
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+      |dau AS (SELECT d, COUNT(*) AS dau FROM ud GROUP BY 1),
+      |expanded AS (
+      |  SELECT user_id, d + i * INTERVAL '1 day' AS wd
+      |  FROM ud CROSS JOIN range(0, 7) t(i)),
+      |wau AS (SELECT wd AS d, COUNT(DISTINCT user_id) AS wau FROM expanded GROUP BY 1)
+      |SELECT dau.d AS day, dau.dau, wau.wau,
+      |  ROUND(dau.dau * 1.0 / wau.wau, 4) AS stickiness
+      |FROM dau JOIN wau ON dau.d = wau.d
+      |ORDER BY day""".stripMargin) { (s, dir) =>
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d")).distinct()
+    val dau = ud.groupBy("d").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"), explode(sequence(lit(0), lit(6))).as("i"), col("d"))
+      .select(col("user_id"), expr("timestampadd(DAY, i, d)").as("d"))
+      .groupBy("d")
+      .agg(countDistinct("user_id").as("wau"))
+    dau.join(wau, "d")
+      .select(col("d").as("day"), col("dau"), col("wau"),
+        round(col("dau") * lit(1.0) / col("wau"), 4).as("stickiness"))
+      .orderBy("day")
+  }
+
   /** J6: range join — error within 1 h after a purchase, same user. The
     * user_id equi-key keeps this a real hash join (band predicate applied
     * post-match) rather than a nested-loop cross product.
@@ -1334,5 +1374,6 @@ object LogOps {
     anomalyZscore, winTimeRange, csvRoundtrip, retentionPolicy, resampleFill,
     orcRoundtrip, compactLatest, peakConcurrency, valueHistogram,
     cumulativeUsers, jsonRoundtrip, regression, eventRuns, multilineStitch,
-    latencyPercentiles, sessionDurations, typeAffinity, typeTransitions)
+    latencyPercentiles, sessionDurations, typeAffinity, typeTransitions,
+    rollingWau)
 }
