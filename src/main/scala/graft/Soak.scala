@@ -81,7 +81,8 @@ object Soak {
       "join_asof_events", "llm_semdedup", "llm_dataset_card", "log_event_runs",
       "log_multiline_stitch", "log_latency_percentiles",
       "llm_embed_corr_pairs", "log_session_durations",
-      "log_type_affinity", "log_type_transitions", "llm_neardup_filter")
+      "log_type_affinity", "log_type_transitions", "llm_neardup_filter",
+      "log_rolling_wau")
     heavy.filter(n => only.forall(_.contains(n))).foreach { name =>
       val fn = SparkEntry.queries(name)
       try { fn(spark, dir).count() } catch { case _: Throwable => () } // warm
