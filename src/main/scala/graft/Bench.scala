@@ -36,9 +36,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names: Seq[String] =
-      if (sys.env.get("SPARK_GRAFT_BENCH").contains("all")) SparkEntry.queries.keys.toSeq.sorted
-      else headline.map(_._1)
+    // SPARK_GRAFT_BENCH: unset = the 10 baseline-mirroring headliners;
+    // "all" = the whole registry; "a,b,c" = just those queries (dev loop
+    // for timing one operator without paying for the other 146).
+    val names: Seq[String] = sys.env.get("SPARK_GRAFT_BENCH") match {
+      case Some("all") => SparkEntry.queries.keys.toSeq.sorted
+      case Some(list) if list.nonEmpty =>
+        val want = list.split(",").map(_.trim).filter(_.nonEmpty)
+        val unknown = want.filterNot(SparkEntry.queries.contains)
+        require(unknown.isEmpty, s"unknown bench queries: ${unknown.mkString(",")}")
+        want.toSeq
+      case _ => headline.map(_._1)
+    }
     // Warmup (untimed): one pass over the suite, so the timed pass measures
     // steady-state execution, not one-time JVM costs — classloading alone
     // is multi-second noise (first get_json_object call in a fresh JVM
@@ -52,9 +61,13 @@ object Bench {
     // identical plan); the median is the honest steady-state number and
     // matches the baseline's "warm JVM" protocol.
     //
-    // A query that throws is reported as time=null plus an `errors` entry —
-    // never as its exception-path elapsed time, which would fabricate a
-    // sub-0.1 s "result" for a query that did no work.
+    // A query where ALL runs throw is reported as time=null plus an
+    // `errors` entry — never as its exception-path elapsed time, which
+    // would fabricate a sub-0.1 s "result" for a query that did no work.
+    // A query where only SOME runs throw (e.g. one GC-induced OOM) still
+    // gets the median of its successful runs, but is named in `flaky` and
+    // keeps its `errors` entry, so a transient wobble is distinguishable
+    // from a fully broken query in the artifact.
     val results: Seq[(String, Option[Double], Option[String])] = names.map { name =>
       val fn = SparkEntry.queries(name)
       var err: Option[String] = None
@@ -67,8 +80,8 @@ object Bench {
           None
         }
       }.sorted
-      if (err.isDefined || times.isEmpty) (name, None, err.orElse(Some("no runs completed")))
-      else (name, Some(times(times.size / 2)), None)
+      if (times.isEmpty) (name, None, err.orElse(Some("no runs completed")))
+      else (name, Some(times(times.size / 2)), err)
     }
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
@@ -80,11 +93,13 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => q(k) + ":" + q(e) }
       .mkString("{", ",", "}")
+    val flaky = results.collect { case (k, Some(_), Some(_)) => q(k) }
+      .mkString("[", ",", "]")
     val valid = results.flatMap(_._2)
     val total = valid.sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""errors":$errs,"valid":${valid.size},"invalid":${results.size - valid.size},"sf":"$sfDir"}"""
+        s""""errors":$errs,"flaky":$flaky,"valid":${valid.size},"invalid":${results.size - valid.size},"sf":"$sfDir"}"""
     println(line)
     // sbt prefixes stdout with [info], which breaks machine parsing of the
     // JSON line. Emit it through two prefix-free channels as well: a file

@@ -50,6 +50,47 @@ object LlmOps {
     postings.join(keep, Seq(key), "left_semi")
   }
 
+  /** Pair-intersection counts for an inverted-index join, computed by
+    * group-and-expand instead of a postings self-join: group the (already
+    * df-capped) postings by key into a SORTED doc-id list, then expand the
+    * C(df, 2) co-occurrence pairs map-side with two chained generators.
+    * The self-join formulation shuffles the postings twice (once per join
+    * side, string-keyed) and then shuffles all Σdf² joined rows into the
+    * pair aggregation; this form shuffles the postings ONCE (the groupBy)
+    * and the pair rows go straight into a partially-aggregated count —
+    * measured 31 s → 9 s at sf0.1 for `llm_shingle_jaccard`, whose
+    * closed-vocabulary fixture (931 shingles over 5 000 docs) makes
+    * Σdf² ≈ 73 M the whole query. Identical semantics to the self-join
+    * (the oracle SQL keeps that spelling): sorted ids + slice-after-i
+    * emit each unordered pair exactly once with id_a < id_b. Per-key work
+    * and per-task memory stay bounded by [[dfCapped]]'s absCap — the ids
+    * array tops out at absCap elements, and pairs stream out of the
+    * generators (never materialized as one cap²-element array). At 100 TB
+    * the win doubles: the grouped relation is one row per vocabulary term,
+    * so the expansion input is the vocabulary, not the corpus.
+    */
+  private[graft] def pairCounts(postings: DataFrame, key: String): DataFrame = {
+    // The explicit-count round-robin repartition between the groupBy and
+    // the generators is load-bearing: AQE coalesces post-shuffle partitions
+    // by MAP-side output size, and the grouped relation is tiny (one row
+    // per vocabulary term), so without it the whole Σdf² pair expansion
+    // AND its partial aggregation collapse into ONE coalesced task —
+    // measured 22 s single-threaded vs ~2 s across 32 slots at sf0.1.
+    // An explicit numPartitions is exempt from AQE coalescing; round-robin
+    // balances rows regardless of key hash, and per-row work is bounded by
+    // the df-cap (≤ absCap² pairs), so no single row can skew a partition.
+    val n = postings.sparkSession.sessionState.conf.numShufflePartitions
+    postings
+      .groupBy(key).agg(sort_array(collect_list("doc_id")).as("ids"))
+      .repartition(n)
+      .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + lit(2),
+          size(col("ids")) - col("i") - lit(1))).as("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("c"))
+  }
+
   /** D1: exact dedup, deterministic formulation (min doc_id is the keeper —
     * `dropDuplicates` picks an arbitrary row and would break the oracle).
     */
@@ -124,13 +165,13 @@ object LlmOps {
     // signal and blow the postings join up to ~n² rows; drop them (tok0 is
     // already distinct per doc, so the helper's count == document
     // frequency).
-    val tok = dfCapped(tok0, "tok", 0.8)
+    // localCheckpoint: `tok` feeds three consumers (the size relation and
+    // both stages of the pair expansion via dfCapped's own two passes);
+    // materializing it once stops the tokenize+explode+cap pipeline from
+    // re-running per consumer. Single-JVM stand-in for persist/checkpoint.
+    val tok = dfCapped(tok0, "tok", 0.8).localCheckpoint()
     val sz = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = tok.as("a")
-      .join(tok.as("b"),
-        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("c"))
+    val inter = pairCounts(tok, "tok")
     val jac = col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c"))
     inter
       .join(sz.as("sa"), col("id_a") === col("sa.doc_id"))
@@ -194,13 +235,12 @@ object LlmOps {
           when(size(col("ts")) >= lit(2), sequence(lit(1), size(col("ts")) - 1))
             .otherwise(array().cast("array<int>")),
           i => concat_ws(" ", slice(col("ts"), i, lit(2)))))).as("sh"))
-    val sh = dfCapped(sh0, "sh", 0.1)
+    // localCheckpoint before fan-out, as in [[jaccardPairs]]: the
+    // shingling pipeline is consumed by the size relation and the pair
+    // expansion and must not re-run per consumer.
+    val sh = dfCapped(sh0, "sh", 0.1).localCheckpoint()
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
-      .join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("c"))
+    val inter = pairCounts(sh, "sh")
     val jac = col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c"))
     inter
       .join(sz.as("sa"), col("id_a") === col("sa.doc_id"))
@@ -698,22 +738,38 @@ object LlmOps {
       .orderBy(desc("freq"), asc("tok"))
   }
 
-  /** Connected components over a near-dup pair set by iterative min-label
-    * propagation: every node adopts the smallest label among itself and its
-    * neighbors until fixpoint (or maxIter). Each round is one shuffle on the
-    * node id; rounds needed = graph diameter, and near-dup graphs are
+  /** Connected components over a near-dup pair set by min-label propagation
+    * with pointer jumping: each round every node takes the minimum label
+    * over itself and its neighbors (one join + one aggregation), then
+    * label-of-label ("pointer jump" / path halving) so a discovered small
+    * label hops TWO steps per round instead of one — convergence in
+    * O(log diameter) rounds rather than diameter. Near-dup graphs are
     * shallow (dup clusters are cliques or short chains), so 10 rounds is
-    * generous. `localCheckpoint` truncates the growing lineage so round N
-    * doesn't replay rounds 1..N-1.
+    * far past safe even for a 1000-node chain.
+    *
+    * One Spark job per round: the eager `localCheckpoint` that truncates
+    * the lineage is also the job that runs the round, and the convergence
+    * test rides inside it as a LongAccumulator incremented by the rows
+    * whose label changed — no separate diff/isEmpty action. Task retries
+    * can only OVER-count the accumulator (Spark does not guarantee
+    * exactly-once for transformation-side accumulators), which errs
+    * toward running an extra round, never toward stopping early — the
+    * safe direction.
+    *
+    * Fixpoint ⇒ correct components: if two nodes of one component ended
+    * with different labels, some edge (x, y) on the path between them has
+    * label(x) < label(y), and y's neighbor-min step would have changed y —
+    * contradiction. Labels are min node ids per component, matching
+    * GraphX `connectedComponents` (the spec cross-checks against it).
     */
   def clusterPairs(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val spark = pairs.sparkSession
     // Materialize the edge list ONCE before iterating: every round joins
     // against it, and without this the whole upstream pair-generation
-    // pipeline (e.g. the shingle-Jaccard postings join) re-executes per
-    // iteration — measured 87 s → 29 s at sf0.1 for the cluster query
-    // (the remainder is the single pair-generation pass itself). On a real
-    // cluster this is persist-to-disk/checkpoint; localCheckpoint is the
-    // single-JVM equivalent.
+    // pipeline (e.g. the shingle-Jaccard postings expansion) re-executes
+    // per iteration — measured 87 s → 29 s at sf0.1 for the cluster query.
+    // On a real cluster this is persist-to-disk/checkpoint; localCheckpoint
+    // is the single-JVM equivalent.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
@@ -723,17 +779,33 @@ object LlmOps {
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val neighborMin = edges
-        .join(labels, col("dst") === col("id"))
-        .groupBy(col("src").as("nid"))
-        .agg(min("label").as("nl"))
-      val next = labels
-        .join(neighborMin, col("id") === col("nid"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = next
+      val changed = spark.sparkContext.longAccumulator(s"cc_changed_round_$it")
+      val tally = udf { (c: Boolean) => if (c) changed.add(1L); c }
+      // Min over self + neighbors in ONE aggregation: neighbor labels
+      // union the node's own label (tagged so the old label rides along
+      // for the change test) — no left join needed to keep isolated-ish
+      // nodes, because the self row is always present.
+      val self = labels.select(col("id"), col("label"), col("label").as("own"))
+      val nbr = edges.join(labels, col("dst") === col("id"))
+        .select(col("src").as("id"), col("label"), lit(null).cast("long").as("own"))
+      val folded = self.unionByName(nbr)
+        .groupBy("id")
+        .agg(min("label").as("m"), min("own").as("own"))
+      // Pointer jump: m is always a live node id (a min over node ids), so
+      // label(m) exists in `folded`; adopting it advances two hops. The
+      // left join is on the label side — one extra shuffle of the (id, m)
+      // relation, repaid by halving the round count.
+      val next = folded.as("a")
+        .join(folded.select(col("id").as("jid"), col("m").as("jm")).as("j"),
+          col("a.m") === col("j.jid"), "left")
+        .select(col("a.id").as("id"),
+          least(col("a.m"), coalesce(col("jm"), col("a.m"))).as("label"),
+          col("own"))
+        .withColumn("chg", tally(col("label") =!= col("own")))
+        .select("id", "label", "chg")
+        .localCheckpoint() // eager: THE round's job; fills the accumulator
+      converged = changed.value == 0L
+      labels = next.select("id", "label")
       it += 1
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))

@@ -121,6 +121,34 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(got.length === 10)
   }
 
+  test("clusterPairs pointer jumping beats the diameter: 100-chain in ≤ 8 rounds") {
+    // Plain min-label propagation needs diameter≈99 rounds here; with the
+    // label-of-label jump the label front doubles per round (reach
+    // 2^(r+1)−2 after r rounds), so 7 rounds cover distance 254 and the
+    // 8th detects the fixpoint. maxIter = 8 would time out the old
+    // one-hop loop and is the regression guard for the jump.
+    val chain = (0L until 99L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = LlmOps.clusterPairs(chain, maxIter = 8).as[(Long, Long)].collect()
+    assert(got.length === 100)
+    assert(got.forall(_._2 === 0L))
+  }
+
+  test("clusterPairs matches graphx connectedComponents on a random graph") {
+    // GraphX also labels each component by its minimum vertex id, so the
+    // two label maps must be EQUAL, not merely partition-equivalent.
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(300)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val got = LlmOps.clusterPairs(edges.toDF("id_a", "id_b"), maxIter = 20)
+      .as[(Long, Long)].collect().toMap
+    val g = org.apache.spark.graphx.Graph.fromEdgeTuples(
+      spark.sparkContext.parallelize(edges), defaultValue = 0)
+    val expected = g.connectedComponents().vertices.collect().toMap
+    assert(got === expected)
+  }
+
   test("approx distinct within 5% of exact") {
     val rows = LlmOps.approxDistinct.build(spark, sfDir)
       .select("approx_users", "exact_users").as[(Long, Long)].collect()
