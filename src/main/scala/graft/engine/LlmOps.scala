@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.vectors
@@ -198,9 +198,16 @@ object LlmOps {
     * DOWN at len = 0 and a `greatest(1, …)` floor would emit a degenerate
     * unigram shingle DuckDB never builds).
     */
-  val shingleJaccard = Q(
-    "llm_shingle_jaccard",
-    """WITH sh0 AS (
+  /** Shared oracle-SQL CTE chain for the shingle-Jaccard pipeline
+    * (shingling → df-cap → sizes → pair intersection counts). ONE source
+    * of truth interpolated into BOTH [[shingleJaccard]] and
+    * [[nearDupFilter]]: the filter's Spark side delegates to
+    * `shingleJaccard.build`, so its oracle must stay in lockstep with the
+    * pair scan's — any pipeline tweak edits this block and both oracles
+    * move together (a hand-copied second block desyncs silently and
+    * breaks hash parity only for llm_neardup_filter). */
+  private val shinglePairCtes =
+    """sh0 AS (
       |  SELECT doc_id, sh FROM (
       |    SELECT doc_id, unnest(list_distinct(list_transform(
       |        range(1, len(string_split(lower(text), ' '))),
@@ -215,13 +222,19 @@ object LlmOps {
       |inter AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
+      |  GROUP BY 1, 2)""".stripMargin
+
+  private val shingleJaccardThreshold = 0.5
+
+  val shingleJaccard = Q(
+    "llm_shingle_jaccard",
+    s"""WITH $shinglePairCtes
       |SELECT id_a, id_b,
       |  ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard
       |FROM inter
       |JOIN sz sa ON inter.id_a = sa.doc_id
       |JOIN sz sb ON inter.id_b = sb.doc_id
-      |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+      |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $shingleJaccardThreshold
       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
     // tokenize once into a materialized column — an inlined split() tree
     // inside the lambda would re-tokenize the text per shingle position,
@@ -245,7 +258,7 @@ object LlmOps {
     inter
       .join(sz.as("sa"), col("id_a") === col("sa.doc_id"))
       .join(sz.as("sb"), col("id_b") === col("sb.doc_id"))
-      .filter(jac >= 0.5)
+      .filter(jac >= shingleJaccardThreshold)
       .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))
       .orderBy("id_a", "id_b")
   }
@@ -261,27 +274,12 @@ object LlmOps {
     */
   val nearDupFilter = Q(
     "llm_neardup_filter",
-    """WITH sh0 AS (
-      |  SELECT doc_id, sh FROM (
-      |    SELECT doc_id, unnest(list_distinct(list_transform(
-      |        range(1, len(string_split(lower(text), ' '))),
-      |        i -> array_to_string(string_split(lower(text), ' ')[i:i+1], ' ')))) AS sh
-      |    FROM documents) t),
-      |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM sh0),
-      |dfc AS (SELECT sh, COUNT(*) AS df FROM sh0 GROUP BY 1),
-      |sh AS (
-      |  SELECT t.doc_id, t.sh FROM sh0 t JOIN dfc USING (sh) CROSS JOIN nd
-      |  WHERE dfc.df <= least(0.1 * nd.n_docs, 2000)),
-      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-      |inter AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
-      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
+    s"""WITH $shinglePairCtes,
       |drops AS (
       |  SELECT DISTINCT id_b AS doc_id FROM inter
       |  JOIN sz sa ON inter.id_a = sa.doc_id
       |  JOIN sz sb ON inter.id_b = sb.doc_id
-      |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5)
+      |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $shingleJaccardThreshold)
       |SELECT d.source, COUNT(*) AS n_docs,
       |  CAST(SUM(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
       |  ROUND(SUM(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
@@ -380,36 +378,21 @@ object LlmOps {
       .orderBy("q_id", "rn")
   }
 
-  /** D2/D3 (embedding near-dup): all pairs with cosine ≥ 0.4 — the
-    * embedding-space analogue of Jaccard near-dup, computed exactly via a
-    * block-grid self-join. Vectors land in B id-hash blocks; every
-    * unordered block pair (i ≤ j) is a grid cell, each vector replicates
-    * into the B cells it participates in, and the pair scan is an
-    * equi-join on the (i, j) cell key — so the plan is a shuffled hash/
-    * sort-merge join, never a corpus×corpus broadcast nested-loop. The
-    * quadratic pair count is inherent to the EXACT ≥ 0.4 semantics (at
-    * θ ≈ 66° an SRP bit agrees with probability ≈ 0.63, so OR-probe LSH
-    * tables sized for full recall generate MORE candidate volume than the
-    * grid's n²/2 — LSH only wins at real near-dup thresholds, where
-    * [[annLsh]]/[[minhashPairs]] are the handoff). What the grid fixes at
-    * 100 TB is distribution: B² independent cells of (n/B)² work, ≤ 2n/B
-    * vectors held per task, no driver or broadcast materialization of the
-    * corpus; B grows with the cluster so per-task work shrinks as 1/B².
-    * The similarity runs in the codegen'd cosine kernel; the oracle spells
-    * cosine as dot/(|a||b|) exactly like the kernel so both engines
-    * evaluate the same double arithmetic before the ROUND.
+  /** Spec-level recall oracle for [[nearDupCosine]] — NOT registered: the
+    * exact all-pairs cosine ≥ 0.4 scan, via the block-grid self-join.
+    * Vectors land in B id-hash blocks; every unordered block pair (i ≤ j)
+    * is a grid cell, each vector replicates into the B cells it
+    * participates in, and the pair scan is an equi-join on the (i, j) cell
+    * key — a shuffled hash/sort-merge join, never a corpus×corpus
+    * broadcast nested-loop, with ≤ 2n/B vectors per task. The grid
+    * distributes the n²/2 perfectly, but the PAIR COUNT itself is
+    * inherent to exact semantics: at 100× the corpus this computation is
+    * uncompletable no matter how it is planned, which is why the
+    * registered query is the banded form and this exact form exists only
+    * as the fixture-scale ground truth that LlmOpsSpec measures the
+    * banded recall (and the SemDeDup drop subset) against.
     */
-  val nearDupCosine = Q(
-    "llm_neardup_cosine",
-    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |  ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-      |    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-      |     * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cos_sim
-      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      |WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-      |    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-      |     * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
-      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+  def exactCosinePairs(s: SparkSession, dir: String): DataFrame = {
     val numBlocks = 8
     val e = Tables.embeddings(s, dir)
     // a-side: a vector in block p serves cells (p, j) for j ≥ p;
@@ -438,6 +421,101 @@ object LlmOps {
         least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"),
         round(cos, 4).as("cos_sim"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Number of band tables / sign bits per band for [[nearDupCosine]].
+    * Bands hash on the SIGN of fixed embedding dimensions (table t owns
+    * dims t·b .. t·b+b−1), so both engines derive identical band ids from
+    * the data alone — deterministic, hash-green, no engine-local seeds. */
+  private val ndBandTables = 6
+  private val ndBandBits = 4
+
+  /** D2/D3 (embedding near-dup), the AT-SCALE contract: candidate pairs
+    * must agree on all `ndBandBits` sign bits of at least one of the
+    * `ndBandTables` band tables (OR-probe), then verify with exact cosine
+    * ≥ 0.4 — banded LSH with a deterministic, data-derived hash. This is
+    * the DECLARED semantics of the registered query, chosen so that every
+    * query in the registry completes at 100× the corpus: candidate volume
+    * is the banded fraction of n²/2 (0.32 on this near-orthogonal fixture
+    * — θ ≈ 66° is LSH's worst regime; real embedding corpora near-dup at
+    * cosine ≥ 0.9, where the same layout passes ≲ 2⁻⁴ per table), and
+    * tables × bits are the scale knobs (bits grow with log n). Recall vs
+    * the exact scan ([[exactCosinePairs]], fixture-bounded) is pinned
+    * numerically in LlmOpsSpec (0.71 at sf0.001, floor 0.6).
+    *
+    * Plan shape: within each band the same one-cell-per-unordered-pair
+    * block grid as [[exactCosinePairs]] distributes residual volume, so
+    * the join key is (table, band, ci, cj) — a single shuffled equi-join,
+    * never corpus×corpus, with hot-band work split across B(B+1)/2 cells.
+    * A pair colliding in k tables surfaces k times and is deduplicated
+    * after the threshold filter. The similarity runs in the codegen'd
+    * cosine kernel; the oracle spells cosine as dot/(|a||b|) exactly like
+    * the kernel so both engines evaluate the same double arithmetic
+    * before the ROUND, and derives the identical band ids from CASE'd
+    * sign tests on the same dimensions.
+    */
+  val nearDupCosine = Q(
+    "llm_neardup_cosine", {
+      val bandSql = (0 until ndBandTables).map { t =>
+        val bits = (0 until ndBandBits).map { i =>
+          s"(CASE WHEN embedding[${t * ndBandBits + i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)"
+        }.mkString(" + ")
+        s"$bits AS band$t"
+      }.mkString(",\n    ")
+      val orProbe = (0 until ndBandTables)
+        .map(t => s"a.band$t = b.band$t").mkString(" OR ")
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding,
+         |    $bandSql
+         |  FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+         |    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         |     * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cos_sim
+         |FROM v a JOIN v b ON a.vec_id < b.vec_id AND ($orProbe)
+         |WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+         |    / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         |     * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { (s, dir) =>
+    val numBlocks = 4
+    val e = Tables.embeddings(s, dir)
+    // Band id of table t = the b sign bits of dims t·b..t·b+b−1 packed
+    // little-endian (element_at is 1-indexed, matching DuckDB's lists).
+    def bandExpr(t: Int): Column =
+      (0 until ndBandBits).map { i =>
+        when(element_at(col("embedding"), t * ndBandBits + i + 1) >= 0,
+          lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+    val withBands = e.select(
+      col("vec_id"), col("embedding"),
+      array((0 until ndBandTables).map(bandExpr): _*).as("bands"),
+      pmod(col("vec_id"), lit(numBlocks)).as("blk"))
+    // posexplode fans each vector into its (table, band) probes; the grid
+    // dimension is a second generator on top. Same one-cell-per-unordered-
+    // pair construction as exactCosinePairs, per (t, band).
+    val aSide = withBands
+      .select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+        col("blk").as("ci"), posexplode(col("bands")).as(Seq("t", "band")))
+      .withColumn("cj", explode(sequence(col("ci"), lit(numBlocks - 1))))
+    val bSide = withBands
+      .select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+        col("blk").as("cj"), posexplode(col("bands")).as(Seq("t", "band")))
+      .withColumn("ci", explode(sequence(lit(0), col("cj"))))
+    val cos = vectors.cosineSim(col("emb_a"), col("emb_b"))
+    aSide
+      .join(bSide, Seq("t", "band", "ci", "cj"))
+      .filter(col("id_a") =!= col("id_b") &&
+        (col("ci") =!= col("cj") || col("id_a") < col("id_b")))
+      .filter(cos >= 0.4)
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        round(cos, 4).as("cos_sim"))
+      // a pair can collide in up to ndBandTables tables; rounded cos_sim is
+      // a pure function of the pair, so the 3-column dedup is deterministic
+      .dropDuplicates("id_a", "id_b", "cos_sim")
       .orderBy("id_a", "id_b")
   }
 
@@ -1069,14 +1147,15 @@ object LlmOps {
     * with their kept representative (min-id qualifying neighbor) — the
     * artifact a curation pipeline feeds to the filter stage.
     *
-    * This is the scale answer to [[nearDupCosine]]'s inherent n²/2: the
-    * cluster assignment (broadcast k centroids, map-side argmax — corpus
-    * never shuffles) cuts candidate pairs to Σ|cluster|²/2, and within each
-    * cluster the same block-grid equi-join as nearDupCosine distributes the
-    * remaining work in B² bounded cells keyed on (c_id, ci, cj). k and B
-    * are the two knobs: k grows with corpus size (SemDeDup used 50k
-    * clusters on LAION), B with the cluster. Threshold 0.4 matches
-    * nearDupCosine on this near-uniform fixture (real text embeddings use
+    * This is the scale answer to the exact all-pairs scan's inherent n²/2
+    * ([[exactCosinePairs]]): the cluster assignment (broadcast k
+    * centroids, map-side argmax — corpus never shuffles) cuts candidate
+    * pairs to Σ|cluster|²/2, and within each cluster the same block-grid
+    * equi-join distributes the remaining work in B² bounded cells keyed on
+    * (c_id, ci, cj). k and B are the two knobs: k grows with corpus size
+    * (SemDeDup used 50k clusters on LAION), B with the cluster. Threshold
+    * 0.4 matches the near-dup family on this near-uniform fixture (real
+    * text embeddings use
     * ~0.95+); assignment ranks on ROUND(cos,4) with centroid-id tie-break,
     * the cross-engine-stable ordering centroidAssign established.
     */

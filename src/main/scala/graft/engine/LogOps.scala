@@ -1,5 +1,6 @@
 package graft.engine
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -430,15 +431,57 @@ object LogOps {
     * here at its natural log-table grain (session = basket, type = item).
     *
     * Scale shape: the distinct (session, type) frame rides sessionize's
-    * user_id exchange; with a bounded type vocabulary the pair self-join
-    * is |sessions| × C(types-per-session, 2) rows feeding a partial
-    * aggregation on ≤ C(|types|, 2) keys, and the marginals broadcast
-    * back. A high-cardinality item space (retail SKUs) would df-cap the
-    * postings exactly like [[graft.engine.LlmOps.jaccardPairs]].
+    * user_id exchange; the pair self-join is |sessions| ×
+    * C(types-per-session, 2) rows feeding a partial aggregation on
+    * ≤ C(|types|, 2) keys, and the marginals broadcast back. The
+    * types-per-session factor is BOUNDED by [[maxAffinityItems]]: each
+    * basket keeps only its lexicographically-first cap items (both
+    * engines, same deterministic order), so one hot basket of B items
+    * generates ≤ C(cap, 2) co-occurrence rows, never C(B, 2) — the
+    * basket-grain analogue of jaccardPairs' df-cap. The cap never binds
+    * on the fixture's 5-type vocabulary (PropertySpec proves it binds on
+    * a saturated synthetic basket); marginals and the session count are
+    * computed AFTER the cap so lift stays internally consistent.
     */
+  val maxAffinityItems = 32
+
+  /** Cap a distinct (user_id, session_id, event_type) basket frame at the
+    * lexicographically-first `maxItems` item types per basket. The
+    * row_number window partitions on (user_id, session_id), which the
+    * upstream user_id exchange already clusters — no new shuffle. */
+  def affinityBaskets(st: DataFrame, maxItems: Int): DataFrame = {
+    val w = Window.partitionBy("user_id", "session_id").orderBy("event_type")
+    st.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxItems)
+      .drop("rn")
+  }
+
+  /** Lift matrix from a capped basket frame — split out so PropertySpec
+    * can drive it with a hand-built saturated basket. */
+  def affinityFromBaskets(st: DataFrame): DataFrame = {
+    val n = st.select("user_id", "session_id").distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val marg = st.groupBy(col("event_type")).agg(count(lit(1)).as("m"))
+    val co = st.as("a")
+      .join(st.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.session_id") === col("b.session_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_co"))
+    co
+      .join(broadcast(marg.select(col("event_type").as("type_a"), col("m").as("ma"))), "type_a")
+      .join(broadcast(marg.select(col("event_type").as("type_b"), col("m").as("mb"))), "type_b")
+      .crossJoin(broadcast(n))
+      .select(col("type_a"), col("type_b"), col("n_co"),
+        round(col("n_co").cast("double") * col("n_sessions") / (col("ma") * col("mb")), 4)
+          .as("lift"))
+      .orderBy("type_a", "type_b")
+  }
+
   val typeAffinity = Q(
     "log_type_affinity",
-    """WITH flagged AS (
+    s"""WITH flagged AS (
       |  SELECT user_id, event_id, ts, event_type,
       |    CASE WHEN lag(ts) OVER w IS NULL
       |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
@@ -450,7 +493,13 @@ object LogOps {
       |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM flagged),
-      |st AS (SELECT DISTINCT user_id, session_id, event_type FROM sess),
+      |stc AS (
+      |  SELECT user_id, session_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id, session_id
+      |                       ORDER BY event_type) AS rn
+      |  FROM (SELECT DISTINCT user_id, session_id, event_type FROM sess) d),
+      |st AS (SELECT user_id, session_id, event_type FROM stc
+      |       WHERE rn <= $maxAffinityItems),
       |n AS (SELECT COUNT(*) AS n_sessions FROM
       |        (SELECT DISTINCT user_id, session_id FROM st) t),
       |marg AS (SELECT event_type, COUNT(*) AS m FROM st GROUP BY 1),
@@ -470,24 +519,7 @@ object LogOps {
       |ORDER BY type_a, type_b""".stripMargin) { (s, dir) =>
     val st = sessionizedEvents(s, dir)
       .select("user_id", "session_id", "event_type").distinct()
-    val n = st.select("user_id", "session_id").distinct()
-      .agg(count(lit(1)).as("n_sessions"))
-    val marg = st.groupBy(col("event_type")).agg(count(lit(1)).as("m"))
-    val co = st.as("a")
-      .join(st.as("b"),
-        col("a.user_id") === col("b.user_id") &&
-          col("a.session_id") === col("b.session_id") &&
-          col("a.event_type") < col("b.event_type"))
-      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
-      .agg(count(lit(1)).as("n_co"))
-    co
-      .join(broadcast(marg.select(col("event_type").as("type_a"), col("m").as("ma"))), "type_a")
-      .join(broadcast(marg.select(col("event_type").as("type_b"), col("m").as("mb"))), "type_b")
-      .crossJoin(broadcast(n))
-      .select(col("type_a"), col("type_b"), col("n_co"),
-        round(col("n_co").cast("double") * col("n_sessions") / (col("ma") * col("mb")), 4)
-          .as("lift"))
-      .orderBy("type_a", "type_b")
+    affinityFromBaskets(affinityBaskets(st, maxAffinityItems))
   }
 
   /** Event-type transition matrix — the first-order Markov view of user
@@ -1257,7 +1289,7 @@ object LogOps {
       |  FROM seq GROUP BY user_id, event_type, rn - rnt)
       |SELECT user_id, event_type, run_start, run_end, CAST(run_len AS BIGINT) AS run_len
       |FROM runs WHERE run_len >= 3
-      |ORDER BY user_id, run_start, event_type""".stripMargin) { (s, dir) =>
+      |ORDER BY user_id, run_start, event_type, run_end, run_len""".stripMargin) { (s, dir) =>
     val ev = Tables.events(s, dir)
     val wAll = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val wTyp = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
@@ -1268,7 +1300,12 @@ object LogOps {
         count(lit(1)).as("run_len"))
       .filter(col("run_len") >= 3)
       .select("user_id", "event_type", "run_start", "run_end", "run_len")
-      .orderBy("user_id", "run_start", "event_type")
+      // run_end + run_len complete the total order: with all-equal-ts
+      // events, two islands of one (user, type) can share run_start (e.g.
+      // A,A,A,B,A,A,A at one ts) and even run_end with differing lengths
+      // (A,A,A,B,A,A,A,A) — without them row order between engines is
+      // nondeterministic against the order-sensitive oracle hash.
+      .orderBy("user_id", "run_start", "event_type", "run_end", "run_len")
   }
 
   /** Multiline record stitching — the log-ingestion step that reattaches

@@ -67,17 +67,24 @@ class PlanSpec extends SparkSpecBase {
     assert(!beforeWindow.contains("Exchange hashpartitioning"), plan)
   }
 
-  test("neardup cosine runs as a block-grid equi-join, never corpus×corpus") {
+  test("neardup cosine runs as a banded equi-join, never corpus×corpus") {
+    // The registered (banded) form joins on (table, band, ci, cj); a
+    // BroadcastNestedLoopJoin or CartesianProduct here means the whole
+    // corpus crosses itself on one node — impossible at 100 TB (the
+    // pre-fix shape this test exists to keep out).
     val plan = planOf(LlmOps.nearDupCosine)
-    // The quadratic pair scan must be distributed through the (ci, cj)
-    // grid-cell equi-join: a BroadcastNestedLoopJoin or CartesianProduct
-    // here means the whole corpus crosses itself on one node — impossible
-    // at 100 TB (the pre-fix shape this test exists to keep out).
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
            plan.contains("BroadcastHashJoin"), plan)
     assert(plan.contains("cosine_sim"), plan)
+    // The spec-level exact oracle keeps the same discipline: block-grid
+    // equi-join, no corpus×corpus, so the ground-truth computation is
+    // itself distributable at fixture scale.
+    val exact = LlmOps.exactCosinePairs(spark, sfDir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!exact.contains("BroadcastNestedLoopJoin"), exact)
+    assert(!exact.contains("CartesianProduct"), exact)
   }
 
   test("decontamination broadcasts the eval n-grams; train side joins without sorting") {

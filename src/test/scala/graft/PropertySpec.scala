@@ -229,4 +229,27 @@ class PropertySpec extends SparkSpecBase {
       got == expected
     }, cases = 8)
   }
+
+  test("type affinity basket cap binds on a saturated basket") {
+    import spark.implicits._
+    val cap = graft.engine.LogOps.maxAffinityItems
+    // One hot basket with 3× the cap's distinct items, plus a normal
+    // 2-item basket. Uncapped, the hot basket alone makes C(96,2)=4560
+    // co-occurrence rows; capped it contributes exactly C(cap,2).
+    val hot = (0 until cap * 3).map(i => (1L, 0L, f"item_$i%03d"))
+    val small = Seq((2L, 0L, "item_000"), (2L, 0L, "item_001"))
+    val st = (hot ++ small).toDF("user_id", "session_id", "event_type")
+    val capped = graft.engine.LogOps.affinityBaskets(st, cap)
+      .as[(Long, Long, String)].collect()
+    // keeps the lexicographically-first cap items of the hot basket
+    assert(capped.count(_._1 == 1L) === cap)
+    assert(capped.filter(_._1 == 1L).map(_._3).sorted.toSeq ===
+      (0 until cap).map(i => f"item_$i%03d"))
+    assert(capped.count(_._1 == 2L) === 2)
+    val lift = graft.engine.LogOps.affinityFromBaskets(
+      graft.engine.LogOps.affinityBaskets(st, cap))
+    val nCo = lift.agg(sum("n_co")).as[Long].head()
+    assert(nCo === cap.toLong * (cap - 1) / 2 + 1,
+      s"pair volume $nCo not bounded by the cap")
+  }
 }
