@@ -69,9 +69,12 @@ class LlmOpsSpec extends SparkSpecBase {
       approx.get(q).map(a => (a & truth).size.toDouble / truth.size).getOrElse(0.0)
     }
     val meanRecall = recalls.sum / recalls.size
-    // Two 6-bit tables over 500 N(0,ε) vectors: far better than the ~3%
-    // a random 10-subset would score, far cheaper than the O(n²) scan.
-    assert(meanRecall > 0.10, s"mean recall $meanRecall")
+    // Measured recall@10 is 0.311 at sf0.001 / 0.356 at sf0.01 — a
+    // deterministic constant of the fixed seeds and fixture (recorded in
+    // SCALE.md), ~10× the ~3% a random 10-subset would score at a
+    // fraction of the O(n²) scan. 0.28 is the regression floor: any
+    // band-layout change that degrades recall fails CI.
+    assert(meanRecall >= 0.28, s"mean recall $meanRecall below 0.28 floor")
     assert(approx.values.map(_.size).sum <= brute.values.map(_.size).sum)
   }
 
@@ -86,9 +89,13 @@ class LlmOpsSpec extends SparkSpecBase {
       approx.get(q).map(a => (a & truth).size.toDouble / truth.size).getOrElse(0.0)
     }
     val meanRecall = recalls.sum / recalls.size
-    // 6-of-16 cells probed ⇒ ~38% of the corpus scanned; centroid ranking
-    // should beat blind 6/16 sampling on recall.
-    assert(meanRecall > 0.30, s"mean recall $meanRecall")
+    // Measured recall@10 is 0.604 at sf0.001 / 0.601 at sf0.01 — a
+    // deterministic constant of the fixture (recorded in SCALE.md).
+    // 6-of-16 cells probed ⇒ ~38% of the corpus scanned, so 0.60 recall
+    // shows centroid ranking beats blind 6/16 sampling by ~1.6×. 0.55 is
+    // the regression floor: a probe/centroid change that degrades recall
+    // fails CI.
+    assert(meanRecall >= 0.55, s"mean recall $meanRecall below 0.55 floor")
     assert(approx.values.map(_.size).sum <= brute.values.map(_.size).sum)
   }
 
