@@ -1,19 +1,26 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns (SURVEY.md §2.9 D8 + north-star): media payloads as
   * opaque `binary` columns with typed metadata, plus the decode /
   * feature-extract / frame-sample plumbing a training-data pipeline needs.
   *
-  * No binary fixtures ship with the corpus, so media rows are derived
-  * DETERMINISTICALLY from `documents` (payload = utf-8 bytes of `text`);
-  * everything downstream of that derivation — schema, partitioning, batch
-  * iteration, explode shapes — is the real plumbing. The one stub is
-  * [[decodeFeatures]]'s kernel: where production would run an image/audio
-  * codec (no such libs in this container), it computes a byte-nibble
-  * histogram — deterministic, testable, and with the same
+  * No binary fixtures ship with the corpus, so the media table is derived
+  * DETERMINISTICALLY from `documents` — but as GENUINE binary, not
+  * text-cast bytes: each payload is a real format magic header (PNG
+  * `\x89PNG\r\n\x1a\n`, RIFF/WAVE, MP4 `ftyp`) followed by 64 bytes of
+  * md5-derived pseudorandom body, so payloads exercise the full 0–255
+  * byte range, are not valid UTF-8, and would round-trip through any
+  * BLOB-typed store. Both engines derive the identical bytes (Spark
+  * `unhex(md5(...))` ≡ DuckDB `from_hex(md5(...))` — md5 hex is lowercase
+  * on both), so the five `mm_*` oracles stay hash-green on actual
+  * BinaryType data. Everything downstream of the derivation — schema,
+  * partitioning, batch iteration, explode shapes — is the real plumbing.
+  * The one stub is [[decodeFeatures]]'s kernel: where production would
+  * run an image/audio codec (no such libs in this container), it computes
+  * a byte-nibble histogram — deterministic, testable, and with the same
   * Iterator-per-partition batch shape a real decoder would use.
   *
   * Scale notes (100 TB of media): payloads never shuffle — every operator
@@ -28,17 +35,34 @@ object MultiModal {
                          width: Int, height: Int, duration_ms: Long)
   final case class MediaFeature(media_id: Long, kind: String, feature: Array[Double])
 
-  /** Derive a media table from documents: payload + per-kind metadata. */
-  def mediaFromDocuments(docs: DataFrame): DataFrame =
+  /** Per-kind format magic, hex-encoded, indexed by doc_id % 3 (same order
+    * as the kind array): PNG signature / RIFF+WAVE / MP4 ftyp box prefix. */
+  val headerHex: Seq[String] = Seq(
+    "89504e470d0a1a0a", // image: PNG signature
+    "5249464657415645", // audio: "RIFF" + "WAVE"
+    "0000001866747970") // video: ftyp box length+tag
+
+  /** Body = 4 md5 chunks of the doc text salted by chunk index: 64 bytes
+    * of full-range pseudorandom binary, identical in both engines. */
+  private def bodyExpr(text: Column): Column =
+    concat((0 until 4).map(i => unhex(md5(concat(text, lit(s":$i"))))): _*)
+
+  /** Derive the media table from documents: genuine-binary payload
+    * (magic header + md5 body) + per-kind typed metadata. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame = {
+    val kindIdx = (col("doc_id") % 3 + 1).cast("int")
     docs.select(
       col("doc_id").as("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
-      col("text").cast("binary").as("payload"),
+      element_at(array(lit("image"), lit("audio"), lit("video")), kindIdx)
+        .as("kind"),
+      concat(
+        unhex(element_at(array(headerHex.map(lit): _*), kindIdx)),
+        bodyExpr(col("text"))).as("payload"),
       struct(
         (col("n_chars") % 640).cast("int").as("width"),
         (col("n_chars") % 480).cast("int").as("height"),
         (col("n_chars") * 40).as("duration_ms")).as("meta"))
+  }
 
   /** The media table as a typed Dataset (the decode seam's input shape). */
   def mediaDataset(docs: DataFrame): Dataset[Media] = {
@@ -70,8 +94,10 @@ object MultiModal {
 
   /** Frame sampling: one row per sampled frame, offsets stride the payload.
     * A generator (posexplode) — not a shuffle — so it scales linearly.
+    * Default stride 16 bytes against the 72-byte payloads (8-byte header +
+    * 64-byte body) ⇒ up to 5 candidate frames, capped at `maxFrames`.
     */
-  def frameSample(media: DataFrame, frameBytes: Int = 100, maxFrames: Int = 4): DataFrame =
+  def frameSample(media: DataFrame, frameBytes: Int = 16, maxFrames: Int = 4): DataFrame =
     media
       .filter(col("kind") === "video")
       .select(col("media_id"),
@@ -90,16 +116,38 @@ object MultiModal {
 /** Oracle-checked registry entries for the multimodal plumbing. */
 object MultiModalOps {
 
+  /** Shared oracle-SQL media-derivation CTE — the DuckDB mirror of
+    * [[MultiModal.mediaFromDocuments]], interpolated into every `mm_*`
+    * oracle so the two derivations cannot desync (one source of truth,
+    * same discipline as LlmOps' shinglePairCtes). `from_hex(md5(...))`
+    * builds the identical bytes Spark's `unhex(md5(...))` builds. */
+  private val mediaCte = {
+    val hdrs = MultiModal.headerHex.map(h => s"'$h'").mkString(", ")
+    // NOTE: this block is re-interpolated into query strings that apply
+    // .stripMargin AGAIN, so no line may start (after whitespace) with `|`
+    // — the BLOB-concat `||` operators must sit at end of line or a second
+    // stripMargin eats one pipe and turns them into bitwise OR.
+    s"""media AS (
+       |  SELECT doc_id AS media_id,
+       |    (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+       |    from_hex(([$hdrs])[CAST(doc_id % 3 + 1 AS INT)]) ||
+       |      from_hex(md5(text || ':0')) || from_hex(md5(text || ':1')) ||
+       |      from_hex(md5(text || ':2')) || from_hex(md5(text || ':3')) AS payload,
+       |    CAST(n_chars % 640 AS INT) AS width
+       |  FROM documents)""".stripMargin
+  }
+
   /** Payload/metadata stats per kind — proves binary length semantics and
-    * the metadata struct against DuckDB's BLOB handling.
+    * the metadata struct against DuckDB's BLOB handling (octet_length on
+    * the derived BLOB, not on source text).
     */
   val kindStats = Q(
     "mm_kind_stats",
-    """SELECT (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
-      |  COUNT(*) AS n,
-      |  CAST(SUM(octet_length(text::BLOB)) AS BIGINT) AS total_bytes,
-      |  CAST(MAX(n_chars % 640) AS INTEGER) AS max_width
-      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    s"""WITH $mediaCte
+      |SELECT kind, COUNT(*) AS n,
+      |  CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
+      |  CAST(MAX(width) AS INTEGER) AS max_width
+      |FROM media GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
     MultiModal.mediaFromDocuments(Tables.documents(s, dir))
       .groupBy("kind")
       .agg(
@@ -109,16 +157,18 @@ object MultiModalOps {
       .orderBy("kind")
   }
 
-  /** Frame-sampling shape: (media_id, frame_idx, byte_offset) rows. */
+  /** Frame-sampling shape: (media_id, frame_idx, byte_offset) rows over
+    * the binary payloads (16-byte stride, ≤ 4 frames). */
   val frameSample = Q(
     "mm_frame_sample",
-    """SELECT doc_id AS media_id,
+    s"""WITH $mediaCte
+      |SELECT media_id,
       |  CAST(f AS INTEGER) AS frame_idx,
-      |  CAST(f * 100 AS INTEGER) AS byte_offset
-      |FROM documents
+      |  CAST(f * 16 AS INTEGER) AS byte_offset
+      |FROM media
       |CROSS JOIN (SELECT unnest(range(0, 4)) AS f) t
-      |WHERE doc_id % 3 = 2
-      |  AND f <= (octet_length(text::BLOB) - 1) // 100
+      |WHERE kind = 'video'
+      |  AND f <= (octet_length(payload) - 1) // 16
       |ORDER BY media_id, frame_idx""".stripMargin) { (s, dir) =>
     MultiModal.frameSample(MultiModal.mediaFromDocuments(Tables.documents(s, dir)))
       .select(col("media_id"), col("frame_idx").cast("int").as("frame_idx"),
@@ -130,26 +180,29 @@ object MultiModalOps {
     * recomputes the stub kernel (low-nibble histogram over the payload
     * bytes, L1-normalized, zero bins included) in SQL, so the whole
     * mapPartitions path from typed Dataset to aggregated features is
-    * hash-checked, not just row-counted. Payloads reduce to 16 doubles
-    * before the only shuffle.
+    * hash-checked, not just row-counted. DuckDB reads byte i's low nibble
+    * as hex char 2i of `hex(payload)` (no byte-indexing needed on BLOB);
+    * the Spark side is the real `b & 0x0f` byte kernel. Payloads reduce
+    * to 16 doubles before the only shuffle.
     */
   val featureProfile = Q(
     "mm_feature_profile",
-    """WITH d AS (
-      |  SELECT doc_id, (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
-      |    text, GREATEST(1, length(text)) AS n
-      |  FROM documents),
+    s"""WITH $mediaCte,
+      |hx AS (
+      |  SELECT media_id, kind, hex(payload) AS h, octet_length(payload) AS n
+      |  FROM media),
       |nib AS (
-      |  SELECT doc_id, kind, n,
-      |    ascii(substr(text, CAST(unnest(range(1, length(text) + 1)) AS INT), 1)) & 15 AS bin
-      |  FROM d),
+      |  SELECT media_id, kind, n,
+      |    strpos('0123456789ABCDEF',
+      |      substr(h, CAST(unnest(range(1, n + 1)) AS INT) * 2, 1)) - 1 AS bin
+      |  FROM hx),
       |w AS (
-      |  SELECT doc_id, kind, bin, COUNT(*) / CAST(ANY_VALUE(n) AS DOUBLE) AS wt
-      |  FROM nib GROUP BY doc_id, kind, bin),
+      |  SELECT media_id, kind, bin, COUNT(*) / CAST(ANY_VALUE(n) AS DOUBLE) AS wt
+      |  FROM nib GROUP BY media_id, kind, bin),
       |grid AS (
-      |  SELECT d.doc_id, d.kind, b.bin, COALESCE(w.wt, 0) AS wt
-      |  FROM d CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) b
-      |  LEFT JOIN w ON w.doc_id = d.doc_id AND w.bin = b.bin)
+      |  SELECT m.media_id, m.kind, b.bin, COALESCE(w.wt, 0) AS wt
+      |  FROM media m CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) b
+      |  LEFT JOIN w ON w.media_id = m.media_id AND w.bin = b.bin)
       |SELECT kind, CAST(bin AS INTEGER) AS bin, ROUND(AVG(wt), 6) AS avg_wt
       |FROM grid GROUP BY kind, bin ORDER BY kind, bin""".stripMargin) { (s, dir) =>
     val feats = MultiModal.decodeFeatures(
@@ -163,45 +216,47 @@ object MultiModalOps {
 
   /** Exact media dedup on the BINARY payload — same digest-shuffle design
     * as `llm_dedup_hash` but through the binary column: the dedup key is
-    * the 16-byte md5 computed in the scan projection, so multi-MB payloads
-    * never shuffle and never reach the aggregation. (The oracle hashes the
-    * text the payload was derived from — byte-identical utf-8.)
+    * a 16-byte digest computed in the scan projection, so multi-MB
+    * payloads never shuffle and never reach the aggregation. The portable
+    * digest is md5 of the HEX encoding (DuckDB's md5 is VARCHAR-only;
+    * both engines hex uppercase, so the strings — and digests — match).
     */
   val dedupPayload = Q(
     "mm_dedup_payload",
-    """SELECT (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
-      |  md5(text) AS payload_hash,
-      |  MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
-      |FROM documents GROUP BY 1, 2 ORDER BY keeper_id""".stripMargin) { (s, dir) =>
+    s"""WITH $mediaCte
+      |SELECT kind, md5(hex(payload)) AS payload_hash,
+      |  MIN(media_id) AS keeper_id, COUNT(*) AS n_copies
+      |FROM media GROUP BY 1, 2 ORDER BY keeper_id""".stripMargin) { (s, dir) =>
     MultiModal.mediaFromDocuments(Tables.documents(s, dir))
-      .groupBy(col("kind"), md5(col("payload")).as("payload_hash"))
+      .groupBy(col("kind"), md5(hex(col("payload"))).as("payload_hash"))
       .agg(min("media_id").as("keeper_id"), count(lit(1)).as("n_copies"))
       .orderBy("keeper_id")
   }
 
   /** Resize/thumbnail profile through [[MultiModal.resizePayload]]: crop
-    * every payload to its first 64 bytes and profile the result per kind
-    * (bytes kept + distinct-thumb count — the dedup rate AFTER lossy
-    * reduction). DuckDB has no BLOB substring, so the oracle slices the
-    * VARCHAR then casts; byte == char slicing holds because the corpus is
-    * pure ASCII (octet_length == length verified over the fixtures), the
-    * same construction mm_kind_stats' octet_length already relies on.
-    * Map-only before a 3-key agg; payload bytes never shuffle.
+    * every payload to its first 64 bytes (header + 56 body bytes) and
+    * profile the result per kind (bytes kept + distinct-thumb count — the
+    * dedup rate AFTER lossy reduction). DuckDB slices the BLOB in hex
+    * space (`from_hex(substr(hex(payload), 1, 128))` — version-portable,
+    * byte-exact); Spark substrings the binary directly. Map-only before a
+    * 3-key agg; payload bytes never shuffle.
     */
   val resizeProfile = Q(
     "mm_resize_profile",
-    """SELECT (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
-      |  COUNT(*) AS n,
-      |  CAST(SUM(octet_length(substring(text, 1, 64)::BLOB)) AS BIGINT) AS resized_bytes,
-      |  CAST(COUNT(DISTINCT md5(substring(text, 1, 64))) AS BIGINT) AS n_distinct_thumbs
-      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    s"""WITH $mediaCte,
+      |r AS (SELECT kind, from_hex(substr(hex(payload), 1, 128)) AS thumb
+      |      FROM media)
+      |SELECT kind, COUNT(*) AS n,
+      |  CAST(SUM(octet_length(thumb)) AS BIGINT) AS resized_bytes,
+      |  CAST(COUNT(DISTINCT md5(hex(thumb))) AS BIGINT) AS n_distinct_thumbs
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
     MultiModal.resizePayload(
         MultiModal.mediaFromDocuments(Tables.documents(s, dir)), 64)
       .groupBy("kind")
       .agg(
         count(lit(1)).as("n"),
         sum(length(col("payload"))).as("resized_bytes"),
-        countDistinct(md5(col("payload"))).as("n_distinct_thumbs"))
+        countDistinct(md5(hex(col("payload")))).as("n_distinct_thumbs"))
       .orderBy("kind")
   }
 

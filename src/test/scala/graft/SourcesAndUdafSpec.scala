@@ -80,10 +80,33 @@ class SourcesAndUdafSpec extends SparkSpecBase {
     val docs = graft.engine.Tables.documents(spark, sfDir)
     val media = MultiModal.mediaFromDocuments(docs)
     assert(media.schema("payload").dataType === BinaryType)
-    // payload round-trips the source text bytes
-    val one = media.orderBy("media_id").select("media_id", "payload").first()
-    val srcText = docs.orderBy("doc_id").select("text").first().getString(0)
-    assert(new String(one.getAs[Array[Byte]]("payload"), "UTF-8") === srcText)
+    // payloads are genuine binary: correct per-kind magic header followed
+    // by the 64-byte md5 body, not valid UTF-8 text
+    val rows = media.select("media_id", "kind", "payload").collect()
+    val magic = Map(
+      "image" -> Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a),
+      "audio" -> Array(0x52, 0x49, 0x46, 0x46, 0x57, 0x41, 0x56, 0x45),
+      "video" -> Array(0x00, 0x00, 0x00, 0x18, 0x66, 0x74, 0x79, 0x70))
+      .view.mapValues(_.map(_.toByte)).toMap
+    rows.foreach { r =>
+      val p = r.getAs[Array[Byte]]("payload")
+      assert(p.length === 72, s"payload length ${p.length} != 8 hdr + 64 body")
+      assert(p.take(8).sameElements(magic(r.getString(1))),
+        s"media ${r.getLong(0)} missing ${r.getString(1)} magic")
+    }
+    // full byte range exercised somewhere in the corpus (md5 bodies are
+    // uniform over 0–255, unlike the old ASCII text-cast payloads)
+    assert(rows.flatMap(_.getAs[Array[Byte]]("payload")).exists(b => (b & 0xff) > 0x7f))
+
+    // payload bytes survive a parquet BLOB round trip bit-for-bit
+    val tmp = java.nio.file.Files.createTempDirectory("graft-media").toString
+    media.write.mode("overwrite").parquet(s"$tmp/media.parquet")
+    val back = spark.read.parquet(s"$tmp/media.parquet")
+    assert(back.schema("payload").dataType === BinaryType)
+    val byId = back.select("media_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    rows.foreach(r => assert(
+      byId(r.getLong(0)).sameElements(r.getAs[Array[Byte]]("payload"))))
 
     val feats = MultiModal.decodeFeatures(media.select(
         col("media_id"), col("kind"), col("payload"),
@@ -101,12 +124,12 @@ class SourcesAndUdafSpec extends SparkSpecBase {
     feats.foreach(f => assert(again(f.media_id) === f.feature.toSeq))
 
     val frames = MultiModal.frameSample(media)
-    // only video rows, ≤ 4 frames each, offsets stride by 100
-    val byId = frames.collect().groupBy(_.getLong(0))
-    assert(byId.nonEmpty && byId.values.forall(_.length <= 4))
-    byId.values.foreach { fs =>
+    // only video rows, ≤ 4 frames each, offsets stride by the 16-byte frame
+    val frameRows = frames.collect().groupBy(_.getLong(0))
+    assert(frameRows.nonEmpty && frameRows.values.forall(_.length <= 4))
+    frameRows.values.foreach { fs =>
       assert(fs.map(_.getInt(1)).sorted.toSeq === (0 until fs.length).toSeq)
-      fs.foreach(r => assert(r.getLong(2) === r.getInt(1) * 100L))
+      fs.foreach(r => assert(r.getLong(2) === r.getInt(1) * 16L))
     }
   }
 }
