@@ -492,7 +492,15 @@ object TextOps {
     val ok = t.groupBy("lang", "n_tok").count()
       .filter(col("count") <= levBlockCap).drop("count")
     val blocked = t.join(broadcast(ok), Seq("lang", "n_tok"), "left_semi")
-    val a = blocked.select(col("lang"), col("n_tok"),
+    // Explicit-count round-robin repartition of the probe side (same
+    // load-bearing trick as LlmOps.pairCounts): the block-capped b-side
+    // broadcasts, so WITHOUT this the whole plan is shuffle-free and the
+    // O(len²) kernel runs inside the single task a one-file parquet scan
+    // produces — measured 48 s single-threaded vs ~2 s spread over the 32
+    // slots at sf0.1. An explicit numPartitions is exempt from AQE
+    // coalescing; per-row probe work is bounded by the block cap.
+    val n = s.sessionState.conf.numShufflePartitions
+    val a = blocked.repartition(n).select(col("lang"), col("n_tok"),
       col("doc_id").as("id_a"), col("text").as("text_a"))
     val b = blocked.select(col("lang"), col("n_tok"),
       col("doc_id").as("id_b"), col("text").as("text_b"))
