@@ -87,6 +87,16 @@ class PlanSpec extends SparkSpecBase {
     assert(!exact.contains("CartesianProduct"), exact)
   }
 
+  test("levenshtein pair scan repartitions the probe side before the kernel") {
+    // The block-capped side broadcasts, so without an explicit round-robin
+    // exchange the whole O(len²) kernel runs inside the single task a
+    // one-file scan produces (measured 48 s vs 2.4 s at sf0.1). The
+    // explicit count makes the exchange AQE-coalesce-exempt.
+    val plan = planOf(graft.engine.TextOps.levenshteinPairs)
+    assert(plan.contains("RoundRobinPartitioning"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("decontamination broadcasts the eval n-grams; train side joins without sorting") {
     val plan = planOf(LlmOps.decontaminate)
     // the scale contract: the (tiny) benchmark side broadcasts, the
