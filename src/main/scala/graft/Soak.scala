@@ -82,7 +82,10 @@ object Soak {
       "log_multiline_stitch", "log_latency_percentiles",
       "llm_embed_corr_pairs", "log_session_durations",
       "log_type_affinity", "log_type_transitions", "llm_neardup_filter",
-      "log_rolling_wau")
+      "log_rolling_wau",
+      // round 4: iterative CC (one job per round + pointer jumping) and
+      // the k-means Lloyd loop — both fixed-round corpus-scan ops
+      "llm_neardup_clusters", "llm_kmeans")
     heavy.filter(n => only.forall(_.contains(n))).foreach { name =>
       val fn = SparkEntry.queries(name)
       try { fn(spark, dir).count() } catch { case _: Throwable => () } // warm

@@ -1272,10 +1272,83 @@ object LlmOps {
       .limit(10)
   }
 
+  /** One Lloyd E-step: assign each vector to its nearest centroid by
+    * squared Euclidean distance (|a|² + |c|² − 2·a·c, all three terms in
+    * the codegen'd kernels). The centroid side is ≤ k rows and broadcast —
+    * the corpus NEVER shuffles during assignment, the one property that
+    * makes distributed k-means affordable at 100 TB. Ties break on c_id
+    * so assignment is a deterministic function of (vectors, centroids).
+    */
+  def kmeansAssign(e: DataFrame, centroids: DataFrame): DataFrame = {
+    val d2 = vectors.dotProduct(col("embedding"), col("embedding")) +
+      vectors.dotProduct(col("c_emb"), col("c_emb")) -
+      lit(2.0) * vectors.dotProduct(col("embedding"), col("c_emb"))
+    val w = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("c_id").asc)
+    e.join(broadcast(centroids))
+      .withColumn("d2", d2)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_id"), col("d2"))
+  }
+
+  /** One Lloyd M-step: recompute each centroid as the element-wise mean of
+    * its members. posexplode fans (vector, dim) rows into a partial-agged
+    * groupBy on ≤ k·d keys — the shuffle carries partitions × k·d partial
+    * sums, never vectors — and collect_list reassembles the ≤ k result
+    * arrays. Cast back to float so the next E-step's kernels see the same
+    * `array<float>` type the corpus has.
+    */
+  def kmeansCentroids(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("c_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("c_id", "pos").agg(avg("v").as("m"))
+      .groupBy("c_id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m").cast("float")).as("c_emb"))
+
+  /** Full Lloyd loop: deterministic first-k seeding (same convention as
+    * [[semDedup]]'s coarse clustering; k-means++ would serialize k
+    * corpus passes for a marginally better seed — not worth it when the
+    * loop itself repairs the seed in 2–3 iterations), then `iters` fixed
+    * E+M rounds. Fixed iteration count, no convergence probe: at 100 TB
+    * each round is a full corpus scan, so production k-means budgets
+    * rounds up front (LlmOpsSpec pins that SSE is non-increasing round
+    * over round, the Lloyd invariant). Per round the only driver action
+    * is the k-row centroid localCheckpoint that truncates lineage —
+    * metadata-sized, the same pattern clusterPairs uses.
+    */
+  def kmeans(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    var c = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      .localCheckpoint()
+    var it = 0
+    while (it < iters) {
+      c = kmeansCentroids(kmeansAssign(e, c)).localCheckpoint()
+      it += 1
+    }
+    kmeansAssign(e, c)
+  }
+
+  /** D3/D9 (no oracle — iterative fixpoint isn't one SQL statement; the
+    * Lloyd invariants are spec-pinned instead): k-means cluster profile
+    * of the embedding corpus after 3 Lloyd rounds — the "train" step
+    * SemDeDup-style curation, IVF coarse quantizers, and domain-mixing
+    * cluster budgets all start from. Output: per-cluster size and mean
+    * within-cluster squared distance (the per-cluster SSE contribution).
+    * mean_d2 rounds at 4 decimals — far above the float-sum-order jitter
+    * of the distributed mean, per the embedDimStats precedent.
+    */
+  val kmeansEmbed = Q.noOracle("llm_kmeans") { (s, dir) =>
+    kmeans(Tables.embeddings(s, dir).select("vec_id", "embedding"), 8, 3)
+      .groupBy("c_id")
+      .agg(count(lit(1)).as("n"), round(avg("d2"), 4).as("mean_d2"))
+      .orderBy("c_id")
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupHash, jaccardPairs, shingleJaccard, knnCosine, annLsh,
     annIvf, nearDupCosine, embedNorm, minhashPairs, tfidf, approxDistinct,
     approxPercentile, nearDupClusters, decontaminate, quantizeInt8, approxTopK,
     embedDimStats, embedNormalize, dupSpanFraction, centroidAssign,
-    embedOutliers, semDedup, embedCorrPairs, nearDupFilter)
+    embedOutliers, semDedup, embedCorrPairs, nearDupFilter, kmeansEmbed)
 }

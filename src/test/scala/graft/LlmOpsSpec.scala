@@ -1,6 +1,7 @@
 package graft
 
 import graft.engine.LlmOps
+import org.apache.spark.sql.functions.{col, sum}
 
 /** Semantics of the LLM-pipeline operators: dedup determinism/idempotence,
   * MinHash estimation quality, LSH recall vs the brute-force baseline, and
@@ -126,6 +127,44 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(banded.subsetOf(exact), s"banded invented pairs: ${banded -- exact}")
     val recall = (banded & exact).size.toDouble / exact.size
     assert(recall >= 0.6, s"banded recall $recall below 0.6 floor (exact=${exact.size})")
+  }
+
+  test("kmeans: SSE non-increasing per Lloyd round; assignment partitions the corpus") {
+    val e = graft.engine.Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val n = e.count()
+    // Lloyd's invariant: each E-step can only lower (or keep) every
+    // vector's distance, each M-step minimizes within-cluster SSE for the
+    // fixed assignment — so total SSE is monotonically non-increasing.
+    val sse = (1 to 3).map { iters =>
+      LlmOps.kmeans(e, 8, iters).agg(sum("d2")).as[Double].head()
+    }
+    sse.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-6, s"SSE increased across a Lloyd round: $sse")
+    }
+    val prof = LlmOps.kmeansEmbed.build(spark, sfDir)
+      .select("c_id", "n").as[(Long, Long)].collect()
+    assert(prof.map(_._2).sum === n, "cluster sizes must sum to the corpus")
+    assert(prof.map(_._1).distinct.length === prof.length)
+  }
+
+  test("kmeans recovers well-separated blobs exactly") {
+    // Three tight blobs far apart; k = 3 with first-k seeding (seeds 0, 1,
+    // 2 land one per blob by construction) must assign every member to its
+    // blob's cluster after one round.
+    val blob = (center: Float, ids: Range) =>
+      ids.map(i => (i.toLong, Array(center + (i % 3) * 0.01f, center - (i % 2) * 0.01f)))
+    val rows = blob(0f, 0 until 9 by 3) ++ blob(100f, 1 until 10 by 3) ++
+      blob(-100f, 2 until 11 by 3)
+    val e = rows.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val got = LlmOps.kmeans(e, 3, 2)
+      .select("vec_id", "c_id").as[(Long, Long)].collect().toMap
+    // members of one blob share a cluster; different blobs differ
+    val byBlob = rows.map(_._1).groupBy(_ % 3)
+    byBlob.values.foreach { ids =>
+      assert(ids.map(got).toSet.size === 1, s"blob split: ${ids.map(got)}")
+    }
+    assert(byBlob.values.map(ids => got(ids.head)).toSet.size === 3)
   }
 
   test("clusterPairs finds connected components (chain, clique, singleton pair)") {

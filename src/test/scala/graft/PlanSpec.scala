@@ -189,6 +189,7 @@ class PlanSpec extends SparkSpecBase {
     "llm_ann_lsh"           -> "bucketed candidates; residual BNLJ side is the 100-row query set",
     "llm_ann_ivf"           -> "centroid table ≤ 2^bits rows, broadcast by construction",
     "llm_centroid_assign"   -> "k=8 centroid table broadcast; corpus side never shuffles",
+    "llm_kmeans"            -> "k=8 centroid table broadcast per Lloyd round; corpus never shuffles in the E-step",
     "llm_semdedup"          -> "k=8 centroid table broadcast for assignment; pair scan itself is the (c_id, ci, cj) equi-join",
     "llm_dataset_card"      -> "single-row corpus-total aggregate cross-joined into pct_corpus",
     "llm_embed_outliers"    -> "k=8 centroid table broadcast; 8-row stats re-broadcast",
