@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -171,6 +171,89 @@ object TextOps {
         md5(lower(trim(col("text")))).as("fp_md5"),
         aggregate(toks, lit(0L),
           (acc, t) => (acc * 31 + length(t).cast("long")) % 1000000007L).as("fp_poly"))
+      .orderBy("doc_id")
+  }
+
+  /** Winnowing parameters: word-[[winnowK]]-gram hashes, one fingerprint
+    * selected per sliding window of [[winnowW]] consecutive gram hashes. */
+  private val winnowK = 3
+  private val winnowW = 4
+
+  /** Winnowing fingerprint set per document (Schleimer, Wilkerson, Aiken,
+    * SIGMOD 2003 — the MOSS local fingerprinting algorithm): hash every
+    * positional word-k-gram, slide a w-window over the hash sequence, keep
+    * each window's MINIMUM hash, dedup. The winnowing guarantee: any
+    * shared run of ≥ w+k−1 tokens between two documents yields at least
+    * one shared fingerprint, while only ~2/(w+1) of gram hashes are kept —
+    * the locality property that lets plagiarism/near-dup detection index
+    * a bounded fingerprint set instead of every shingle. (The classic
+    * rightmost-min tie-break only affects which POSITION is recorded; the
+    * selected hash set — all this operator keeps — is tie-free.)
+    *
+    * Scale shape: grams ride ONE doc_id exchange; the min-window pass and
+    * the per-doc aggregation reuse the same partitioning, and only
+    * (doc_id, fp-hash) pairs survive the window — linear in corpus size,
+    * ~|grams|/[(w+1)/2] output rows. Docs with < k tokens (no grams) or
+    * < w+k−1 tokens (no full window) emit nothing, identically in both
+    * engines. Gram hash = first 8 md5 hex chars as unsigned 32-bit — the
+    * proven cross-engine conversion the simhash operator established.
+    */
+  def winnowFps(docs: DataFrame): DataFrame = {
+    val ts = filter(split(lower(col("text")), " "), t => t =!= "")
+    val grams = docs
+      .select(col("doc_id"), ts.as("ts"))
+      .filter(size(col("ts")) >= winnowK)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ts")) - (winnowK - 1)),
+        i => struct(i.as("pos"),
+          concat_ws(" ", slice(col("ts"), i, lit(winnowK))).as("g")))).as("u"))
+      .select(col("doc_id"), col("u.pos").as("pos"),
+        conv(substring(md5(col("u.g")), 1, 8), 16, 10).cast("long").as("gh"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, winnowW - 1)
+    grams
+      .select(col("doc_id"),
+        min("gh").over(w).as("fp"),
+        count(lit(1)).over(w).as("cnt"))
+      .filter(col("cnt") === winnowW) // full windows only
+      .select("doc_id", "fp").distinct()
+  }
+
+  val winnowFingerprints = Q(
+    "text_winnow_fingerprints",
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+       |  FROM documents),
+       |grams0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(ts) - ${winnowK - 2}),
+       |    i -> struct_pack(pos := i,
+       |                     g := array_to_string(ts[i:i+${winnowK - 1}], ' ')))) AS u
+       |  FROM toks WHERE len(ts) >= $winnowK),
+       |grams AS (
+       |  SELECT doc_id, u.pos AS pos,
+       |    ('0x' || substr(md5(u.g), 1, 8))::BIGINT AS gh
+       |  FROM grams0),
+       |win AS (
+       |  SELECT doc_id, min(gh) OVER w AS fp, COUNT(*) OVER w AS cnt
+       |  FROM grams
+       |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+       |               ROWS BETWEEN CURRENT ROW AND ${winnowW - 1} FOLLOWING))
+       |SELECT doc_id,
+       |  CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fp,
+       |  MIN(fp) AS fp_min,
+       |  CAST(SUM(DISTINCT fp % 1000003) AS BIGINT) AS fp_checksum
+       |FROM win WHERE cnt = $winnowW
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    // Per-doc profile of the fingerprint set: count + min + a checksum
+    // over the DISTINCT set (mod keeps the sum in BIGINT range on both
+    // engines), so the oracle hash pins the selected set itself, not just
+    // its size.
+    winnowFps(Tables.documents(s, dir))
+      .groupBy("doc_id")
+      .agg(
+        countDistinct("fp").as("n_fp"),
+        min("fp").as("fp_min"),
+        sum_distinct(col("fp") % 1000003L).as("fp_checksum"))
       .orderBy("doc_id")
   }
 
@@ -634,7 +717,8 @@ object TextOps {
   }
 
   val all: Seq[Q] = Seq(
-    langProfile, langId, qualityScore, tokenCount, fingerprint, simhash,
+    langProfile, langId, qualityScore, tokenCount, fingerprint,
+    winnowFingerprints, simhash,
     simhashPairs, zipfRanks, repetition, piiScrub, boilerplateNgrams,
     levenshteinPairs, tokenEntropy, unigramLogprob, normalize)
 }

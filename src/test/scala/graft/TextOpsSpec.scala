@@ -170,6 +170,34 @@ class TextOpsSpec extends SparkSpecBase {
     assert(exp1 > exp2)
   }
 
+  test("winnowing: guarantee + locality on an edited document") {
+    // 60-token base doc; edited doc changes ONE middle token. Winnowing's
+    // guarantee: any shared run of >= w+k-1 tokens yields a shared
+    // fingerprint, and an edit can only disturb fingerprints whose gram or
+    // window touches it — so the two documents must share most of their
+    // fingerprint sets while identical docs share all of them.
+    val base = (0 until 60).map(i => s"tok$i").toVector
+    val edited = base.updated(30, "CHANGED")
+    val dir = docsDir(Seq(
+      (1L, base.mkString(" ")),
+      (2L, base.mkString(" ")),      // identical to 1
+      (3L, edited.mkString(" ")),
+      (4L, "too short")))            // < k tokens after split? 2 toks < k=3
+    val fps = TextOps.winnowFps(
+        spark.read.parquet(s"$dir/documents.parquet"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(fps(1L) === fps(2L), "identical docs must fingerprint identically")
+    assert(!fps.contains(4L), "doc with no full window emits no fingerprints")
+    val overlap = (fps(1L) & fps(3L)).size.toDouble / fps(1L).size
+    assert(overlap >= 0.6, s"single-token edit destroyed $overlap of fingerprints")
+    assert(fps(1L) !== fps(3L), "the edit must perturb at least one fingerprint")
+    // density: winnowing keeps roughly 2/(w+1) of gram hashes; assert the
+    // set is a real reduction, not the full shingle set
+    val nGrams = 60 - 3 + 1
+    assert(fps(1L).size < nGrams, "fingerprints must be sparser than grams")
+  }
+
   test("normalize: strips punctuation, collapses whitespace, trims") {
     val dir = docsDir(Seq(
       (1L, "  Hello,   World! 42  "),
