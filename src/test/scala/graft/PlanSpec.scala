@@ -195,6 +195,7 @@ class PlanSpec extends SparkSpecBase {
     "llm_embed_outliers"    -> "k=8 centroid table broadcast; 8-row stats re-broadcast",
     "llm_jaccard_pairs"     -> "single-row n_docs aggregate cross-joined into the df-cap",
     "llm_shingle_jaccard"   -> "single-row n_docs aggregate cross-joined into the df-cap",
+    "text_winnow_pairs"     -> "single-row n_docs aggregate cross-joined into the df-cap (winnow postings)",
     "llm_neardup_filter"    -> "inherits llm_shingle_jaccard's single-row df-cap cross-join",
     "llm_tfidf"             -> "single-row corpus-count aggregate cross-joined into idf",
     "filter_scalar_subquery"-> "single-row scalar aggregate broadcast as the filter bound",
