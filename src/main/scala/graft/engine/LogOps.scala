@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -550,6 +550,118 @@ object LogOps {
       .agg(count(lit(1)).as("n"))
       .withColumn("p", round(col("n") * lit(1.0) / sum("n").over(wNorm), 4))
       .orderBy("prev_type", "next_type")
+  }
+
+  /** PageRank damping factor and fixed iteration count shared by the Spark
+    * build and the generated oracle SQL (one source of truth — the two
+    * engines must run the identical recurrence). 12 iterations fully
+    * converges the fixture graph (iter-11 → iter-12 delta is 0 at the
+    * 6-decimal report precision, pinned in LogOpsSpec); the base term is a
+    * named constant so both engines see the literal 0.15, not an
+    * engine-evaluated `1 − 0.85` with its own floating-point identity.
+    */
+  private val prDamping = 0.85
+  private val prBase = 0.15
+  private val prIters = 12
+
+  /** DuckDB oracle for [[pagerankTypes]]: the same power iteration unrolled
+    * as a chain of MATERIALIZED CTEs (pr0 … pr12). MATERIALIZED is
+    * load-bearing: each iteration references its predecessor twice (dangling
+    * mass + contribution sum), so the default inlining would expand the
+    * chain 2^12-fold and the oracle would never finish.
+    */
+  private def pagerankOracle: String = {
+    val sb = new StringBuilder(
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |e AS (SELECT prev_type AS src, event_type AS dst, COUNT(*) AS n
+        |      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |p AS MATERIALIZED (
+        |  SELECT src, dst, n * 1.0 / SUM(n) OVER (PARTITION BY src) AS p FROM e),
+        |nodes AS MATERIALIZED (SELECT DISTINCT event_type AS node FROM events),
+        |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+        |pr0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)""".stripMargin)
+    for (k <- 1 to prIters) sb.append(
+      s""",
+         |d$k AS (SELECT COALESCE(SUM(rank), 0) AS dm FROM pr${k - 1}
+         |        WHERE node NOT IN (SELECT src FROM p)),
+         |pr$k AS MATERIALIZED (
+         |  SELECT n.node,
+         |    $prBase / nn.n + $prDamping * (COALESCE(c.s, 0) + d$k.dm / nn.n) AS rank
+         |  FROM nodes n CROSS JOIN nn CROSS JOIN d$k
+         |  LEFT JOIN (SELECT p.dst AS node, SUM(r.rank * p.p) AS s
+         |             FROM pr${k - 1} r JOIN p ON r.node = p.src GROUP BY 1) c USING (node))""".stripMargin)
+    sb.append(s"\nSELECT node, ROUND(rank, 6) AS rank FROM pr$prIters ORDER BY node")
+    sb.toString
+  }
+
+  /** PageRank over the event-type transition graph — the stationary
+    * importance of each node under the first-order Markov chain that
+    * [[typeTransitions]] tabulates, with the full Brin–Page treatment:
+    * damping 0.85, uniform teleport, and dangling mass (nodes with no
+    * out-edges) redistributed uniformly each round, so Σ rank = 1 is an
+    * exact invariant (spec-pinned).
+    *
+    * This is the standard distributed power iteration, written so the SAME
+    * code scales to a billion-node graph even though the fixture graph has
+    * |event types| nodes: edge weights aggregate once and localCheckpoint
+    * (computed-once, lineage truncated — the CC precedent); each round is
+    * rank ⋈ edges on the node key → partial-agg groupBy(dst) → rebase, all
+    * node-keyed shuffles, nothing driver-side anywhere. The per-round
+    * single-row aggregates (node count, dangling mass) cross-join back in
+    * as explicit broadcasts — metadata, not data. At fixture scale AQE
+    * collapses the tiny exchanges; at web scale the node-keyed
+    * hash-partitioning is exactly GraphX/Pregel's layout. 12 fixed rounds
+    * rather than a convergence test keeps the oracle expressible (the
+    * unrolled-CTE chain) — the delta-based stop is what
+    * `llm_neardup_clusters` demonstrates.
+    */
+  val pagerankTypes = Q(
+    "log_pagerank_types",
+    pagerankOracle) { (s, dir) =>
+    pagerankRanks(s, dir, prIters)
+      .select(col("node"), round(col("rank"), 6).as("rank"))
+      .orderBy("node")
+  }
+
+  /** The power-iteration loop behind [[pagerankTypes]], split out at an
+    * explicit iteration count so the spec can pin convergence (iters-1 vs
+    * iters delta) and the Σ rank = 1 invariant independently of the
+    * registered 6-decimal rounding.
+    */
+  private[graft] def pagerankRanks(s: SparkSession, dir: String, iters: Int): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val p = Tables.events(s, dir)
+      .select(col("event_type"), lag("event_type", 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("src"), col("dst"),
+        (col("n") * lit(1.0) / sum("n").over(Window.partitionBy("src"))).as("p"))
+      .localCheckpoint()
+    val nodes = Tables.events(s, dir).select(col("event_type").as("node"))
+      .distinct().localCheckpoint()
+    val nn = nodes.agg(count(lit(1)).as("nn"))
+    val srcs = p.select(col("src").as("node")).distinct()
+    var ranks = nodes.crossJoin(broadcast(nn))
+      .select(col("node"), (lit(1.0) / col("nn")).as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val dm = ranks.join(srcs, Seq("node"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
+      val contrib = ranks.join(p, col("node") === col("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") * col("p")).as("contrib"))
+      ranks = nodes.crossJoin(broadcast(nn)).crossJoin(broadcast(dm))
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(prBase) / col("nn") + lit(prDamping) *
+            (coalesce(col("contrib"), lit(0.0)) + col("dm") / col("nn"))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
   }
 
   /** Rolling 7-day active users + DAU/WAU stickiness — the growth metric
@@ -1412,5 +1524,5 @@ object LogOps {
     orcRoundtrip, compactLatest, peakConcurrency, valueHistogram,
     cumulativeUsers, jsonRoundtrip, regression, eventRuns, multilineStitch,
     latencyPercentiles, sessionDurations, typeAffinity, typeTransitions,
-    rollingWau)
+    rollingWau, pagerankTypes)
 }

@@ -747,6 +747,66 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** D7 (statistical quality): per-document mean bigram conditional
+    * log-probability under the corpus's own bigram model — one rung up the
+    * n-gram-LM ladder from [[unigramLogprob]] toward the KenLM perplexity
+    * gates production pipelines run (CCNet-style bucketing). The model is
+    * the MLE conditional p(b|a) = c(a,b) / Σ_b' c(a,b'), so the prefix
+    * normalizer is the token's count in NON-final positions — every bigram
+    * observed in a document exists in the self-trained counts, which is why
+    * no smoothing term is needed (and why both engines agree bit-for-bit:
+    * there is no smoothing constant to drift).
+    *
+    * Plan shape: bigram explode → (tok_a, tok_b) partial-agg groupBy (the
+    * only data-sized shuffle), prefix counts fold out of the bigram counts
+    * (vocab-sized, no second pass over occurrences), then occurrences join
+    * the two count tables on their token keys. Neither join carries a
+    * broadcast hint: bigram vocabulary grows ~quadratically in the unigram
+    * vocab (Heaps' law squared — far past executor memory at 100 TB), so
+    * the planner must decide from observed sizes, exactly as llm_tfidf's
+    * tf⋈df join documents. Docs shorter than 2 tokens have no bigrams and
+    * drop out in both engines (inner-join semantics).
+    */
+  val bigramLogprob = Q(
+    "text_bigram_logprob",
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+      |    t -> t <> '') AS ts
+      |  FROM documents),
+      |occ AS (
+      |  SELECT doc_id, bg.a AS tok_a, bg.b AS tok_b FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+      |      i -> struct_pack(a := ts[i], b := ts[i+1]))) AS bg
+      |    FROM toks WHERE len(ts) >= 2) t),
+      |bfreq AS (SELECT tok_a, tok_b, COUNT(*) AS cb FROM occ GROUP BY 1, 2),
+      |pfreq AS (SELECT tok_a, SUM(cb) AS cp FROM bfreq GROUP BY 1)
+      |SELECT o.doc_id, COUNT(*) AS n_bigrams,
+      |  ROUND(AVG(log2(CAST(bf.cb AS DOUBLE) / pf.cp)), 4) AS avg_log2p
+      |FROM occ o
+      |JOIN bfreq bf ON o.tok_a = bf.tok_a AND o.tok_b = bf.tok_b
+      |JOIN pfreq pf ON o.tok_a = pf.tok_a
+      |GROUP BY o.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val ts = filter(split(lower(col("text")), " "), t => t =!= "")
+    val occ = Tables.documents(s, dir)
+      .select(col("doc_id"), ts.as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ts")) - 1),
+        i => struct(
+          element_at(col("ts"), i).as("tok_a"),
+          element_at(col("ts"), i + 1).as("tok_b")))).as("bg"))
+      .select(col("doc_id"), col("bg.tok_a"), col("bg.tok_b"))
+    val bfreq = occ.groupBy("tok_a", "tok_b").agg(count(lit(1)).as("cb"))
+    val pfreq = bfreq.groupBy("tok_a").agg(sum("cb").as("cp"))
+    occ.join(bfreq, Seq("tok_a", "tok_b"))
+      .join(pfreq, Seq("tok_a"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(log2(col("cb").cast("double") / col("cp"))), 4).as("avg_log2p"))
+      .orderBy("doc_id")
+  }
+
   /** Canonical text normalization — the first stage of every dedup/quality
     * pipeline: lowercase, strip non-alphanumerics, collapse runs of
     * whitespace, trim. Map-only (no shuffle, fused into the scan); the
@@ -777,5 +837,5 @@ object TextOps {
     langProfile, langId, qualityScore, tokenCount, fingerprint,
     winnowFingerprints, winnowPairs, simhash,
     simhashPairs, zipfRanks, repetition, piiScrub, boilerplateNgrams,
-    levenshteinPairs, tokenEntropy, unigramLogprob, normalize)
+    levenshteinPairs, tokenEntropy, unigramLogprob, bigramLogprob, normalize)
 }

@@ -201,4 +201,38 @@ class LogOpsSpec extends SparkSpecBase {
       ("srcA", 2L, 2L, "srcA [en] one two three four"),
       ("srcB", 1L, 4L, "srcB [fr] x y z w")))
   }
+
+  test("pagerank: hand graph with a dangling node matches the scalar recurrence") {
+    // One user walks a → b → c, giving edges a→b and b→c (p = 1 each);
+    // c has no out-edges, so its rank is dangling mass redistributed
+    // uniformly. Expected values come from the identical synchronous
+    // recurrence run in plain Scala doubles — an engine-independent oracle.
+    val dir = eventsDir(Seq(
+      (1L, ts(0), 0L, "a", 1.0, "{}"),
+      (2L, ts(1), 0L, "b", 1.0, "{}"),
+      (3L, ts(2), 0L, "c", 1.0, "{}")))
+    var r = Map("a" -> 1.0 / 3, "b" -> 1.0 / 3, "c" -> 1.0 / 3)
+    for (_ <- 1 to 12) {
+      val dm = r("c")
+      r = Map(
+        "a" -> (0.15 / 3 + 0.85 * (dm / 3)),
+        "b" -> (0.15 / 3 + 0.85 * (r("a") + dm / 3)),
+        "c" -> (0.15 / 3 + 0.85 * (r("b") + dm / 3)))
+    }
+    val got = LogOps.pagerankTypes.build(spark, dir)
+      .as[(String, Double)].collect().toMap
+    assert(got.keySet === Set("a", "b", "c"))
+    for ((n, v) <- r) assert(math.abs(got(n) - v) < 1e-6, s"$n: ${got(n)} vs $v")
+    assert(math.abs(got.values.sum - 1.0) < 1e-5)
+    // the chain's tail accumulates rank: c > b > a
+    assert(got("c") > got("b") && got("b") > got("a"), got.toString)
+  }
+
+  test("pagerank: 12 fixed rounds is past convergence; ranks sum to 1 exactly") {
+    val r11 = LogOps.pagerankRanks(spark, sfDir, 11).as[(String, Double)].collect().toMap
+    val r12 = LogOps.pagerankRanks(spark, sfDir, 12).as[(String, Double)].collect().toMap
+    val delta = r11.map { case (k, v) => math.abs(v - r12(k)) }.max
+    assert(delta < 1e-7, s"iter 11→12 delta $delta — raise prIters")
+    assert(math.abs(r12.values.sum - 1.0) < 1e-9, s"mass leak: ${r12.values.sum}")
+  }
 }

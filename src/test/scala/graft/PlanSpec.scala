@@ -203,6 +203,8 @@ class PlanSpec extends SparkSpecBase {
     "text_unigram_logprob"  -> "single-row corpus-total aggregate cross-joined into log2 N",
     "log_retention_policy"  -> "single-row max-ts aggregate cross-joined into the age tiers",
     "log_type_affinity"     -> "single-row session-count aggregate cross-joined into the lift",
+    "log_pagerank_types"    -> ("per-round single-row node-count and dangling-mass aggregates " +
+                                "cross-joined back as explicit broadcasts — metadata, not data"),
     "log_resample_fill"     -> ("hour spine (exploded 1-row min/max agg) × ≤5-row distinct " +
                                 "type dim — both post-aggregation metadata-sized"),
     "sql_not_in_nulls"      -> ("null-aware anti join is Spark's only NOT IN implementation — " +

@@ -210,4 +210,26 @@ class TextOpsSpec extends SparkSpecBase {
       (2L, "allcapsandor symbols", 20L),
       (3L, "", 0L)))
   }
+
+  test("bigram logprob: self-trained conditional MLE on a hand corpus") {
+    // Corpus bigrams: "a b" and "a c" → c(a,b) = c(a,c) = 1, prefix count
+    // c(a) = 2, so both bigrams have p = 1/2 and each doc scores
+    // avg log2 p = −1. The 1-token doc has no bigrams and drops out.
+    val dir = docsDir(Seq((1L, "a b"), (2L, "a c"), (3L, "x")))
+    val got = TextOps.bigramLogprob.build(spark, dir)
+      .select("doc_id", "n_bigrams", "avg_log2p")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === Set((1L, 1L, -1.0), (2L, 1L, -1.0)))
+  }
+
+  test("bigram logprob: every doc has n_tok − 1 bigrams and log-probs ≤ 0") {
+    import org.apache.spark.sql.functions.{col, filter, lower, size, split}
+    val docs = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+      .select(col("doc_id"),
+        size(filter(split(lower(col("text")), " "), t => t =!= "")).as("n_tok"))
+    val j = TextOps.bigramLogprob.build(spark, TestSpark.sfDir).join(docs, "doc_id")
+    assert(j.count() > 0)
+    assert(j.filter(col("n_bigrams") =!= col("n_tok") - 1).count() === 0)
+    assert(j.filter(col("avg_log2p") > 0).count() === 0)
+  }
 }
