@@ -404,8 +404,42 @@ object Funcs {
       .orderBy("o_orderkey")
   }
 
+  /** lgConfigK for the HLL sketches below — 2^12 registers ≈ 1.6% standard
+    * error at ~4 KB per sketch. Shared with the spec's tolerance math.
+    */
+  val hllLgK = 12
+
+  /** A4 at the re-aggregation grain — the 100 TB pattern the plain
+    * `agg_approx_distinct` can't show: distinct-user sketches built ONCE per
+    * (event_type, day) partition, then union-merged into the coarser
+    * per-type total WITHOUT touching raw events again. This is how a real
+    * deployment serves "distinct users, any date range" — daily Datasketches
+    * HLL sketches persisted at ~4 KB each, range queries merging sketches
+    * (register-wise max, associative and order-independent) instead of
+    * rescanning 100 TB. Exact rolling distinct decomposes the same way only
+    * via the fan-out trick `log_rolling_wau` uses; sketches make the
+    * re-aggregation O(days × 4 KB).
+    *
+    * Both aggregations partial-combine map-side (sketches merge in the
+    * combiner). No DuckDB oracle by design: the estimate is
+    * Datasketches-binary-specific; the spec pins it within the published
+    * error bound of the exact count and pins union-of-daily ≡
+    * sketch-of-whole-range (merge losslessness at this scale).
+    */
+  val hllUnionDaily = Q.noOracle("agg_hll_union_daily") { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), hllLgK).as("sk"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"), false)).as("approx_users"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(
     mathFuncs, arrayFuncs, stringFuncs, dateFuncs, mapFuncs, aggGroupingSets,
     aggPivot, aggCube, aggStats, aggStringAgg, filterScalarSubquery,
-    unpivotMetrics, aggBool, bitwiseFuncs, decimalMoney, structFuncs)
+    unpivotMetrics, aggBool, bitwiseFuncs, decimalMoney, structFuncs,
+    hllUnionDaily)
 }

@@ -749,21 +749,73 @@ object LlmOps {
       |FROM g JOIN ev USING (ng)
       |WHERE g.source <> 'src0'
       |GROUP BY 1, 2 ORDER BY g.doc_id""".stripMargin) { (s, dir) =>
-    // tokenize once into a materialized column (same O(len²) trap as the
-    // shingle builder: slice() in the lambda must reference a real column)
+    val grams = docGrams(s, dir)
+    val evalGrams = grams.filter(col("source") === "src0").select("ng").distinct()
+    grams.filter(col("source") =!= "src0")
+      .join(broadcast(evalGrams), Seq("ng"))
+      .groupBy("doc_id", "source")
+      .agg(countDistinct("ng").as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  /** (doc_id, source, ng): distinct word-8-grams per document — the shared
+    * derivation behind [[decontaminate]] and [[bloomDecontaminate]].
+    * Tokenizes once into a materialized column (same O(len²) trap as the
+    * shingle builder: slice() in the lambda must reference a real column).
+    */
+  private def docGrams(s: SparkSession, dir: String): DataFrame = {
     val toks = split(lower(col("text")), " ")
-    val grams = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), toks.as("ts"))
       .select(col("doc_id"), col("source"),
         explode(array_distinct(transform(
           when(size(col("ts")) >= lit(8), sequence(lit(1), size(col("ts")) - 7))
             .otherwise(array().cast("array<int>")),
           i => concat_ws(" ", slice(col("ts"), i, lit(8)))))).as("ng"))
-    val evalGrams = grams.filter(col("source") === "src0").select("ng").distinct()
+  }
+
+  /** Bloom-filter sizing for [[bloomDecontaminate]]: fixed 2^20 capacity at
+    * 1% target FPP ≈ 1.2 MB of bits — benchmark suites are KB-to-MB scale,
+    * so a production deployment picks this from the known eval-set size (or
+    * one cheap count over the tiny side); it is NOT data-dependent on the
+    * 100 TB train side. Overfilling past capacity degrades FPP only, never
+    * introduces false negatives.
+    */
+  val bloomExpectedItems = 1L << 20
+  val bloomFpp = 0.01
+
+  /** D11 at the sketch grain (no oracle — the Bloom bit layout is
+    * engine-specific): decontamination where the eval-set 8-grams compress
+    * into a ~1.2 MB Bloom filter instead of a broadcast hash relation.
+    * [[decontaminate]]'s broadcast join is exact but ships every distinct
+    * eval gram string to every executor; at the 100 TB grain the probe-side
+    * discipline is identical (one scan of train grams, map-side membership
+    * test, no shuffle of training text), but the shipped state shrinks
+    * 10-100× and probe cost becomes k hash evaluations independent of eval
+    * vocabulary — the exact trade Spark's own injected runtime filters
+    * (`BloomFilterMightContain`) make for shuffle pruning. Output is the
+    * CANDIDATE list (superset of the exact hit list, FPP-bounded — the
+    * Bloom no-false-negative guarantee, spec-pinned); a production pipeline
+    * either drops candidates outright (cheap, slightly over-drops) or
+    * re-verifies them against the exact join's output.
+    *
+    * The probe is a scalar UDF over the broadcast sketch — the one place
+    * the UDF form is the honest choice: Spark's public Column algebra has
+    * no Bloom-probe expression (BloomFilterMightContain is
+    * optimizer-internal), and the alternative — exploding each gram into k
+    * bit positions and semi-joining a position table — shuffles the train
+    * side it exists to protect.
+    */
+  val bloomDecontaminate = Q.noOracle("llm_bloom_decontaminate") { (s, dir) =>
+    val grams = docGrams(s, dir)
+    val bf = grams.filter(col("source") === "src0").select("ng").distinct()
+      .stat.bloomFilter("ng", bloomExpectedItems, bloomFpp)
+    val bfB = s.sparkContext.broadcast(bf)
+    val mightContain = udf((ng: String) => bfB.value.mightContainString(ng))
     grams.filter(col("source") =!= "src0")
-      .join(broadcast(evalGrams), Seq("ng"))
+      .filter(mightContain(col("ng")))
       .groupBy("doc_id", "source")
-      .agg(countDistinct("ng").as("n_shared"))
+      .agg(countDistinct("ng").as("n_candidate"))
       .orderBy("doc_id")
   }
 
@@ -1350,5 +1402,6 @@ object LlmOps {
     annIvf, nearDupCosine, embedNorm, minhashPairs, tfidf, approxDistinct,
     approxPercentile, nearDupClusters, decontaminate, quantizeInt8, approxTopK,
     embedDimStats, embedNormalize, dupSpanFraction, centroidAssign,
-    embedOutliers, semDedup, embedCorrPairs, nearDupFilter, kmeansEmbed)
+    embedOutliers, semDedup, embedCorrPairs, nearDupFilter, kmeansEmbed,
+    bloomDecontaminate)
 }

@@ -223,6 +223,29 @@ class LlmOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("hll daily-sketch union: tracks exact, and merging is lossless vs one direct sketch") {
+    import org.apache.spark.sql.functions.{col, countDistinct, hll_sketch_agg, hll_sketch_estimate}
+    val got = graft.engine.Funcs.hllUnionDaily.build(spark, sfDir)
+      .select("event_type", "approx_users").as[(String, Long)].collect().toMap
+    assert(got.nonEmpty)
+    val exact = graft.engine.Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    got.foreach { case (t, a) =>
+      assert(math.abs(a - exact(t)).toDouble / exact(t) <= 0.05,
+        s"$t: approx $a vs exact ${exact(t)}") // lgK=12 → σ ≈ 1.6%, bound = 3σ
+    }
+    // The scale contract: union-merging per-day sketches must equal ONE
+    // sketch built over the whole range — otherwise persisted daily
+    // sketches could not serve arbitrary date ranges.
+    val direct = graft.engine.Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg(col("user_id"), graft.engine.Funcs.hllLgK)).as("a"))
+      .as[(String, Long)].collect().toMap
+    assert(got === direct)
+  }
+
   test("approx percentile sketch tracks the exact quantiles") {
     val rows = LlmOps.approxPercentile.build(spark, sfDir)
       .select("approx_p50", "exact_p50", "approx_p95", "exact_p95")
@@ -429,5 +452,26 @@ class LlmOpsSpec extends SparkSpecBase {
     drops.foreach { case (v, _, u, _) =>
       assert(pairSet.contains((u, v)), s"($u,$v) not in global near-dup pairs")
     }
+  }
+
+  test("bloom decontamination: superset of the exact hit list, bounded excess") {
+    val exact = LlmOps.decontaminate.build(spark, sfDir)
+      .select("doc_id", "n_shared").as[(Long, Long)].collect().toMap
+    val cand = LlmOps.bloomDecontaminate.build(spark, sfDir)
+      .select("doc_id", "n_candidate").as[(Long, Long)].collect().toMap
+    assert(exact.nonEmpty)
+    // Bloom's contract: no false negatives — every exact hit is a candidate,
+    // with at least as many matching grams.
+    exact.foreach { case (id, n) =>
+      assert(cand.contains(id), s"doc $id in the exact hit list but missed by bloom")
+      assert(cand(id) >= n, s"doc $id: candidate grams ${cand(id)} < exact $n")
+    }
+    // FPP-bounded excess: the 2^20-capacity filter holds only the fixture's
+    // few thousand eval grams, so the realized FPP is far under the 1%
+    // target; bound excess docs loosely at 5% of the train side.
+    val nTrain = graft.engine.Tables.documents(spark, sfDir)
+      .filter(col("source") =!= "src0").count()
+    val excess = cand.keySet -- exact.keySet
+    assert(excess.size <= 0.05 * nTrain + 2, s"${excess.size} excess docs of $nTrain train")
   }
 }
