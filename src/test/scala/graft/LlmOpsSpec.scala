@@ -454,6 +454,30 @@ class LlmOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("ivf-pq: complete top-10 lists per query, recall floor vs brute force") {
+    val got = LlmOps.annIvfPq.build(spark, sfDir)
+      .select("q_id", "vec_id", "rn").as[(Long, Long, Int)].collect()
+    val byQ = got.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    // every query returns a full, correctly-ranked top-10
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to 10), s"query $q ranks ${rows.map(_._3).toSeq}")
+    }
+    val exact = LlmOps.knnCosine.build(spark, sfDir)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = byQ.map { case (q, rows) =>
+      rows.map(_._2).toSet.intersect(exact(q)).size / 10.0
+    }
+    val recall = recalls.sum / recalls.size
+    // Measured 0.640 at sf0.001 / 0.624 at sf0.01 (SCALE.md §6b): raw ADC
+    // alone reaches only 0.27 on these NEAR-ORTHOGONAL synthetic vectors
+    // (PQ's worst regime); the exact-cosine re-rank of the ADC top-50
+    // recovers the rest. Floor pinned below measured to catch regressions,
+    // not noise — same policy as the LSH/IVF floors.
+    assert(recall >= 0.55, s"PQ recall@10 $recall below floor 0.55")
+  }
+
   test("bloom decontamination: superset of the exact hit list, bounded excess") {
     val exact = LlmOps.decontaminate.build(spark, sfDir)
       .select("doc_id", "n_shared").as[(Long, Long)].collect().toMap

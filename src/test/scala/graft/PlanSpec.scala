@@ -188,6 +188,8 @@ class PlanSpec extends SparkSpecBase {
     "llm_knn_cosine"        -> "100-row query side broadcast over the corpus — corpus never shuffles",
     "llm_ann_lsh"           -> "bucketed candidates; residual BNLJ side is the 100-row query set",
     "llm_ann_ivf"           -> "centroid table ≤ 2^bits rows, broadcast by construction",
+    "llm_ann_ivfpq"         -> ("100-row ADC-table side broadcast over the code scan (knn " +
+                                "discipline); codebook ≤ m·ks rows, broadcast by construction"),
     "llm_centroid_assign"   -> "k=8 centroid table broadcast; corpus side never shuffles",
     "llm_kmeans"            -> "k=8 centroid table broadcast per Lloyd round; corpus never shuffles in the E-step",
     "llm_semdedup"          -> "k=8 centroid table broadcast for assignment; pair scan itself is the (c_id, ci, cj) equi-join",
