@@ -85,7 +85,15 @@ object Soak {
       "log_rolling_wau",
       // round 4: iterative CC (one job per round + pointer jumping) and
       // the k-means Lloyd loop — both fixed-round corpus-scan ops
-      "llm_neardup_clusters", "llm_kmeans")
+      "llm_neardup_clusters", "llm_kmeans",
+      // round 4b: bigram-LM scoring (bigram-vocab joins), the PageRank
+      // power-iteration rounds, HLL sketch union, the Bloom probe, IVF-PQ
+      // (train + encode + ADC + re-rank), and the winnow postings pair scan
+      // (10× verbatim replication = every fingerprint's df ×10, the df-cap's
+      // designed worst case)
+      "text_bigram_logprob", "log_pagerank_types", "agg_hll_union_daily",
+      "llm_bloom_decontaminate", "llm_ann_ivfpq",
+      "text_winnow_fingerprints", "text_winnow_pairs")
     heavy.filter(n => only.forall(_.contains(n))).foreach { name =>
       val fn = SparkEntry.queries(name)
       try { fn(spark, dir).count() } catch { case _: Throwable => () } // warm
