@@ -807,6 +807,83 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Number of BPE merge rounds [[bpeMerges]] learns. Shared with the
+    * spec's pure-Scala reference implementation.
+    */
+  val bpeRounds = 6
+
+  /** D5/D9 (tokenizer training): byte-pair-encoding merge learning — the
+    * algorithm behind every production tokenizer (GPT-2 BPE, SentencePiece
+    * BPE mode), distributed the way industrial trainers actually scale it:
+    * the 100 TB corpus is scanned ONCE into (word, freq) counts, and every
+    * merge round thereafter runs over the VOCABULARY-sized state only
+    * (Heaps' law: ~10⁷ rows for a web corpus — executor-trivial), never the
+    * corpus again. Each round: (a) adjacent symbol pairs explode from the
+    * per-word symbol arrays weighted by word freq and partial-agg into pair
+    * scores; (b) the argmax pair (deterministic score/lex tiebreak via
+    * orderBy-limit-1 — a TakeOrdered, not a sort) broadcasts back as a
+    * single row; (c) a pure-Column left-to-right non-overlapping fold
+    * (`aggregate` with a (out, pending) accumulator — the classic BPE merge
+    * pass) rewrites every word's symbol array; (d) localCheckpoint
+    * truncates the round's lineage (vocab-sized — the k-means/CC
+    * convention). No driver-side collect anywhere: learned merges
+    * accumulate as 1-row frames and union into the result.
+    *
+    * No oracle by design: the iterative argmax-and-rewrite has no
+    * reasonable SQL spelling (DuckDB's list fold can't reference a
+    * prior-CTE scalar per round without 6× the PageRank unroll machinery
+    * for a list-rewriting recurrence); instead TextOpsSpec re-runs the
+    * IDENTICAL algorithm in ~15 lines of pure Scala over the same word
+    * counts and asserts the merge sequences are EQUAL — a stronger check
+    * than a hash, since it pins every rank's pair and score.
+    */
+  val bpeMerges = Q.noOracle("text_bpe_merges") { (s, dir) =>
+    val toks = Tables.documents(s, dir)
+      .select(explode(filter(split(lower(col("text")), " "), t => t =!= "")).as("tok"))
+    var vocab = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+      .select(col("tok"), col("freq"),
+        transform(sequence(lit(1), length(col("tok"))),
+          i => col("tok").substr(i, lit(1))).as("syms"))
+      .localCheckpoint()
+    var bests = Seq.empty[DataFrame]
+    for (r <- 1 to bpeRounds) {
+      val best = vocab
+        .select(col("freq"), col("syms"), posexplode(col("syms")).as(Seq("i", "a")))
+        .filter(col("i") < size(col("syms")) - 1)
+        .select(col("freq"), col("a"), element_at(col("syms"), col("i") + 2).as("b"))
+        .groupBy("a", "b").agg(sum("freq").as("score"))
+        .orderBy(col("score").desc, col("a").asc, col("b").asc)
+        .limit(1)
+        .select(col("a").as("ma"), col("b").as("mb"), col("score"))
+        .localCheckpoint()
+      bests = bests :+ best.select(lit(r).as("rank"), col("ma").as("sym_a"),
+        col("mb").as("sym_b"), concat(col("ma"), col("mb")).as("new_sym"), col("score"))
+      // The merge pass: fold each symbol array left-to-right, holding one
+      // pending symbol; (pending, next) == (ma, mb) emits the merged symbol
+      // and clears pending, so a merged symbol never re-merges in the same
+      // pass — standard BPE single-pass semantics.
+      val z = struct(array().cast("array<string>").as("out"),
+        lit(null).cast("string").as("p"))
+      val step = (acc: Column, sym: Column) => {
+        val out = acc.getField("out")
+        val p = acc.getField("p")
+        when(p.isNull, struct(out.as("out"), sym.as("p")))
+          .when(p === col("ma") && sym === col("mb"),
+            struct(concat(out, array(concat(col("ma"), col("mb")))).as("out"),
+              lit(null).cast("string").as("p")))
+          .otherwise(struct(concat(out, array(p)).as("out"), sym.as("p")))
+      }
+      val fin = (acc: Column) =>
+        when(acc.getField("p").isNull, acc.getField("out"))
+          .otherwise(concat(acc.getField("out"), array(acc.getField("p"))))
+      vocab = vocab.crossJoin(broadcast(best))
+        .withColumn("syms", aggregate(col("syms"), z, step, fin))
+        .select("tok", "freq", "syms")
+        .localCheckpoint()
+    }
+    bests.reduce(_ unionByName _).orderBy("rank")
+  }
+
   /** Canonical text normalization — the first stage of every dedup/quality
     * pipeline: lowercase, strip non-alphanumerics, collapse runs of
     * whitespace, trim. Map-only (no shuffle, fused into the scan); the
@@ -837,5 +914,6 @@ object TextOps {
     langProfile, langId, qualityScore, tokenCount, fingerprint,
     winnowFingerprints, winnowPairs, simhash,
     simhashPairs, zipfRanks, repetition, piiScrub, boilerplateNgrams,
-    levenshteinPairs, tokenEntropy, unigramLogprob, bigramLogprob, normalize)
+    levenshteinPairs, tokenEntropy, unigramLogprob, bigramLogprob, normalize,
+    bpeMerges)
 }

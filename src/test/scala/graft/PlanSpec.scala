@@ -207,6 +207,8 @@ class PlanSpec extends SparkSpecBase {
     "log_type_affinity"     -> "single-row session-count aggregate cross-joined into the lift",
     "log_pagerank_types"    -> ("per-round single-row node-count and dangling-mass aggregates " +
                                 "cross-joined back as explicit broadcasts — metadata, not data"),
+    "text_bpe_merges"       -> ("per-round single-row argmax pair cross-joined back as an " +
+                                "explicit broadcast into the vocab-sized merge pass"),
     "log_resample_fill"     -> ("hour spine (exploded 1-row min/max agg) × ≤5-row distinct " +
                                 "type dim — both post-aggregation metadata-sized"),
     "sql_not_in_nulls"      -> ("null-aware anti join is Spark's only NOT IN implementation — " +

@@ -211,6 +211,55 @@ class TextOpsSpec extends SparkSpecBase {
       (3L, "", 0L)))
   }
 
+  /** The identical BPE algorithm in plain Scala — the engine-independent
+    * oracle for text_bpe_merges: greedy left-to-right non-overlapping merge,
+    * argmax pair by (score desc, a asc, b asc).
+    */
+  private def bpeReference(words: Map[String, Long], rounds: Int): Seq[(String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] = words.toSeq
+      .map { case (w, f) => (w.map(_.toString).toVector, f) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    (1 to rounds).map { _ =>
+      val scores = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (syms, f) =>
+        syms.zip(syms.tail).foreach(p => scores(p) = scores.getOrElse(p, 0L) + f)
+      }
+      val ((a, b), sc) = scores.toSeq.minBy { case ((x, y), s) => (-s, x, y) }
+      vocab = vocab.toSeq.map { case (syms, f) =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) { out += a + b; i += 2 }
+          else { out += syms(i); i += 1 }
+        }
+        (out.toVector, f)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      (a, b, sc)
+    }
+  }
+
+  test("bpe merges: distributed learner equals the pure-Scala reference") {
+    import org.apache.spark.sql.functions.{col, explode, filter, lower, split}
+    def wordFreqs(dir: String): Map[String, Long] =
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(explode(filter(split(lower(col("text")), " "), t => t =!= "")).as("tok"))
+        .groupBy("tok").count().as[(String, Long)].collect().toMap
+    def check(dir: String): Unit = {
+      val got = TextOps.bpeMerges.build(spark, dir)
+        .select("rank", "sym_a", "sym_b", "new_sym", "score")
+        .as[(Int, String, String, String, Long)].collect().sortBy(_._1)
+      val exp = bpeReference(wordFreqs(dir), TextOps.bpeRounds)
+      assert(got.length === exp.length)
+      got.zip(exp).foreach { case ((r, a, b, ns, sc), (ea, eb, esc)) =>
+        assert((a, b, sc) === ((ea, eb, esc)), s"merge rank $r diverged")
+        assert(ns === a + b)
+      }
+    }
+    check(TestSpark.sfDir)
+    check(docsDir(Seq(
+      (1L, "low low low lower lower newest newest newest newest widest widest"))))
+  }
+
   test("bigram logprob: self-trained conditional MLE on a hand corpus") {
     // Corpus bigrams: "a b" and "a c" → c(a,b) = c(a,c) = 1, prefix count
     // c(a) = 2, so both bigrams have p = 1/2 and each doc scores
