@@ -340,6 +340,51 @@ object LlmOps {
       .orderBy("q_id", "rn")
   }
 
+  /** D3/D9 (contrastive-training data prep): hard-negative mining — for
+    * each anchor, the top-5 most-similar vectors carrying a DIFFERENT
+    * label. These near-miss negatives are what contrastive/embedding
+    * training actually wants in a batch (easy negatives teach nothing;
+    * InfoNCE gradients concentrate on the hardest ones), and mining them is
+    * a corpus-scale join problem, not a model problem. Same plan discipline
+    * as [[knnCosine]]: the 100-row anchor side broadcasts over the corpus
+    * scan, the label inequality rides the join condition, the codegen'd
+    * cosine kernel scores pairs, and per-anchor top-5 is a window over the
+    * anchor key. At 100 TB the anchor set is the batch being mined for (KBs
+    * — always broadcast-sized) and the corpus side never shuffles; an ANN
+    * index ([[annIvfPq]]) slots in as the candidate generator when even one
+    * scan per batch is too much.
+    */
+  val hardNegatives = Q(
+    "llm_hard_negatives",
+    """SELECT q_id, vec_id, neg_label, cos_sim + 0 AS cos_sim, rn FROM (
+      |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id, b.label AS neg_label,
+      |    ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      |      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+      |       * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cos_sim,
+      |    CAST(row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      |      ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      |        / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+      |         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) DESC,
+      |      b.vec_id) AS INTEGER) AS rn
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.vec_id < 100 AND b.label <> a.label) t
+      |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"))
+    val cos = round(vectors.cosineSim(col("q_emb"), col("embedding")), 4)
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id").asc)
+    broadcast(q)
+      .join(e, col("label") =!= col("q_label"))
+      .withColumn("cos_sim", cos)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("vec_id"), col("label").as("neg_label"),
+        (col("cos_sim") + lit(0.0)).as("cos_sim"), col("rn"))
+      .orderBy("q_id", "rn")
+  }
+
   /** D3 scale path (no oracle — bucket ids are engine-local): LSH-bucketed
     * ANN. Vectors are hashed to a signed-random-projection bucket; the
     * candidate join requires bucket equality, cutting the pair count by
@@ -1530,5 +1575,5 @@ object LlmOps {
     approxPercentile, nearDupClusters, decontaminate, quantizeInt8, approxTopK,
     embedDimStats, embedNormalize, dupSpanFraction, centroidAssign,
     embedOutliers, semDedup, embedCorrPairs, nearDupFilter, kmeansEmbed,
-    bloomDecontaminate, annIvfPq)
+    bloomDecontaminate, annIvfPq, hardNegatives)
 }

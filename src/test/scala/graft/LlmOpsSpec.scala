@@ -454,6 +454,25 @@ class LlmOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("hard negatives: 5 per anchor, all cross-label, ranked by similarity") {
+    val labels = graft.engine.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val got = LlmOps.hardNegatives.build(spark, sfDir)
+      .select("q_id", "vec_id", "neg_label", "cos_sim", "rn")
+      .as[(Long, Long, Int, Double, Int)].collect()
+    val byQ = got.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_._5).sorted.toSeq == (1 to 5), s"anchor $q incomplete")
+      rows.foreach { case (_, v, nl, _, _) =>
+        assert(nl === labels(v), s"neg_label drifted for $v")
+        assert(nl !== labels(q), s"anchor $q mined a SAME-label negative")
+      }
+      val sims = rows.sortBy(_._5).map(_._4)
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y }, s"anchor $q unordered")
+    }
+  }
+
   test("ivf-pq: complete top-10 lists per query, recall floor vs brute force") {
     val got = LlmOps.annIvfPq.build(spark, sfDir)
       .select("q_id", "vec_id", "rn").as[(Long, Long, Int)].collect()

@@ -186,6 +186,7 @@ class PlanSpec extends SparkSpecBase {
   private val unboundedJoinAllowlist: Map[String, String] = Map(
     "join_cross"            -> "the operator IS a cartesian (5-row region × 25-row nation dims)",
     "llm_knn_cosine"        -> "100-row query side broadcast over the corpus — corpus never shuffles",
+    "llm_hard_negatives"    -> "100-row anchor side broadcast over the corpus (knn discipline); label inequality rides the join",
     "llm_ann_lsh"           -> "bucketed candidates; residual BNLJ side is the 100-row query set",
     "llm_ann_ivf"           -> "centroid table ≤ 2^bits rows, broadcast by construction",
     "llm_ann_ivfpq"         -> ("100-row ADC-table side broadcast over the code scan (knn " +
