@@ -101,5 +101,15 @@ object StreamOps {
     Streaming.clickAttribution(ev, ev).orderBy("click_id", "purchase_id")
   }
 
-  val all: Seq[Q] = Seq(tumbling, sliding, sessionWindow, errorBurstsBatch, clickAttrib)
+  /** T1 × A4 twin (no oracle — HLL estimates are engine-specific): tumbling
+    * approx-distinct users. StreamingSpec pins stream ≡ batch AND
+    * estimate == exact at the hand-corpus cardinalities; LlmOpsSpec's hll
+    * test pins the fixture-scale error bound for the same sketch family.
+    */
+  val hllTumbling = Q.noOracle("stream_hll_tumbling") { (s, dir) =>
+    Streaming.tumblingDistinctUsers(Tables.events(s, dir)).orderBy("ws", "event_type")
+  }
+
+  val all: Seq[Q] = Seq(tumbling, sliding, sessionWindow, errorBurstsBatch, clickAttrib,
+    hllTumbling)
 }

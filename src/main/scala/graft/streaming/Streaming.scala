@@ -38,6 +38,25 @@ object Streaming {
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
       .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
 
+  /** T1 × A4: tumbling 1-hour APPROX distinct users per event type via
+    * mergeable Datasketches HLL — the streaming face of
+    * `Funcs.hllUnionDaily`. The same mergeability that lets batch daily
+    * sketches union into range answers is what makes the aggregation
+    * incremental here: each micro-batch folds into the window's sketch
+    * state exactly as partitions fold in batch, so stream ≡ batch holds
+    * bit-for-bit (StreamingSpec), and state per (window, type) key is a
+    * fixed ~4 KB sketch no matter how many users flow through — the
+    * bounded-state property a 100 TB/day distinct-count stream needs.
+    */
+  def tumblingDistinctUsers(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        hll_sketch_estimate(
+          hll_sketch_agg(col("user_id"), graft.engine.Funcs.hllLgK)).as("approx_users"),
+        count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("event_type"), col("approx_users"), col("n"))
+
   /** T2: sliding 1-hour window, 15-minute slide. */
   def slidingCounts(events: DataFrame): DataFrame =
     events

@@ -46,6 +46,24 @@ class StreamingSpec extends SparkSpecBase {
     assert(stream === batch)
   }
 
+  test("hll tumbling distinct users: stream equals batch, estimate exact at hand scale") {
+    val batch = Streaming.tumblingDistinctUsers(toDf(rows)).collect().map(_.toString).sorted.toSeq
+    val stream = runStream(Streaming.tumblingDistinctUsers, "complete",
+      Seq(rows.take(4), rows.drop(4)))
+    assert(stream === batch)
+    // two users → the sketch is exact; approx_users must equal the true
+    // distinct count per (window, type)
+    val exact = toDf(rows)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(countDistinct("user_id").as("x"))
+      .select(col("w.start").as("ws"), col("event_type"), col("x"))
+      .as[(Timestamp, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    Streaming.tumblingDistinctUsers(toDf(rows))
+      .select("ws", "event_type", "approx_users")
+      .as[(Timestamp, String, Long)].collect()
+      .foreach { case (ws, t, a) => assert(a === exact((ws, t)), s"($ws,$t)") }
+  }
+
   test("sliding window: stream equals batch") {
     val batch = Streaming.slidingCounts(toDf(rows)).collect().map(_.toString).sorted.toSeq
     val stream = runStream(Streaming.slidingCounts, "complete", Seq(rows.take(3), rows.drop(3)))
