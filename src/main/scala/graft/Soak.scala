@@ -93,7 +93,12 @@ object Soak {
       // designed worst case)
       "text_bigram_logprob", "log_pagerank_types", "agg_hll_union_daily",
       "llm_bloom_decontaminate", "llm_ann_ivfpq",
-      "text_winnow_fingerprints", "text_winnow_pairs")
+      "text_winnow_fingerprints", "text_winnow_pairs",
+      // round 4c: BPE rounds are vocab-sized (10× verbatim replication
+      // leaves the vocabulary unchanged — only the corpus→counts scan
+      // grows), hard negatives are the knn scan shape, and the stream-twin
+      // HLL window agg is sketch-state bounded
+      "text_bpe_merges", "llm_hard_negatives", "stream_hll_tumbling")
     heavy.filter(n => only.forall(_.contains(n))).foreach { name =>
       val fn = SparkEntry.queries(name)
       try { fn(spark, dir).count() } catch { case _: Throwable => () } // warm
