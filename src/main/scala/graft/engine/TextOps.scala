@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -838,6 +838,16 @@ object TextOps {
     * than a hash, since it pins every rank's pair and score.
     */
   val bpeMerges = Q.noOracle("text_bpe_merges") { (s, dir) =>
+    bpeTrain(s, dir, bpeRounds)._1.orderBy("rank")
+  }
+
+  /** The BPE training loop behind [[bpeMerges]] and [[bpeApply]]: returns
+    * (learned merges, final vocabulary with each word's post-merge symbol
+    * array) so the apply op reuses the trained state instead of re-deriving
+    * its own.
+    */
+  private[graft] def bpeTrain(s: SparkSession, dir: String,
+                              rounds: Int): (DataFrame, DataFrame) = {
     val toks = Tables.documents(s, dir)
       .select(explode(filter(split(lower(col("text")), " "), t => t =!= "")).as("tok"))
     var vocab = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
@@ -846,7 +856,7 @@ object TextOps {
           i => col("tok").substr(i, lit(1))).as("syms"))
       .localCheckpoint()
     var bests = Seq.empty[DataFrame]
-    for (r <- 1 to bpeRounds) {
+    for (r <- 1 to rounds) {
       val best = vocab
         .select(col("freq"), col("syms"), posexplode(col("syms")).as(Seq("i", "a")))
         .filter(col("i") < size(col("syms")) - 1)
@@ -876,12 +886,46 @@ object TextOps {
       val fin = (acc: Column) =>
         when(acc.getField("p").isNull, acc.getField("out"))
           .otherwise(concat(acc.getField("out"), array(acc.getField("p"))))
-      vocab = vocab.crossJoin(broadcast(best))
-        .withColumn("syms", aggregate(col("syms"), z, step, fin))
+      // LEFT join on true, not crossJoin: once every word is a single
+      // symbol there are no pairs left, `best` is EMPTY, and a cross join
+      // would wipe the vocabulary — the left join keeps rows and the null
+      // guard makes the exhausted round a no-op (mirrored by the spec
+      // reference stopping when no pairs remain).
+      vocab = vocab.join(broadcast(best), lit(true), "left")
+        .withColumn("syms",
+          when(col("ma").isNull, col("syms"))
+            .otherwise(aggregate(col("syms"), z, step, fin)))
         .select("tok", "freq", "syms")
         .localCheckpoint()
     }
-    bests.reduce(_ unionByName _).orderBy("rank")
+    (bests.reduce(_ unionByName _), vocab)
+  }
+
+  /** D5/D9 (tokenizer application): encode the corpus with the merges
+    * [[bpeMerges]] learned — per-document whitespace-word count, BPE token
+    * count, and tokens-per-word. The shape every token-budget computation
+    * runs at 100 TB: the TRAINED VOCABULARY carries each word's
+    * tokenization (vocab-sized, one row per distinct word), and documents
+    * join it on the word key — the corpus is tokenized by a vocab join, the
+    * per-word merge fold never re-runs per occurrence. Tokens-per-word > 1
+    * is exactly the compression deficit the merge budget controls; on real
+    * corpora this is the statistic that prices a training run in tokens.
+    */
+  val bpeApply = Q.noOracle("text_bpe_apply") { (s, dir) =>
+    val vocab = bpeTrain(s, dir, bpeRounds)._2
+      .select(col("tok"), size(col("syms")).as("n_bpe"))
+    val occ = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(filter(split(lower(col("text")), " "), t => t =!= "")).as("tok"))
+    occ.join(vocab, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum("n_bpe").as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+        round(col("n_bpe_tokens").cast("double") / col("n_words"), 4)
+          .as("tokens_per_word"))
+      .orderBy("doc_id")
   }
 
   /** Canonical text normalization — the first stage of every dedup/quality
@@ -915,5 +959,5 @@ object TextOps {
     winnowFingerprints, winnowPairs, simhash,
     simhashPairs, zipfRanks, repetition, piiScrub, boilerplateNgrams,
     levenshteinPairs, tokenEntropy, unigramLogprob, bigramLogprob, normalize,
-    bpeMerges)
+    bpeMerges, bpeApply)
 }

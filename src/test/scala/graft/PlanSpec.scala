@@ -210,6 +210,7 @@ class PlanSpec extends SparkSpecBase {
                                 "cross-joined back as explicit broadcasts — metadata, not data"),
     "text_bpe_merges"       -> ("per-round single-row argmax pair cross-joined back as an " +
                                 "explicit broadcast into the vocab-sized merge pass"),
+    "text_bpe_apply"        -> "inherits text_bpe_merges' per-round single-row broadcast (shared trainer)",
     "log_resample_fill"     -> ("hour spine (exploded 1-row min/max agg) × ≤5-row distinct " +
                                 "type dim — both post-aggregation metadata-sized"),
     "sql_not_in_nulls"      -> ("null-aware anti join is Spark's only NOT IN implementation — " +

@@ -219,22 +219,25 @@ class TextOpsSpec extends SparkSpecBase {
     var vocab: Map[Vector[String], Long] = words.toSeq
       .map { case (w, f) => (w.map(_.toString).toVector, f) }
       .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
-    (1 to rounds).map { _ =>
+    (1 to rounds).flatMap { _ =>
       val scores = scala.collection.mutable.Map[(String, String), Long]()
       vocab.foreach { case (syms, f) =>
         syms.zip(syms.tail).foreach(p => scores(p) = scores.getOrElse(p, 0L) + f)
       }
-      val ((a, b), sc) = scores.toSeq.minBy { case ((x, y), s) => (-s, x, y) }
-      vocab = vocab.toSeq.map { case (syms, f) =>
-        val out = scala.collection.mutable.ArrayBuffer[String]()
-        var i = 0
-        while (i < syms.length) {
-          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) { out += a + b; i += 2 }
-          else { out += syms(i); i += 1 }
-        }
-        (out.toVector, f)
-      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
-      (a, b, sc)
+      if (scores.isEmpty) None // pairs exhausted: remaining rounds are no-ops
+      else {
+        val ((a, b), sc) = scores.toSeq.minBy { case ((x, y), s) => (-s, x, y) }
+        vocab = vocab.toSeq.map { case (syms, f) =>
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) { out += a + b; i += 2 }
+            else { out += syms(i); i += 1 }
+          }
+          (out.toVector, f)
+        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        Some((a, b, sc))
+      }
     }
   }
 
@@ -258,6 +261,29 @@ class TextOpsSpec extends SparkSpecBase {
     check(TestSpark.sfDir)
     check(docsDir(Seq(
       (1L, "low low low lower lower newest newest newest newest widest widest"))))
+  }
+
+  test("bpe apply: vocab round-trips, token counts bounded, exhaustion is a no-op") {
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    // Exhaustion: one 2-char word leaves no pairs after merge 1; the
+    // remaining rounds must be no-ops, not vocabulary-destroying (the
+    // left-join guard in the trainer).
+    val tiny = docsDir(Seq((1L, "ab ab ab")))
+    val merges = TextOps.bpeMerges.build(spark, tiny)
+      .select("rank", "sym_a", "sym_b").as[(Int, String, String)].collect()
+    assert(merges.toSeq === Seq((1, "a", "b")))
+    val applied = TextOps.bpeApply.build(spark, tiny)
+      .select("doc_id", "n_words", "n_bpe_tokens", "tokens_per_word")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(applied === Seq((1L, 3L, 3L, 1.0)))
+    // Fixture: every vocab word reassembles from its post-merge symbols,
+    // and per-doc BPE tokens are never fewer than whitespace words.
+    val (_, vocab) = TextOps.bpeTrain(spark, TestSpark.sfDir, TextOps.bpeRounds)
+    assert(vocab.filter(concat_ws("", col("syms")) =!= col("tok")).count() === 0)
+    val stats = TextOps.bpeApply.build(spark, TestSpark.sfDir)
+      .select("n_words", "n_bpe_tokens").as[(Long, Long)].collect()
+    assert(stats.nonEmpty)
+    stats.foreach { case (w, t) => assert(t >= w, s"bpe tokens $t < words $w") }
   }
 
   test("bigram logprob: self-trained conditional MLE on a hand corpus") {
