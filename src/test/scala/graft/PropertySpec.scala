@@ -230,6 +230,26 @@ class PropertySpec extends SparkSpecBase {
     }, cases = 8)
   }
 
+  test("pairCounts: group-and-expand equals the naive postings self-join on random postings") {
+    import spark.implicits._
+    // The single riskiest semantic rewrite in the pair-scan family: the
+    // sorted-ids slice-after-i expansion must generate EXACTLY the pairs
+    // the (a.key = b.key AND a.doc < b.doc) self-join generates — once
+    // each, with identical co-occurrence counts — on arbitrary postings.
+    val rnd = new scala.util.Random(7)
+    val postings = (for (_ <- 1 to 600)
+      yield (rnd.nextInt(60).toLong, s"k${rnd.nextInt(25)}")).distinct
+    val got = graft.engine.LlmOps.pairCounts(postings.toDF("doc_id", "key"), "key")
+      .as[(Long, Long, Long)].collect().toSet
+    val exp = scala.collection.mutable.Map[(Long, Long), Long]()
+    postings.groupBy(_._2).values.foreach { g =>
+      val ids = g.map(_._1).sorted
+      for (i <- ids.indices; j <- i + 1 until ids.size)
+        exp((ids(i), ids(j))) = exp.getOrElse((ids(i), ids(j)), 0L) + 1
+    }
+    assert(got === exp.map { case ((a, b), c) => (a, b, c) }.toSet)
+  }
+
   test("type affinity basket cap binds on a saturated basket") {
     import spark.implicits._
     val cap = graft.engine.LogOps.maxAffinityItems
