@@ -658,17 +658,31 @@ object LlmOps {
     * the scan.
     */
   val annIvfPq = Q.noOracle("llm_ann_ivfpq") { (s, dir) =>
+    val (cb, codes) = pqTrainEncode(s, dir)
+    pqSearch(s, dir, cb, codes)
+  }
+
+  /** (vec_id, sub, sv): unit-normalized subvector rows — the shared input
+    * of PQ training, encode, and the query-side ADC tables.
+    */
+  private def pqNormSubvectors(s: SparkSession, dir: String): DataFrame = {
     val norm = vectors.l2Norm(col("embedding"))
-    val e = Tables.embeddings(s, dir)
+    Tables.embeddings(s, dir)
       .filter(norm > 0)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double") / norm).as("nv"))
-    // (vec_id, sub, sv): the subvector rows both training and encode consume.
-    val sv = e
       .select(col("vec_id"), explode(sequence(lit(0), lit(pqM - 1))).as("sub"), col("nv"))
       .select(col("vec_id"), col("sub"),
         slice(col("nv"), col("sub") * pqDsub + 1, lit(pqDsub)).as("sv"))
-      .localCheckpoint()
+  }
+
+  /** The PQ INDEX BUILD: (codebook, encoded corpus). Split from the search
+    * path so the index can be persisted (`Sinks.writePqIndex`) and queries
+    * reuse it — the production lifecycle; the registered query re-trains
+    * per invocation only because a Q is a self-contained plan.
+    */
+  private[graft] def pqTrainEncode(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val sv = pqNormSubvectors(s, dir).localCheckpoint()
     // Codebooks: first-pqKs seeding, then Lloyd rounds. All pqM subspaces
     // train SIMULTANEOUSLY in one frame — the codebook is (sub, code)-keyed,
     // ≤ pqM·pqKs rows, metadata-sized, and broadcast into every assignment.
@@ -698,8 +712,18 @@ object LlmOps {
       .groupBy("vec_id")
       .agg(transform(array_sort(collect_list(struct(col("sub"), col("best.code").as("code")))),
         x => x.getField("code")).as("codes"))
+    (cb, codes)
+  }
+
+  /** The PQ QUERY PATH over a (possibly persisted) index: ADC tables from
+    * the codebook, compressed-domain shortlist over the code table, exact
+    * re-rank. Takes the index as plain frames so a parquet round-trip of
+    * the index is search-equivalent (spec-pinned).
+    */
+  private[graft] def pqSearch(s: SparkSession, dir: String,
+                              cb: DataFrame, codes: DataFrame): DataFrame = {
     // ADC tables: map<sub, map<code, ‖q_sub − c‖²>> per query, broadcast.
-    val dtabs = sv.filter(col("vec_id") < 100)
+    val dtabs = pqNormSubvectors(s, dir).filter(col("vec_id") < 100)
       .select(col("vec_id").as("q_id"), col("sub"), col("sv").as("qsv"))
       .join(broadcast(cb), Seq("sub"))
       .withColumn("d2", l2sqCol(col("qsv"), col("c")))

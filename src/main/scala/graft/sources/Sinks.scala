@@ -55,4 +55,18 @@ object Sinks {
   def writeSized(df: DataFrame, path: String, numFiles: Int): Unit =
     df.repartition(numFiles).write.mode("overwrite")
       .option("compression", "zstd").parquet(path)
+
+  /** PQ ANN index sink: the trained per-subspace codebook (metadata-sized,
+    * one broadcastable file) + the encoded corpus code table (the 32×
+    * compressed corpus, split for parallel scans). This is the production
+    * lifecycle the registered `llm_ann_ivfpq` query compresses into one
+    * plan: build ONCE, persist, and serve every query batch from the
+    * persisted index — LlmOpsSpec proves the parquet round-trip is
+    * search-equivalent.
+    */
+  def writePqIndex(codebook: DataFrame, codes: DataFrame, path: String,
+                   codeFiles: Int = 8): Unit = {
+    writeSized(codebook, s"$path/codebook", 1)
+    writeSized(codes, s"$path/codes", codeFiles)
+  }
 }

@@ -497,6 +497,19 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(recall >= 0.55, s"PQ recall@10 $recall below floor 0.55")
   }
 
+  test("ivf-pq index: parquet round-trip of codebook+codes is search-equivalent") {
+    val (cb, codes) = LlmOps.pqTrainEncode(spark, sfDir)
+    val inMem = LlmOps.pqSearch(spark, sfDir, cb, codes)
+      .collect().map(_.toString).sorted.toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-index").toString
+    graft.sources.Sinks.writePqIndex(cb, codes, dir)
+    val persisted = LlmOps.pqSearch(spark, sfDir,
+      spark.read.parquet(s"$dir/codebook"), spark.read.parquet(s"$dir/codes"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(persisted === inMem)
+    assert(inMem.nonEmpty)
+  }
+
   test("bloom decontamination: superset of the exact hit list, bounded excess") {
     val exact = LlmOps.decontaminate.build(spark, sfDir)
       .select("doc_id", "n_shared").as[(Long, Long)].collect().toMap
