@@ -116,5 +116,38 @@ object SqlOps {
     sql("sql_market_share", text)(text)
   }
 
-  val all: Seq[Q] = Seq(shippingPriority, notInNulls, localSupplierVolume, marketShare)
+  /** WITH RECURSIVE (Spark 4's recursive CTE support) — BFS reachability
+    * over the event-type transition graph: minimum hop count from 'signup'
+    * to every reachable type. ONE SQL text runs verbatim in both engines —
+    * the iterative-query surface PageRank needed 12 hand-unrolled CTEs for
+    * is first-class SQL here, and the hops bound caps the path fan-out the
+    * way every production recursive query must (the fixture graph is
+    * cyclic; unbounded UNION ALL recursion would enumerate paths forever).
+    * Self-loops are excluded from the edge set so a hop means a real
+    * transition. Spark plans the recursion as iterative UnionLoop steps
+    * over the same node-keyed join each round — the same shuffle shape as
+    * the hand-rolled PageRank loop, chosen by the engine instead of the
+    * author.
+    */
+  val recursiveReach: Q = {
+    val text =
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT prev_type AS src, event_type AS dst FROM (
+        |    SELECT event_type,
+        |      lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |    FROM events) t
+        |  WHERE prev_type IS NOT NULL AND prev_type <> event_type),
+        |reach(node, hops) AS (
+        |  SELECT CAST('signup' AS STRING) AS node, 0 AS hops
+        |  UNION ALL
+        |  SELECT e.dst AS node, r.hops + 1 AS hops
+        |  FROM reach r JOIN e ON e.src = r.node
+        |  WHERE r.hops < 3)
+        |SELECT node, CAST(MIN(hops) AS BIGINT) AS min_hops
+        |FROM reach GROUP BY node ORDER BY node""".stripMargin
+    sql("sql_recursive_reach", text)(text)
+  }
+
+  val all: Seq[Q] = Seq(shippingPriority, notInNulls, localSupplierVolume, marketShare,
+    recursiveReach)
 }
