@@ -928,6 +928,100 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Learning rate / full-batch GD rounds for [[qualityClassifier]].
+    * Shared with the spec's convergence assertions.
+    */
+  val qcLr = 0.5
+  val qcRounds = 8
+
+  /** Per-doc feature vector [bias, ln(1+tokens), stopword ratio,
+    * avg-token-length/10] and the src0-membership label — the same
+    * features [[qualityScore]] combines with HAND-PICKED weights.
+    */
+  private[graft] def qcFeatures(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(lower(col("text")), " ")
+    val nonEmpty = filter(toks, t => t =!= "")
+    val stopHits = filter(toks, t => t.isin("the", "a", "value", "data"))
+    val nTokens = size(nonEmpty)
+    Tables.documents(s, dir)
+      .filter(nTokens > 0)
+      .select(col("doc_id"),
+        array(lit(1.0), log(lit(1.0) + nTokens),
+          size(stopHits).cast("double") / nTokens,
+          length(regexp_replace(col("text"), " ", "")).cast("double") / nTokens
+            / lit(10.0)).as("x"),
+        when(col("source") === "src0", 1.0).otherwise(0.0).as("y"))
+  }
+
+  /** Full-batch logistic-regression GD behind [[qualityClassifier]]:
+    * returns (trained weight row, per-round loss curve) at an explicit
+    * round count so the spec can pin monotone loss descent and train a
+    * longer separable-corpus run.
+    */
+  private[graft] def qcTrain(s: SparkSession, dir: String,
+                             rounds: Int): (DataFrame, DataFrame) = {
+    val feats = qcFeatures(s, dir).localCheckpoint()
+    var w = s.range(1)
+      .select(array(lit(0.0), lit(0.0), lit(0.0), lit(0.0)).as("w"))
+      .localCheckpoint()
+    var losses = Seq.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val scored = feats.crossJoin(broadcast(w))
+        .withColumn("z", aggregate(zip_with(col("x"), col("w"), _ * _), lit(0.0), _ + _))
+        .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("z"))))
+      losses = losses :+ scored.agg(
+        round(avg(-(col("y") * log(col("p"))
+          + (lit(1.0) - col("y")) * log(lit(1.0) - col("p")))), 6).as("loss"))
+        .select(lit(r).as("round"), col("loss"))
+      val grad = scored
+        .select(col("y"), col("p"), posexplode(col("x")).as(Seq("i", "xi")))
+        .groupBy("i").agg(avg((col("p") - col("y")) * col("xi")).as("g"))
+        .groupBy()
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("g")))),
+          e => e.getField("g")).as("g"))
+      w = w.crossJoin(broadcast(grad))
+        .select(zip_with(col("w"), col("g"), (wi, gi) => wi - lit(qcLr) * gi).as("w"))
+        .localCheckpoint()
+    }
+    (w, losses.reduce(_ unionByName _))
+  }
+
+  /** D7/D10 (trained quality gate): a LEARNED quality classifier — the
+    * WebText/GPT-3 pattern where a logistic model trained on
+    * "reference corpus vs rest" replaces hand-tuned score weights
+    * ([[qualityScore]] is the hand-tuned counterpart over the SAME
+    * features; src0 stands in for the reference corpus, as in
+    * [[LlmOps.decontaminate]]). Distributed exactly as large-scale
+    * logistic GD runs: the weight vector is a single broadcast row, each
+    * round is one corpus scan producing per-feature gradient partials
+    * (posexplode → (feature, partial) partial-agg — the shuffle carries
+    * 4 keys, never documents), and localCheckpoint truncates round
+    * lineage (the k-means/CC/PageRank convention). Fixed [[qcRounds]]
+    * rounds — at 100 TB every round is a corpus scan, so production
+    * budgets rounds (or subsamples) up front.
+    *
+    * No oracle by design: gradient partial sums are
+    * float-summation-order sensitive (the same last-ulp drift every
+    * distributed GD accepts), so weights aren't bitwise reproducible
+    * across engines; the spec pins what IS invariant — monotone
+    * loss descent and high accuracy on a separable corpus.
+    */
+  val qualityClassifier = Q.noOracle("text_quality_classifier") { (s, dir) =>
+    val (w, _) = qcTrain(s, dir, qcRounds)
+    qcFeatures(s, dir).crossJoin(broadcast(w))
+      .withColumn("z", aggregate(zip_with(col("x"), col("w"), _ * _), lit(0.0), _ + _))
+      .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("z"))))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(-(col("y") * log(col("p"))
+          + (lit(1.0) - col("y")) * log(lit(1.0) - col("p")))), 4).as("log_loss"),
+        round(avg(when((col("p") >= 0.5) === (col("y") >= 0.5), 1.0)
+          .otherwise(0.0)), 4).as("train_acc"),
+        round(avg("y"), 4).as("pos_rate"))
+      .crossJoin(broadcast(w.select(
+        transform(col("w"), wi => round(wi, 4)).as("weights"))))
+  }
+
   /** Canonical text normalization — the first stage of every dedup/quality
     * pipeline: lowercase, strip non-alphanumerics, collapse runs of
     * whitespace, trim. Map-only (no shuffle, fused into the scan); the
@@ -959,5 +1053,5 @@ object TextOps {
     winnowFingerprints, winnowPairs, simhash,
     simhashPairs, zipfRanks, repetition, piiScrub, boilerplateNgrams,
     levenshteinPairs, tokenEntropy, unigramLogprob, bigramLogprob, normalize,
-    bpeMerges, bpeApply)
+    bpeMerges, bpeApply, qualityClassifier)
 }

@@ -211,6 +211,8 @@ class PlanSpec extends SparkSpecBase {
     "text_bpe_merges"       -> ("per-round single-row argmax pair cross-joined back as an " +
                                 "explicit broadcast into the vocab-sized merge pass"),
     "text_bpe_apply"        -> "inherits text_bpe_merges' per-round single-row broadcast (shared trainer)",
+    "text_quality_classifier" -> ("per-round single-row weight and gradient aggregates " +
+                                "cross-joined back as explicit broadcasts — 4-key shuffle, never documents"),
     "log_resample_fill"     -> ("hour spine (exploded 1-row min/max agg) × ≤5-row distinct " +
                                 "type dim — both post-aggregation metadata-sized"),
     "sql_not_in_nulls"      -> ("null-aware anti join is Spark's only NOT IN implementation — " +

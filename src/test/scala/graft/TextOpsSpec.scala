@@ -286,6 +286,33 @@ class TextOpsSpec extends SparkSpecBase {
     stats.foreach { case (w, t) => assert(t >= w, s"bpe tokens $t < words $w") }
   }
 
+  test("quality classifier: loss descends monotonically; separable corpus is learned") {
+    // GD invariant on the fixture: full-batch logistic loss never increases
+    val (_, losses) = TextOps.qcTrain(spark, TestSpark.sfDir, TextOps.qcRounds)
+    val curve = losses.as[(Int, Double)].collect().sortBy(_._1).map(_._2)
+    assert(curve.length === TextOps.qcRounds)
+    curve.zip(curve.tail).foreach { case (a, b) => assert(b <= a + 1e-9, s"loss rose: $a -> $b") }
+    // Separable corpus: src0 docs are long, the rest short — the length
+    // feature alone separates, and enough rounds must learn it.
+    val dir = java.nio.file.Files.createTempDirectory("graft-qc").toString
+    val long = (0 until 40).map(i => s"w$i").mkString(" ")
+    (1L to 30L).map { i =>
+      val (text, src) = if (i <= 10) (long, "src0") else ("a b c", s"src${i % 3 + 1}")
+      (i, text, "en", src, text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    import org.apache.spark.sql.functions.{aggregate, broadcast, col, lit, when, zip_with}
+    val (w, sepLosses) = TextOps.qcTrain(spark, dir, 60)
+    val sepCurve = sepLosses.as[(Int, Double)].collect().sortBy(_._1).map(_._2)
+    sepCurve.zip(sepCurve.tail).foreach { case (a, b) => assert(b <= a + 1e-9) }
+    val acc = TextOps.qcFeatures(spark, dir).crossJoin(broadcast(w))
+      .withColumn("z", aggregate(zip_with(col("x"), col("w"), _ * _), lit(0.0), _ + _))
+      .select(when((col("z") >= 0.0) === (col("y") >= 0.5), 1.0).otherwise(0.0).as("hit"))
+      .as[Double].collect()
+    assert(acc.sum / acc.length >= 0.9,
+      s"separable-corpus accuracy ${acc.sum / acc.length} — the classifier failed to learn length")
+  }
+
   test("bigram logprob: self-trained conditional MLE on a hand corpus") {
     // Corpus bigrams: "a b" and "a c" → c(a,b) = c(a,c) = 1, prefix count
     // c(a) = 2, so both bigrams have p = 1/2 and each doc scores
