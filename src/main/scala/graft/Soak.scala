@@ -98,7 +98,10 @@ object Soak {
       // leaves the vocabulary unchanged — only the corpus→counts scan
       // grows), hard negatives are the knn scan shape, and the stream-twin
       // HLL window agg is sketch-state bounded
-      "text_bpe_merges", "llm_hard_negatives", "stream_hll_tumbling")
+      "text_bpe_merges", "llm_hard_negatives", "stream_hll_tumbling",
+      // round 4d: BPE apply (vocab join), engine-iterated recursive CTE,
+      // and the logistic-GD trainer (per-round corpus scan, 4-key gradient)
+      "text_bpe_apply", "sql_recursive_reach", "text_quality_classifier")
     heavy.filter(n => only.forall(_.contains(n))).foreach { name =>
       val fn = SparkEntry.queries(name)
       try { fn(spark, dir).count() } catch { case _: Throwable => () } // warm

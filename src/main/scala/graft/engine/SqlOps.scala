@@ -10,13 +10,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SqlOps {
 
-  /** Register every fixture table as a session view rooted at `dir`. */
+  /** Register every fixture table present under `dir` as a session view.
+    * Tables whose parquet file is absent are skipped (partial corpus roots
+    * — e.g. the 10× soak dir replicates only events/documents/embeddings);
+    * a query touching a skipped table still fails loudly at name
+    * resolution, so nothing silently reads stale state.
+    */
   def registerViews(s: SparkSession, dir: String): Unit = {
+    def reg(t: String)(df: => org.apache.spark.sql.DataFrame): Unit =
+      if (new java.io.File(s"$dir/$t.parquet").exists())
+        df.createOrReplaceTempView(t)
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
-      .foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
-    Tables.events(s, dir).createOrReplaceTempView("events")
-    Tables.documents(s, dir).createOrReplaceTempView("documents")
-    Tables.embeddings(s, dir).createOrReplaceTempView("embeddings")
+      .foreach(t => reg(t)(Tables.load(s, dir, t)))
+    reg("events")(Tables.events(s, dir))
+    reg("documents")(Tables.documents(s, dir))
+    reg("embeddings")(Tables.embeddings(s, dir))
   }
 
   private def sql(name: String, oracle: String)(text: String): Q =
