@@ -664,6 +664,42 @@ object LogOps {
     ranks
   }
 
+  /** Seasonality profile — the (day-of-week × hour-of-day) load matrix
+    * every capacity planner and anomaly baseline starts from: per-cell
+    * event count, the cell's share of its day, and the load factor vs the
+    * uniform-cell mean (the "how hot is Tuesday 9am vs average" number;
+    * [[anomalyZscore]] is the outlier view over daily volumes, this is the
+    * periodic-structure view). Day-of-week is computed as
+    * floor(epoch-seconds / 86400) mod 7 — pure integer arithmetic both
+    * engines evaluate identically, sidestepping the Sunday=0-vs-1
+    * convention split between engines' dayofweek(). One partial-agg
+    * shuffle onto ≤ 168 cells; the windows run over the post-agg cell
+    * table (the unpartitioned one is over those ≤ 168 rows, not data).
+    */
+  val seasonality = Q(
+    "log_seasonality",
+    """WITH cell AS (
+      |  SELECT CAST(floor(epoch(ts) / 86400) % 7 AS INTEGER) AS dow,
+      |         CAST(hour(ts) AS INTEGER) AS hr, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT dow, hr, n,
+      |  ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY dow), 4) AS day_share,
+      |  ROUND(CAST(n AS DOUBLE) / (SUM(n) OVER () / COUNT(*) OVER ()), 4) AS load_factor
+      |FROM cell ORDER BY dow, hr""".stripMargin) { (s, dir) =>
+    val wDay = Window.partitionBy("dow")
+    val wAll = Window.partitionBy()
+    Tables.events(s, dir)
+      .groupBy(
+        (floor(unix_timestamp(col("ts")) / lit(86400)) % 7).cast("int").as("dow"),
+        hour(col("ts")).cast("int").as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("dow"), col("hr"), col("n"),
+        round(col("n").cast("double") / sum("n").over(wDay), 4).as("day_share"),
+        round(col("n").cast("double")
+          / (sum("n").over(wAll) / count(lit(1)).over(wAll)), 4).as("load_factor"))
+      .orderBy("dow", "hr")
+  }
+
   /** Rolling 7-day active users + DAU/WAU stickiness — the growth metric
     * whose distributed form is genuinely non-obvious: a rolling DISTINCT
     * does not decompose from daily distinct counts (users active on many
@@ -1524,5 +1560,5 @@ object LogOps {
     orcRoundtrip, compactLatest, peakConcurrency, valueHistogram,
     cumulativeUsers, jsonRoundtrip, regression, eventRuns, multilineStitch,
     latencyPercentiles, sessionDurations, typeAffinity, typeTransitions,
-    rollingWau, pagerankTypes)
+    rollingWau, pagerankTypes, seasonality)
 }

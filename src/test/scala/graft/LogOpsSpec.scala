@@ -202,6 +202,18 @@ class LogOpsSpec extends SparkSpecBase {
       ("srcB", 1L, 4L, "srcB [fr] x y z w")))
   }
 
+  test("seasonality: day shares sum to 1 per dow; load factors average to 1") {
+    val rows = LogOps.seasonality.build(spark, sfDir)
+      .select("dow", "n", "day_share", "load_factor")
+      .as[(Int, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (d, g) =>
+      assert(math.abs(g.map(_._3).sum - 1.0) < 0.01, s"dow $d shares sum ${g.map(_._3).sum}")
+    }
+    val lf = rows.map(_._4)
+    assert(math.abs(lf.sum / lf.length - 1.0) < 0.01, s"mean load factor ${lf.sum / lf.length}")
+  }
+
   test("pagerank: hand graph with a dangling node matches the scalar recurrence") {
     // One user walks a → b → c, giving edges a→b and b→c (p = 1 each);
     // c has no out-edges, so its rank is dangling mass redistributed
