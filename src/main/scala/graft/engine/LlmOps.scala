@@ -686,8 +686,16 @@ object LlmOps {
     // Codebooks: first-pqKs seeding, then Lloyd rounds. All pqM subspaces
     // train SIMULTANEOUSLY in one frame — the codebook is (sub, code)-keyed,
     // ≤ pqM·pqKs rows, metadata-sized, and broadcast into every assignment.
-    var cb = sv.filter(col("vec_id") < pqKs)
-      .select(col("sub"), col("vec_id").cast("int").as("code"), col("sv").as("c"))
+    // Seeds are the first pqKs vec_ids that SURVIVE the zero-norm filter
+    // (not the literal ids 0..pqKs-1): an id gap would otherwise silently
+    // shrink the codebook and degrade recall with no signal. The seed scan
+    // is a TakeOrdered over distinct ids — metadata-sized at any corpus
+    // scale — and the code assignment windows over only those pqKs rows.
+    val seeds = sv.select("vec_id").distinct().orderBy("vec_id").limit(pqKs)
+      .withColumn("code",
+        (row_number().over(Window.orderBy(col("vec_id").asc)) - 1).cast("int"))
+    var cb = sv.join(broadcast(seeds), Seq("vec_id"))
+      .select(col("sub"), col("code"), col("sv").as("c"))
       .localCheckpoint()
     for (_ <- 1 to pqRounds) {
       val assigned = sv.join(broadcast(cb), Seq("sub"))
@@ -1075,12 +1083,13 @@ object LlmOps {
     *
     * One Spark job per round: the eager `localCheckpoint` that truncates
     * the lineage is also the job that runs the round, and the convergence
-    * test rides inside it as a LongAccumulator incremented by the rows
-    * whose label changed — no separate diff/isEmpty action. Task retries
-    * can only OVER-count the accumulator (Spark does not guarantee
-    * exactly-once for transformation-side accumulators), which errs
-    * toward running an extra round, never toward stopping early — the
-    * safe direction.
+    * test rides inside it as a `Dataset.observe()` metric —
+    * `count(label =!= own)` collected by the execution listener when the
+    * checkpoint job completes, no separate diff/isEmpty action. Unlike
+    * the earlier per-row accumulator UDF, `observe` is a declarative
+    * CollectMetrics node, so whole-stage codegen survives the round's
+    * projection, and the observed count is exactly-once (tied to the
+    * query execution, not task attempts).
     *
     * Fixpoint ⇒ correct components: if two nodes of one component ended
     * with different labels, some edge (x, y) on the path between them has
@@ -1089,7 +1098,6 @@ object LlmOps {
     * GraphX `connectedComponents` (the spec cross-checks against it).
     */
   def clusterPairs(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    val spark = pairs.sparkSession
     // Materialize the edge list ONCE before iterating: every round joins
     // against it, and without this the whole upstream pair-generation
     // pipeline (e.g. the shingle-Jaccard postings expansion) re-executes
@@ -1105,8 +1113,7 @@ object LlmOps {
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val changed = spark.sparkContext.longAccumulator(s"cc_changed_round_$it")
-      val tally = udf { (c: Boolean) => if (c) changed.add(1L); c }
+      val obs = org.apache.spark.sql.Observation(s"cc_changed_round_$it")
       // Min over self + neighbors in ONE aggregation: neighbor labels
       // union the node's own label (tagged so the old label rides along
       // for the change test) — no left join needed to keep isolated-ish
@@ -1127,10 +1134,14 @@ object LlmOps {
         .select(col("a.id").as("id"),
           least(col("a.m"), coalesce(col("jm"), col("a.m"))).as("label"),
           col("own"))
-        .withColumn("chg", tally(col("label") =!= col("own")))
-        .select("id", "label", "chg")
-        .localCheckpoint() // eager: THE round's job; fills the accumulator
-      converged = changed.value == 0L
+        .observe(obs, count(when(col("label") =!= col("own"), lit(1))).as("changed"))
+        // Checkpoint DIRECTLY on the observed node (project `own` away only
+        // afterwards): checkpointing a projection of a CollectMetrics plan
+        // leaves the LogicalRDD's rewritten constraints referencing the
+        // pruned attribute, and the next round's union dies in
+        // rewriteConstraints with `key not found: id#N`.
+        .localCheckpoint() // eager: THE round's job; completes the observation
+      converged = obs.get("changed").asInstanceOf[Long] == 0L // get blocks on the job above
       labels = next.select("id", "label")
       it += 1
     }

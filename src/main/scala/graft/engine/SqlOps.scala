@@ -15,11 +15,18 @@ object SqlOps {
     * — e.g. the 10× soak dir replicates only events/documents/embeddings);
     * a query touching a skipped table still fails loudly at name
     * resolution, so nothing silently reads stale state.
+    *
+    * Existence resolves through Hadoop's FileSystem so non-local corpus
+    * roots (hdfs://, s3a://) probe the right filesystem — a bare
+    * java.io.File check would report every remote table absent and
+    * silently skip all views.
     */
   def registerViews(s: SparkSession, dir: String): Unit = {
-    def reg(t: String)(df: => org.apache.spark.sql.DataFrame): Unit =
-      if (new java.io.File(s"$dir/$t.parquet").exists())
-        df.createOrReplaceTempView(t)
+    def reg(t: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$t.parquet")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) df.createOrReplaceTempView(t)
+    }
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
       .foreach(t => reg(t)(Tables.load(s, dir, t)))
     reg("events")(Tables.events(s, dir))

@@ -934,6 +934,19 @@ object TextOps {
   val qcLr = 0.5
   val qcRounds = 8
 
+  /** Numerically-stable per-row log-loss term. Clamps p into
+    * [eps, 1-eps] before the log terms: on a strongly separable corpus
+    * the sigmoid saturates to exactly 1.0 (z ≳ 37 in double), and the
+    * unclamped form evaluates 0·log(0) = NaN, silently poisoning the
+    * loss average. eps = 1e-12 keeps the clamp below any loss value the
+    * spec's 1e-9 monotonicity tolerance can see.
+    */
+  private def logLoss(y: Column, p: Column): Column = {
+    val eps = 1e-12
+    val pc = greatest(lit(eps), least(lit(1.0 - eps), p))
+    -(y * log(pc) + (lit(1.0) - y) * log(lit(1.0) - pc))
+  }
+
   /** Per-doc feature vector [bias, ln(1+tokens), stopword ratio,
     * avg-token-length/10] and the src0-membership label — the same
     * features [[qualityScore]] combines with HAND-PICKED weights.
@@ -970,8 +983,7 @@ object TextOps {
         .withColumn("z", aggregate(zip_with(col("x"), col("w"), _ * _), lit(0.0), _ + _))
         .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("z"))))
       losses = losses :+ scored.agg(
-        round(avg(-(col("y") * log(col("p"))
-          + (lit(1.0) - col("y")) * log(lit(1.0) - col("p")))), 6).as("loss"))
+        round(avg(logLoss(col("y"), col("p"))), 6).as("loss"))
         .select(lit(r).as("round"), col("loss"))
       val grad = scored
         .select(col("y"), col("p"), posexplode(col("x")).as(Seq("i", "xi")))
@@ -1013,13 +1025,19 @@ object TextOps {
       .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("z"))))
       .agg(
         count(lit(1)).as("n_docs"),
-        round(avg(-(col("y") * log(col("p"))
-          + (lit(1.0) - col("y")) * log(lit(1.0) - col("p")))), 4).as("log_loss"),
+        round(avg(logLoss(col("y"), col("p"))), 4).as("log_loss"),
         round(avg(when((col("p") >= 0.5) === (col("y") >= 0.5), 1.0)
           .otherwise(0.0)), 4).as("train_acc"),
         round(avg("y"), 4).as("pos_rate"))
+      // Weights dumped as four scalar columns (not array<double>): the
+      // driver's dump checker sorts columns with pandas, and array cells
+      // are unhashable there — same reason agg_collect_list serializes
+      // via to_json. Scalars also diff cleanly round-over-round.
       .crossJoin(broadcast(w.select(
-        transform(col("w"), wi => round(wi, 4)).as("weights"))))
+        round(element_at(col("w"), 1), 4).as("w0"),
+        round(element_at(col("w"), 2), 4).as("w1"),
+        round(element_at(col("w"), 3), 4).as("w2"),
+        round(element_at(col("w"), 4), 4).as("w3"))))
   }
 
   /** Canonical text normalization — the first stage of every dedup/quality

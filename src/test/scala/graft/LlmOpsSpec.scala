@@ -179,6 +179,40 @@ class LlmOpsSpec extends SparkSpecBase {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("clusterPairs rounds ride observe(): CollectMetrics in the plan, no per-row UDF") {
+    // The convergence tally used to be a per-row accumulator UDF in the
+    // round projection, which knocked the whole stage out of codegen.
+    // Pin the replacement: every round's executed plan (captured at its
+    // localCheckpoint action) carries a declarative CollectMetrics node,
+    // no UDF, and keeps a WholeStageCodegen span.
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        if (funcName == "localCheckpoint") plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+      LlmOps.clusterPairs(pairs).collect()
+      // the execution-listener bus is async — poll for the round plans
+      val deadline = System.currentTimeMillis() + 15000
+      import scala.jdk.CollectionConverters._
+      def rounds = plans.asScala.filter(_.contains("CollectMetrics")).toSeq
+      while (System.currentTimeMillis() < deadline && rounds.isEmpty) Thread.sleep(100)
+      assert(rounds.nonEmpty, "no observed round plan was captured")
+      rounds.foreach { p =>
+        assert(!p.contains("UDF"), s"per-row UDF regressed into the round plan:\n$p")
+        // AQE's simple-string form renders WholeStageCodegen spans as "*(n)"
+        assert(p.contains("*("), s"round stage lost codegen:\n$p")
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("clusterPairs converges on a long chain within the diameter bound") {
     val chain = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val got = LlmOps.clusterPairs(chain, maxIter = 10).as[(Long, Long)].collect()
