@@ -1,13 +1,27 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** One-off 10× scale soak (not part of the contract): replicates sf0.1 ten
-  * times with shifted keys and times the shuffle/join-heavy operators,
-  * looking for super-linear cliffs that sf0.1 hides.
+/** One-off scale soak (not part of the contract): replicates sf0.1
+  * `SPARK_GRAFT_SOAK_FACTOR` times (default 10) with shifted keys and times
+  * the shuffle/join-heavy operators, looking for super-linear cliffs that
+  * sf0.1 hides. `SPARK_GRAFT_SOAK_TABLES` restricts which tables are
+  * replicated (default all three) — the ×100 runs replicate only the
+  * tables their target queries read, since a 100× events table buys
+  * nothing for a documents-only pair scan. Per-query shuffle totals and
+  * the peak single-stage shuffle write are recorded via a stage listener,
+  * so cap-bound claims ("pair volume stays bounded because the df-cap
+  * binds") are measured in bytes, not argued.
   */
 object Soak {
+
+  // stage-level shuffle accounting, snapshotted around each query
+  @volatile private var shufWrite = 0L
+  @volatile private var shufRead = 0L
+  @volatile private var peakStageWrite = 0L
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[8]")
@@ -15,36 +29,64 @@ object Soak {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) {
+          val w = m.shuffleWriteMetrics.bytesWritten
+          shufWrite += w
+          shufRead += m.shuffleReadMetrics.totalBytesRead
+          if (w > peakStageWrite) peakStageWrite = w
+        }
+      }
+    })
+    val factor = sys.env.get("SPARK_GRAFT_SOAK_FACTOR").map(_.toInt).getOrElse(10)
+    val tables = sys.env.get("SPARK_GRAFT_SOAK_TABLES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set("events", "documents", "embeddings"))
     val src = "/root/testdata/sf0.1"
-    val dir = "/tmp/graft_soak_sf1"
+    val dir = s"/tmp/graft_soak_sf${factor / 10}"
 
     graft.engine.Tables.prepare(spark)
-    val ev = graft.engine.Tables.events(spark, src)
-      .select("event_id", "ts", "user_id", "event_type", "value", "props")
-    val evN = ev.count()
-    (0 until 10).map { i =>
-      ev.withColumn("event_id", col("event_id") + lit(i * evN))
-        .withColumn("user_id", col("user_id") + lit(i * 10000L))
-        .withColumn("ts", expr(s"ts + INTERVAL ${i * 31} DAYS"))
-    }.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    // Replicate by cross-joining a broadcast replica index — one operator,
+    // not an N-way union plan (a 100-frame union tree is itself a stress
+    // test of the wrong thing).
+    def replicate(df: DataFrame, n: Int)(shift: (DataFrame, Column) => DataFrame): DataFrame = {
+      val reps = spark.range(n).select(col("id").as("rep"))
+      shift(df.crossJoin(broadcast(reps)), col("rep")).drop("rep")
+    }
+
+    if (tables("events")) {
+      val ev = graft.engine.Tables.events(spark, src)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      val evN = ev.count()
+      replicate(ev, factor) { (d, rep) =>
+        d.withColumn("event_id", col("event_id") + rep * lit(evN))
+          .withColumn("user_id", col("user_id") + rep * lit(10000L))
+          .withColumn("ts", expr("ts + make_interval(0, 0, 0, CAST(rep * 31 AS INT))"))
+      }.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    }
 
     // source values are kept verbatim so the src0-scoped postings join
-    // (llm_jaccard_pairs) really sees 10× its corpus — the df-cap is what
-    // keeps that join linear, and this soak is where that claim is measured
-    val docs = spark.read.parquet(s"$src/documents.parquet")
-    val dN = docs.count()
-    (0 until 10).map { i =>
-      docs.withColumn("doc_id", col("doc_id") + lit(i * dN))
-    }.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // (llm_jaccard_pairs) really sees factor× its corpus — the df-cap is
+    // what keeps that join linear, and this soak is where that claim is
+    // measured
+    if (tables("documents")) {
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      val dN = docs.count()
+      replicate(docs, factor) { (d, rep) =>
+        d.withColumn("doc_id", col("doc_id") + rep * lit(dN))
+      }.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    }
 
-    val emb = spark.read.parquet(s"$src/embeddings.parquet")
-    val eN = emb.count()
-    (0 until 10).map { i =>
-      emb.withColumn("vec_id", col("vec_id") + lit(i * eN))
-    }.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    if (tables("embeddings")) {
+      val emb = spark.read.parquet(s"$src/embeddings.parquet")
+      val eN = emb.count()
+      replicate(emb, factor) { (d, rep) =>
+        d.withColumn("vec_id", col("vec_id") + rep * lit(eN))
+      }.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
 
     // SPARK_GRAFT_SOAK_ONLY=a,b,c restricts the run to the named queries
     // (dev loop for newly added heavy ops; unset = the full list).
@@ -61,12 +103,10 @@ object Soak {
       "agg_approx_topk",
       // 10× verbatim replication is the boilerplate df-counter's hot-key
       // worst case (every trigram's df multiplies by 10) — soaked on
-      // purpose. text_levenshtein_pairs is deliberately NOT here: verbatim
-      // replication multiplies its (lang, n_tok) block density by 10 and
-      // pair work by up to 100, and the block cap then bounds work at
-      // cardinality × cap²/2 ≈ 10⁶ O(len²) kernels — a fixed worst-case
-      // cost (~minutes) that measures the cap, not scaling; the cap
-      // behavior is spec-pinned instead (TextOpsSpec over-cap test).
+      // purpose. text_levenshtein_pairs is in the ×100 protocol instead:
+      // verbatim replication multiplies its (lang, n_tok) block density by
+      // factor, and at ×100 nearly every block crosses the cap and is
+      // anti-joined out — the designed degradation, measured below.
       "text_boilerplate_ngrams", "text_pii_scrub",
       "llm_embed_dim_stats", "log_resample_fill", "llm_quota_sample",
       // verbatim 10× replication makes EVERY doc a full duplicate (each
@@ -101,14 +141,24 @@ object Soak {
       "text_bpe_merges", "llm_hard_negatives", "stream_hll_tumbling",
       // round 4d: BPE apply (vocab join), engine-iterated recursive CTE,
       // and the logistic-GD trainer (per-round corpus scan, 4-key gradient)
-      "text_bpe_apply", "sql_recursive_reach", "text_quality_classifier")
+      "text_bpe_apply", "sql_recursive_reach", "text_quality_classifier",
+      // round 5: the ×100 targets (levenshtein joins the list — the ×100
+      // protocol is exactly its cap-binding measurement)
+      "text_levenshtein_pairs")
     heavy.filter(n => only.forall(_.contains(n))).foreach { name =>
       val fn = SparkEntry.queries(name)
       try { fn(spark, dir).count() } catch { case _: Throwable => () } // warm
+      val (w0, r0) = (shufWrite, shufRead)
+      peakStageWrite = 0L
       val t0 = System.nanoTime()
       val n = try fn(spark, dir).count() catch { case e: Throwable =>
         println(f"$name%-22s FAILED: ${e.getMessage.take(120)}"); -1L }
-      if (n >= 0) println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      if (n >= 0) {
+        val gb = 1024.0 * 1024 * 1024
+        println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n  " +
+          f"shufW=${(shufWrite - w0) / gb}%.2f GiB shufR=${(shufRead - r0) / gb}%.2f GiB " +
+          f"peakStageW=${peakStageWrite / gb}%.3f GiB")
+      }
     }
     spark.stop()
   }

@@ -1,5 +1,6 @@
 package graft.engine
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scalar-function families (SURVEY.md §2.7 F4/F5) and the cube variant of
@@ -427,15 +428,31 @@ object Funcs {
     * sketch-of-whole-range (merge losslessness at this scale).
     */
   val hllUnionDaily = Q.noOracle("agg_hll_union_daily") { (s, dir) =>
+    unionDailySketches(dailyHllSketches(s, dir))
+  }
+
+  /** The persisted-sketch grain of [[hllUnionDaily]]: one ~4 KB
+    * Datasketches HLL binary per (event_type, day). This is the frame a
+    * production deployment WRITES (Sinks.writeHllSketches) — the
+    * registered query compresses build + merge into one plan only because
+    * a Q is self-contained; the spec proves a parquet round-trip of these
+    * bytes is merge-equivalent.
+    */
+  private[graft] def dailyHllSketches(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
       .agg(hll_sketch_agg(col("user_id"), hllLgK).as("sk"))
+
+  /** The range-query side: union-merge persisted daily sketches into
+    * per-type distinct estimates without touching raw events.
+    */
+  private[graft] def unionDailySketches(sketches: DataFrame): DataFrame =
+    sketches
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n_days"),
         hll_sketch_estimate(hll_union_agg(col("sk"), false)).as("approx_users"))
       .orderBy("event_type")
-  }
 
   val all: Seq[Q] = Seq(
     mathFuncs, arrayFuncs, stringFuncs, dateFuncs, mapFuncs, aggGroupingSets,

@@ -1588,20 +1588,56 @@ object LlmOps {
     kmeansAssign(e, c)
   }
 
-  /** D3/D9 (no oracle — iterative fixpoint isn't one SQL statement; the
-    * Lloyd invariants are spec-pinned instead): k-means cluster profile
-    * of the embedding corpus after 3 Lloyd rounds — the "train" step
-    * SemDeDup-style curation, IVF coarse quantizers, and domain-mixing
-    * cluster budgets all start from. Output: per-cluster size and mean
-    * within-cluster squared distance (the per-cluster SSE contribution).
-    * mean_d2 rounds at 4 decimals — far above the float-sum-order jitter
-    * of the distributed mean, per the embedDimStats precedent.
+  /** D3/D9 (trainer): k-means cluster profile of the embedding corpus
+    * after 3 Lloyd rounds — the "train" step SemDeDup-style curation, IVF
+    * coarse quantizers, and domain-mixing cluster budgets all start from.
+    * Output: per-cluster size and mean within-cluster squared distance
+    * (the per-cluster SSE contribution).
+    *
+    * Oracled via the PageRank/BPE precedent (MATERIALIZED-CTE unroll):
+    * the fixed 3-round loop is deterministic up to float summation order
+    * — distances are the SAME |a|²+|c|²−2a·c double kernel on both
+    * engines (`list_dot_product(x::DOUBLE[])` ≡ the codegen'd
+    * VectorOps.dot, bit-for-bit), assignments tiebreak on c_id, and the
+    * M-step means cast back to FLOAT on both sides, which absorbs
+    * last-ulp summation drift far below the float gap. mean_d2 rounds at
+    * 4 decimals per the embedDimStats precedent. The residual flake risk
+    * (a mean landing within 1e-12 of a float-rounding midpoint, or two
+    * centroids within 1e-7 of equidistant to some vector) is measure-zero
+    * on this corpus — and the QUALIFY argmin mirrors the row_number
+    * tiebreak exactly.
     */
-  val kmeansEmbed = Q.noOracle("llm_kmeans") { (s, dir) =>
-    kmeans(Tables.embeddings(s, dir).select("vec_id", "embedding"), 8, 3)
-      .groupBy("c_id")
-      .agg(count(lit(1)).as("n"), round(avg("d2"), 4).as("mean_d2"))
-      .orderBy("c_id")
+  val kmeansEmbed: Q = {
+    def assign(r: Int, cin: String): String =
+      s"""a$r AS MATERIALIZED (
+         |  SELECT e.vec_id, e.embedding, c.c_id,
+         |    list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+         |    + list_dot_product(c.c_emb::DOUBLE[], c.c_emb::DOUBLE[])
+         |    - 2.0 * list_dot_product(e.embedding::DOUBLE[], c.c_emb::DOUBLE[]) AS d2
+         |  FROM embeddings e CROSS JOIN $cin c
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY d2 ASC, c.c_id ASC) = 1)""".stripMargin
+    def mstep(r: Int): String =
+      s"""c$r AS MATERIALIZED (
+         |  SELECT c_id, list_transform(list(m ORDER BY pos), x -> CAST(x AS FLOAT)) AS c_emb
+         |  FROM (
+         |    SELECT c_id, z[2] AS pos, avg(z[1]) AS m
+         |    FROM (SELECT c_id, unnest(list_zip(embedding, range(1, len(embedding) + 1))) AS z FROM a$r)
+         |    GROUP BY c_id, z[2])
+         |  GROUP BY c_id)""".stripMargin
+    val sql =
+      """WITH c0 AS MATERIALIZED (
+        |  SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
+        |""".stripMargin +
+        (1 to 3).map(r => assign(r, s"c${r - 1}") + ",\n" + mstep(r)).mkString(",\n") +
+        ",\n" + assign(4, "c3") + """
+          |SELECT c_id, CAST(COUNT(*) AS BIGINT) AS n, ROUND(AVG(d2), 4) AS mean_d2
+          |FROM a4 GROUP BY c_id ORDER BY c_id""".stripMargin
+    Q("llm_kmeans", sql) { (s, dir) =>
+      kmeans(Tables.embeddings(s, dir).select("vec_id", "embedding"), 8, 3)
+        .groupBy("c_id")
+        .agg(count(lit(1)).as("n"), round(avg("d2"), 4).as("mean_d2"))
+        .orderBy("c_id")
+    }
   }
 
   val all: Seq[Q] = Seq(

@@ -54,6 +54,37 @@ object LogOps {
       .orderBy("doc_id")
   }
 
+  /** P3 at the batched grain: MULTI-pattern grep — N regexes evaluated in
+    * ONE scan with per-pattern hit counts plus the any-of total, the way a
+    * log engine serves a saved-search dashboard (one pass over 100 TB for
+    * the whole pattern set, not one scan per pattern). Each `count_if`
+    * rides the same codegen'd projection over the single text read; adding
+    * a pattern adds a column, never a scan. Patterns stay in the
+    * RE2 ∩ Java regex subset (alternation + classes, no backrefs) so both
+    * engines match identically — the PII-scrubber convention.
+    */
+  val grepMulti: Q = {
+    val pats = Seq(
+      "n_merge_join" -> "merge.*join",
+      "n_hash_scan_agg" -> "hash (scan|agg)",
+      "n_slow_q_sort" -> "slow (query|sort)",
+      "n_stream_window" -> "stream.*window")
+    Q(
+      "log_grep_multi",
+      ("SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,\n" +
+        pats.map { case (a, p) =>
+          s"  CAST(count_if(regexp_matches(text, '$p')) AS BIGINT) AS $a,\n"
+        }.mkString +
+        s"  CAST(count_if(${pats.map(p => s"regexp_matches(text, '${p._2}')")
+          .mkString(" OR ")}) AS BIGINT) AS n_any\n" +
+        "FROM documents")) { (s, dir) =>
+      Tables.documents(s, dir).agg(
+        count(lit(1)).as("n_docs"),
+        pats.map { case (a, p) => count_if(col("text").rlike(p)).as(a) } :+
+          count_if(pats.map(p => col("text").rlike(p._2)).reduce(_ || _)).as("n_any"): _*)
+    }
+  }
+
   /** F2: regex field extraction (parse-pattern → column, schema-on-read). */
   val regexExtract = Q(
     "log_regex_extract",
@@ -1551,7 +1582,7 @@ object LogOps {
   }
 
   val all: Seq[Q] = Seq(
-    errorRateDaily, grepRegex, regexExtract, regexReplace, stringFuncs,
+    errorRateDaily, grepRegex, grepMulti, regexExtract, regexReplace, stringFuncs,
     parseFields, timeBuckets, jsonExtract, tokenize, saltedAgg,
     winTopk, winRankNtile, winPctRank, winLagGap, winRunningSum, winMovingAvg,
     winFirstLast, winSessionize,

@@ -829,16 +829,57 @@ object TextOps {
     * convention). No driver-side collect anywhere: learned merges
     * accumulate as 1-row frames and union into the result.
     *
-    * No oracle by design: the iterative argmax-and-rewrite has no
-    * reasonable SQL spelling (DuckDB's list fold can't reference a
-    * prior-CTE scalar per round without 6× the PageRank unroll machinery
-    * for a list-rewriting recurrence); instead TextOpsSpec re-runs the
-    * IDENTICAL algorithm in ~15 lines of pure Scala over the same word
-    * counts and asserts the merge sequences are EQUAL — a stronger check
-    * than a hash, since it pins every rank's pair and score.
+    * Oracled via the PageRank precedent (MATERIALIZED-CTE unroll): the
+    * training loop is fully deterministic — integer pair counts with a
+    * lexicographic tiebreak — so each round unrolls as a best_r/v_r CTE
+    * pair. The oracle's key trick is representing each word's symbol
+    * array as a chr(31)-DELIMITED STRING, because SQL `replace()` scans
+    * left-to-right without rescanning replaced text — exactly the
+    * single-pass non-overlapping BPE merge fold the Spark side computes
+    * with `aggregate` (e.g. "aaa" + merge(a,a) → [aa, a] in both). The
+    * delimiter is safe: tokens come from splitting text on spaces and the
+    * corpus has no control characters. AS MATERIALIZED is load-bearing —
+    * DuckDB inlines plain CTEs and a 6-round chain of inlined v_r would
+    * blow up 2^6. TextOpsSpec additionally re-runs the identical
+    * algorithm in pure Scala and asserts equal merge sequences — stronger
+    * than the hash, since it pins every rank's pair and score.
     */
-  val bpeMerges = Q.noOracle("text_bpe_merges") { (s, dir) =>
-    bpeTrain(s, dir, bpeRounds)._1.orderBy("rank")
+  val bpeMerges: Q = {
+    val D = "chr(31)"
+    def roundCtes(r: Int): String = {
+      val prev = s"v${r - 1}"
+      s""",
+         |best$r AS MATERIALIZED (
+         |  SELECT a AS ma, b AS mb, CAST(SUM(freq) AS BIGINT) AS score
+         |  FROM (
+         |    SELECT freq, z[1] AS a, z[2] AS b
+         |    FROM $prev, unnest(list_zip(string_split(s, $D), string_split(s, $D)[2:])) AS u(z)
+         |    WHERE z[2] IS NOT NULL)
+         |  GROUP BY a, b
+         |  ORDER BY score DESC, a ASC, b ASC
+         |  LIMIT 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT tok, freq,
+         |    CASE WHEN ma IS NULL THEN s
+         |         ELSE replace(s, ma || $D || mb, ma || mb) END AS s
+         |  FROM $prev LEFT JOIN best$r ON TRUE)""".stripMargin
+    }
+    val sql =
+      s"""WITH v0 AS MATERIALIZED (
+         |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq,
+         |    array_to_string(string_split(tok, ''), $D) AS s
+         |  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS tok
+         |        FROM documents)
+         |  GROUP BY tok)""".stripMargin +
+        (1 to bpeRounds).map(roundCtes).mkString +
+        "\nSELECT * FROM (\n" +
+        (1 to bpeRounds).map(r =>
+          s"SELECT $r AS rank, ma AS sym_a, mb AS sym_b, ma || mb AS new_sym, score FROM best$r")
+          .mkString("\nUNION ALL\n") +
+        "\n) ORDER BY rank"
+    Q("text_bpe_merges", sql) { (s, dir) =>
+      bpeTrain(s, dir, bpeRounds)._1.orderBy("rank")
+    }
   }
 
   /** The BPE training loop behind [[bpeMerges]] and [[bpeApply]]: returns

@@ -69,4 +69,22 @@ object Sinks {
     writeSized(codebook, s"$path/codebook", 1)
     writeSized(codes, s"$path/codes", codeFiles)
   }
+
+  /** HLL sketch store: persist (key…, day, sk: binary) daily Datasketches
+    * HLL sketches, day-partitioned so a date-range union prunes whole
+    * directories. This is the production range-query lifecycle behind
+    * `agg_hll_union_daily`: sketches are built ONCE per day (~4 KB each),
+    * and any "distinct users over [d1, d2]" is a union-merge over the
+    * pruned sketch files — register-wise max is associative and
+    * order-independent, so the merged estimate is byte-equivalent to
+    * sketching the whole range (proved by SourcesAndUdafSpec's round-trip).
+    */
+  def writeHllSketches(sketches: DataFrame, path: String): Unit =
+    sketches
+      .withColumn("day_part", date_format(col("day"), "yyyy-MM-dd"))
+      .repartition(col("day_part"))
+      .write.mode("overwrite")
+      .option("compression", "zstd")
+      .partitionBy("day_part")
+      .parquet(path)
 }

@@ -280,6 +280,41 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(got === direct)
   }
 
+  test("hll sketch persistence: parquet round-trip of daily sketches is merge-equivalent") {
+    // The full production lifecycle: build daily sketches → persist the
+    // binary sketch bytes day-partitioned (Sinks.writeHllSketches) → read
+    // back → union-merge. The estimates must be IDENTICAL to the in-memory
+    // path (the registered query), proving sketch bytes survive the
+    // parquet round-trip and that any date range can be served from the
+    // store without rescanning events.
+    val path = java.nio.file.Files.createTempDirectory("graft-hll").toString
+    val daily = graft.engine.Funcs.dailyHllSketches(spark, sfDir)
+    graft.sources.Sinks.writeHllSketches(daily, path)
+    val restored = spark.read.parquet(path)
+    val viaStore = graft.engine.Funcs.unionDailySketches(restored)
+      .select("event_type", "n_days", "approx_users")
+      .as[(String, Long, Long)].collect().toSet
+    val inMemory = graft.engine.Funcs.hllUnionDaily.build(spark, sfDir)
+      .select("event_type", "n_days", "approx_users")
+      .as[(String, Long, Long)].collect().toSet
+    assert(viaStore === inMemory)
+    assert(viaStore.nonEmpty)
+    // Range query over the pruned store: a half-range union must count no
+    // more than the full range (monotone merge) and the partition filter
+    // must prune files rather than scan-and-filter.
+    import org.apache.spark.sql.functions.col
+    val days = restored.select("day_part").distinct()
+      .as[String].collect().sorted
+    val half = restored.filter(col("day_part") <= days(days.length / 2))
+    val halfEst = graft.engine.Funcs.unionDailySketches(half)
+      .select("event_type", "approx_users").as[(String, Long)].collect().toMap
+    val fullEst = viaStore.map(r => r._1 -> r._3).toMap
+    halfEst.foreach { case (t, a) => assert(a <= fullEst(t), s"$t: $a > ${fullEst(t)}") }
+    val plan = half.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PartitionFilters: [") && plan.contains("day_part"), plan)
+  }
+
   test("approx percentile sketch tracks the exact quantiles") {
     val rows = LlmOps.approxPercentile.build(spark, sfDir)
       .select("approx_p50", "exact_p50", "approx_p95", "exact_p95")

@@ -97,6 +97,20 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("multi-pattern grep evaluates all patterns in one scan") {
+    // The operator's whole point: N saved-search regexes cost ONE pass over
+    // the corpus. Two scans would mean someone split the count_if stack.
+    val simple = planOf(LogOps.grepMulti)
+    val scans = "Scan parquet".r.findAllIn(simple).size
+    assert(scans == 1, s"expected 1 documents scan, got $scans\n$simple")
+    // and the counts partial-aggregate map-side before the single-row final
+    assert("HashAggregate".r.findAllIn(simple).size >= 2)
+    val plan = formatted(LogOps.grepMulti)
+    // only the text column is read — the grep never drags the full row
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("text") && !readSchema.contains("doc_id"), readSchema)
+  }
+
   test("decontamination broadcasts the eval n-grams; train side joins without sorting") {
     val plan = planOf(LlmOps.decontaminate)
     // the scale contract: the (tiny) benchmark side broadcasts, the
