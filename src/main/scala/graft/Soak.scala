@@ -143,8 +143,10 @@ object Soak {
       // and the logistic-GD trainer (per-round corpus scan, 4-key gradient)
       "text_bpe_apply", "sql_recursive_reach", "text_quality_classifier",
       // round 5: the ×100 targets (levenshtein joins the list — the ×100
-      // protocol is exactly its cap-binding measurement)
-      "text_levenshtein_pairs")
+      // protocol is exactly its cap-binding measurement) and the
+      // batch×existing ingest dedup (verbatim replication multiplies the
+      // existing-side df ×factor — the cap's designed worst case again)
+      "text_levenshtein_pairs", "llm_incremental_dedup")
     heavy.filter(n => only.forall(_.contains(n))).foreach { name =>
       val fn = SparkEntry.queries(name)
       try { fn(spark, dir).count() } catch { case _: Throwable => () } // warm

@@ -1148,17 +1148,154 @@ object LlmOps {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
-  /** D2 follow-through (no oracle — iterative fixpoint isn't one SQL
-    * statement): near-dup clusters from the shingle-Jaccard pairs, profiled
-    * as (cluster_id, size). LlmOpsSpec pins the component semantics on
-    * hand-built graphs; the driver checks rows here.
+  /** D2 follow-through: near-dup clusters from the shingle-Jaccard pairs,
+    * profiled as (cluster_id, size).
+    *
+    * Oracled (round 5): connected components are DETERMINISTIC — the
+    * min-label fixpoint is a pure function of the pair set — so the DuckDB
+    * side computes the same components via WITH RECURSIVE transitive
+    * closure (`reach` UNION-distinct guarantees termination) and labels
+    * each node `least(self, min(reachable))`, which is exactly the
+    * min-label [[clusterPairs]] converges to. The closure is O(Σ size²)
+    * over clusters — fine for an oracle at fixture scale; the Spark side
+    * keeps the O(log d)-round pointer-jumping loop that scales.
+    * LlmOpsSpec additionally pins the component semantics on hand-built
+    * graphs and cross-checks GraphX.
     */
-  val nearDupClusters = Q.noOracle("llm_neardup_clusters") { (s, dir) =>
+  val nearDupClusters = Q(
+    "llm_neardup_clusters",
+    s"""WITH RECURSIVE $shinglePairCtes,
+      |pairs AS MATERIALIZED (
+      |  SELECT id_a, id_b FROM inter
+      |  JOIN sz sa ON inter.id_a = sa.doc_id
+      |  JOIN sz sb ON inter.id_b = sb.doc_id
+      |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $shingleJaccardThreshold),
+      |edges AS MATERIALIZED (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT src AS a, dst AS b FROM edges
+      |  UNION
+      |  SELECT r.a, e.dst AS b FROM reach r JOIN edges e ON e.src = r.b),
+      |labels AS (
+      |  SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id FROM reach GROUP BY a)
+      |SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      |FROM labels GROUP BY cluster_id ORDER BY cluster_id""".stripMargin) { (s, dir) =>
     val pairs = shingleJaccard.build(s, dir).select("id_a", "id_b")
     clusterPairs(pairs)
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("cluster_size"))
       .orderBy(col("cluster_id"))
+  }
+
+  /** D1/D2 at the INGEST grain: incremental dedup — a new document batch
+    * deduplicated AGAINST an existing corpus, the shape every production
+    * pipeline actually runs daily (the within-corpus dedups above are the
+    * backfill shape). The batch is the deterministic doc_id % 5 == 0 slice
+    * (~20%) so both engines split identically; the rest plays the standing
+    * corpus. Two stages, each per-source profiled:
+    * (1) EXACT: batch docs whose md5 digest already exists — the probe
+    *     ships 16-byte digests, never text, and in production the
+    *     existing-digest set is a persisted index, not a rescan;
+    * (2) NEAR-DUP: exact-survivors sharing df-capped bigram shingles with
+    *     an existing doc at Jaccard ≥ 0.5 — the same inverted-index
+    *     discipline as [[shingleJaccard]], but the postings join is
+    *     batch×existing (small×large), never existing×existing: the big
+    *     side is touched once to build/refresh the capped shingle index
+    *     and the per-key pair work is bounded by df_batch · df_exist ≤
+    *     cap². The df-cap is computed on the EXISTING side (that is the
+    *     distribution production knows ahead of the batch).
+    * Output: per-source batch size, exact drops, near-dup drops,
+    * survivors — the numbers an ingest dashboard reports.
+    */
+  val incrementalDedup = Q(
+    "llm_incremental_dedup",
+    """WITH batch AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 5 = 0),
+      |exist AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+      |eh AS (SELECT DISTINCT md5(text) AS h FROM exist),
+      |bstat AS (
+      |  SELECT doc_id, source, text,
+      |    CASE WHEN h IS NOT NULL THEN 1 ELSE 0 END AS is_exact
+      |  FROM batch LEFT JOIN eh ON md5(batch.text) = eh.h),
+      |shx0 AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |      range(1, len(string_split(lower(text), ' '))),
+      |      i -> array_to_string(string_split(lower(text), ' ')[i:i+1], ' ')))) AS sh
+      |  FROM exist),
+      |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM shx0),
+      |keys AS (
+      |  SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM shx0 GROUP BY 1) CROSS JOIN nd
+      |  WHERE df <= least(0.1 * n_docs, 2000)),
+      |shx AS (SELECT s.doc_id, s.sh FROM shx0 s JOIN keys USING (sh)),
+      |shb0 AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |      range(1, len(string_split(lower(text), ' '))),
+      |      i -> array_to_string(string_split(lower(text), ' ')[i:i+1], ' ')))) AS sh
+      |  FROM bstat WHERE is_exact = 0),
+      |shb AS (SELECT s.doc_id, s.sh FROM shb0 s JOIN keys USING (sh)),
+      |szx AS (SELECT doc_id, COUNT(*) AS n FROM shx GROUP BY 1),
+      |szb AS (SELECT doc_id, COUNT(*) AS n FROM shb GROUP BY 1),
+      |inter AS (
+      |  SELECT b.doc_id AS bid, x.doc_id AS xid, COUNT(*) AS c
+      |  FROM shb b JOIN shx x ON b.sh = x.sh GROUP BY 1, 2),
+      |nears AS (
+      |  SELECT DISTINCT bid FROM inter
+      |  JOIN szb ON inter.bid = szb.doc_id
+      |  JOIN szx ON inter.xid = szx.doc_id
+      |  WHERE CAST(c AS DOUBLE) / (szb.n + szx.n - c) >= 0.5)
+      |SELECT source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_batch,
+      |  CAST(SUM(is_exact) AS BIGINT) AS n_exact_dup,
+      |  CAST(SUM(CASE WHEN is_exact = 0 AND bid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup,
+      |  CAST(SUM(CASE WHEN is_exact = 0 AND bid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_survive
+      |FROM bstat LEFT JOIN nears ON bstat.doc_id = nears.bid
+      |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val batch = docs.filter(col("doc_id") % 5 === 0).select("doc_id", "source", "text")
+    val exist = docs.filter(col("doc_id") % 5 =!= 0).select("doc_id", "text")
+    val eh = exist.select(md5(col("text")).as("h")).distinct()
+    // bstat feeds the near-dup shingling AND the final per-source rollup —
+    // checkpoint so the digest join runs once (the usual fan-out rule)
+    val bstat = batch.join(eh, md5(col("text")) === col("h"), "left")
+      .select(col("doc_id"), col("source"),
+        when(col("h").isNotNull, 1).otherwise(0).as("is_exact"), col("text"))
+      .localCheckpoint()
+    def shingles(df: DataFrame): DataFrame = {
+      val toks = split(lower(col("text")), " ")
+      df.select(col("doc_id"), toks.as("ts"))
+        .select(col("doc_id"), explode(array_distinct(transform(
+          when(size(col("ts")) >= lit(2), sequence(lit(1), size(col("ts")) - 1))
+            .otherwise(array().cast("array<int>")),
+          i => concat_ws(" ", slice(col("ts"), i, lit(2)))))).as("sh"))
+    }
+    val shx0 = shingles(exist).localCheckpoint() // census + cap + postings
+    val nd = shx0.agg(countDistinct("doc_id").as("n_docs"))
+    val keys = shx0.groupBy("sh").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nd))
+      .filter(col("df") <= least(lit(0.1) * col("n_docs"), lit(2000L)))
+      .select("sh")
+    val shx = shx0.join(keys, Seq("sh"), "left_semi").localCheckpoint()
+    val shb = shingles(bstat.filter(col("is_exact") === 0))
+      .join(keys, Seq("sh"), "left_semi").localCheckpoint()
+    val szx = shx.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val szb = shb.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = shb.select(col("doc_id").as("bid"), col("sh"))
+      .join(shx.select(col("doc_id").as("xid"), col("sh")), Seq("sh"))
+      .groupBy("bid", "xid").agg(count(lit(1)).as("c"))
+    val jac = col("c").cast("double") / (col("bn") + col("xn") - col("c"))
+    val nears = inter
+      .join(szb.select(col("doc_id").as("bid"), col("n").as("bn")), Seq("bid"))
+      .join(szx.select(col("doc_id").as("xid"), col("n").as("xn")), Seq("xid"))
+      .filter(jac >= 0.5)
+      .select("bid").distinct()
+    bstat.join(nears, bstat("doc_id") === nears("bid"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_batch"),
+        sum("is_exact").as("n_exact_dup"),
+        sum(when(col("is_exact") === 0 && col("bid").isNotNull, 1).otherwise(0)).as("n_neardup"),
+        sum(when(col("is_exact") === 0 && col("bid").isNull, 1).otherwise(0)).as("n_survive"))
+      .orderBy("source")
   }
 
   /** D4 (embedding health): per-dimension mean / spread / range over the
@@ -1646,5 +1783,5 @@ object LlmOps {
     approxPercentile, nearDupClusters, decontaminate, quantizeInt8, approxTopK,
     embedDimStats, embedNormalize, dupSpanFraction, centroidAssign,
     embedOutliers, semDedup, embedCorrPairs, nearDupFilter, kmeansEmbed,
-    bloomDecontaminate, annIvfPq, hardNegatives)
+    bloomDecontaminate, annIvfPq, hardNegatives, incrementalDedup)
 }

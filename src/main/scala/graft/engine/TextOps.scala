@@ -844,7 +844,13 @@ object TextOps {
     * algorithm in pure Scala and asserts equal merge sequences — stronger
     * than the hash, since it pins every rank's pair and score.
     */
-  val bpeMerges: Q = {
+  /** The shared BPE-training CTE chain (one source of truth for BOTH
+    * `text_bpe_merges` and `text_bpe_apply`, the shinglePairCtes
+    * convention): v0 = word counts with chr(31)-delimited symbol strings;
+    * each round r adds best$r (the argmax pair) and v$r (the rewritten
+    * vocabulary).
+    */
+  private val bpeOracleCtes: String = {
     val D = "chr(31)"
     def roundCtes(r: Int): String = {
       val prev = s"v${r - 1}"
@@ -864,19 +870,22 @@ object TextOps {
          |         ELSE replace(s, ma || $D || mb, ma || mb) END AS s
          |  FROM $prev LEFT JOIN best$r ON TRUE)""".stripMargin
     }
-    val sql =
-      s"""WITH v0 AS MATERIALIZED (
-         |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq,
-         |    array_to_string(string_split(tok, ''), $D) AS s
-         |  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS tok
-         |        FROM documents)
-         |  GROUP BY tok)""".stripMargin +
-        (1 to bpeRounds).map(roundCtes).mkString +
-        "\nSELECT * FROM (\n" +
-        (1 to bpeRounds).map(r =>
-          s"SELECT $r AS rank, ma AS sym_a, mb AS sym_b, ma || mb AS new_sym, score FROM best$r")
-          .mkString("\nUNION ALL\n") +
-        "\n) ORDER BY rank"
+    s"""v0 AS MATERIALIZED (
+       |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq,
+       |    array_to_string(string_split(tok, ''), $D) AS s
+       |  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS tok
+       |        FROM documents)
+       |  GROUP BY tok)""".stripMargin +
+      (1 to bpeRounds).map(roundCtes).mkString
+  }
+
+  val bpeMerges: Q = {
+    val sql = s"WITH $bpeOracleCtes" +
+      "\nSELECT * FROM (\n" +
+      (1 to bpeRounds).map(r =>
+        s"SELECT $r AS rank, ma AS sym_a, mb AS sym_b, ma || mb AS new_sym, score FROM best$r")
+        .mkString("\nUNION ALL\n") +
+      "\n) ORDER BY rank"
     Q("text_bpe_merges", sql) { (s, dir) =>
       bpeTrain(s, dir, bpeRounds)._1.orderBy("rank")
     }
@@ -952,7 +961,19 @@ object TextOps {
     * is exactly the compression deficit the merge budget controls; on real
     * corpora this is the statistic that prices a training run in tokens.
     */
-  val bpeApply = Q.noOracle("text_bpe_apply") { (s, dir) =>
+  val bpeApply = Q(
+    "text_bpe_apply",
+    s"""WITH $bpeOracleCtes,
+      |vocab AS (SELECT tok, len(string_split(s, chr(31))) AS n_bpe FROM v$bpeRounds),
+      |occ AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS tok
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_words,
+      |  CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens,
+      |  ROUND(CAST(SUM(n_bpe) AS DOUBLE) / COUNT(*), 4) AS tokens_per_word
+      |FROM occ JOIN vocab USING (tok)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val vocab = bpeTrain(s, dir, bpeRounds)._2
       .select(col("tok"), size(col("syms")).as("n_bpe"))
     val occ = Tables.documents(s, dir)

@@ -167,6 +167,34 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(byBlob.values.map(ids => got(ids.head)).toSet.size === 3)
   }
 
+  test("incremental dedup: batch docs drop vs the existing corpus only (exact, near-dup, novel)") {
+    // doc_id % 5 == 0 → batch; rest → existing corpus (10 existing docs so
+    // the 0.1·n_docs df-cap evaluates to 1.0 and keeps df=1 shingles —
+    // mirroring real corpora where the frac cap is far above 1).
+    //  - 5 is an exact copy of existing 1        → n_exact_dup
+    //  - 10 near-dups existing 2 (shares 5 bigrams, J = 5/6 ≥ 0.5)
+    //                                            → n_neardup
+    //  - 15 is novel                             → n_survive
+    //  - 20 exactly copies fellow-BATCH doc 15 but no existing doc:
+    //    batch-internal duplication is NOT this operator's job (that is
+    //    the within-batch exact dedup) — it must SURVIVE.
+    val fillers = Seq(4L, 6L, 7L, 8L, 9L, 11L, 12L).zipWithIndex.map {
+      case (id, i) => (id, s"filler${i}a filler${i}b filler${i}c")
+    }
+    val dir = docsDir(Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "one two three four five six seven"),
+      (3L, "completely different words here"),
+      (5L, "alpha beta gamma delta"),
+      (10L, "one two three four five six"),
+      (15L, "fresh novel content entirely"),
+      (20L, "fresh novel content entirely")) ++ fillers)
+    val got = LlmOps.incrementalDedup.build(spark, dir)
+      .select("source", "n_batch", "n_exact_dup", "n_neardup", "n_survive")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("src0", 4L, 1L, 1L, 2L)))
+  }
+
   test("clusterPairs finds connected components (chain, clique, singleton pair)") {
     val pairs = Seq(
       (1L, 2L), (2L, 3L),           // chain 1-2-3 → cluster 1

@@ -211,6 +211,7 @@ class PlanSpec extends SparkSpecBase {
     "llm_dataset_card"      -> "single-row corpus-total aggregate cross-joined into pct_corpus",
     "llm_embed_outliers"    -> "k=8 centroid table broadcast; 8-row stats re-broadcast",
     "llm_jaccard_pairs"     -> "single-row n_docs aggregate cross-joined into the df-cap",
+    "llm_incremental_dedup" -> "single-row n_docs aggregate cross-joined into the existing-side df-cap",
     "llm_shingle_jaccard"   -> "single-row n_docs aggregate cross-joined into the df-cap",
     "text_winnow_pairs"     -> "single-row n_docs aggregate cross-joined into the df-cap (winnow postings)",
     "llm_neardup_filter"    -> "inherits llm_shingle_jaccard's single-row df-cap cross-join",
