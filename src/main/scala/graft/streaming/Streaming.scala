@@ -361,6 +361,27 @@ object Streaming {
         round(col("value"), 4).as("purchase_value"))
   }
 
+  // ---- T9: stream-static join ----
+
+  /** T9: stream-STATIC join — newly arriving documents deduplicated
+    * against the STANDING corpus: a left-anti join on the md5 digest, the
+    * streaming twin of `LlmOps.incrementalDedup`'s exact stage and the
+    * shape a continuous-ingest pipeline actually runs (each micro-batch of
+    * crawled docs checked against the persisted corpus before landing).
+    * Stream-static is its own Structured Streaming join mode with the two
+    * properties that matter at 100 TB: it needs NO state store (nothing is
+    * buffered across micro-batches — the static side is the state), and
+    * the static side is RE-PLANNED per micro-batch, so a corpus refresh
+    * (yesterday's compaction landing new parquet) is picked up without
+    * restarting the query. On batch frames the same code is its own
+    * oracle twin (StreamingSpec pins stream ≡ batch).
+    */
+  def dedupAgainstCorpus(newDocs: DataFrame, corpus: DataFrame): DataFrame =
+    newDocs
+      .withColumn("text_hash", md5(col("text")))
+      .join(corpus.select(md5(col("text")).as("text_hash")).distinct(),
+        Seq("text_hash"), "left_anti")
+
   // ---- S6: streaming sources ----
 
   /** S5 (streaming sink): continuous ingestion into the date-partitioned

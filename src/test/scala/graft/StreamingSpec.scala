@@ -40,6 +40,39 @@ class StreamingSpec extends SparkSpecBase {
     spark.table("sink").collect().map(_.toString).sorted.toSeq
   }
 
+  test("stream-static dedup: arriving docs anti-join the standing corpus, stateless, batch-equal") {
+    // The static corpus: two known texts. Stream three micro-batches of
+    // (doc_id, text); docs whose text already exists in the corpus must be
+    // dropped, new docs pass — and a text seen in an EARLIER micro-batch
+    // but absent from the corpus passes AGAIN (stream-static keeps no
+    // cross-batch state by design; cross-batch dedup is T5's job).
+    val corpus = Seq((100L, "known text one"), (101L, "known text two"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Streaming.dedupAgainstCorpus(
+        input.toDF().toDF("doc_id", "text"), corpus)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("ssdedup").outputMode("append").start()
+    try {
+      input.addData(Seq((1L, "known text one"), (2L, "novel alpha")))
+      q.processAllAvailable()
+      input.addData(Seq((3L, "known text two"), (4L, "novel alpha"), (5L, "novel beta")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ssdedup").as[Long].collect().sorted.toSeq
+    assert(got === Seq(2L, 4L, 5L))
+    // batch twin: identical code over batch frames gives identical survivors
+    val batch = Streaming.dedupAgainstCorpus(
+      Seq((1L, "known text one"), (2L, "novel alpha"), (3L, "known text two"),
+        (4L, "novel alpha"), (5L, "novel beta")).toDF("doc_id", "text"), corpus)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(batch === got)
+    // stateless: the plan must carry no streaming state-store operator
+    val plan = Streaming.dedupAgainstCorpus(input.toDF().toDF("doc_id", "text"), corpus)
+      .queryExecution.analyzed.toString
+    assert(!plan.contains("StateStore"), plan)
+  }
+
   test("tumbling window: stream (complete mode) equals batch") {
     val batch = Streaming.tumblingCounts(toDf(rows)).collect().map(_.toString).sorted.toSeq
     val stream = runStream(Streaming.tumblingCounts, "complete", Seq(rows.take(4), rows.drop(4)))
