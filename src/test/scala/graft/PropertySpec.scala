@@ -148,6 +148,30 @@ class PropertySpec extends SparkSpecBase {
     }, cases = 8)
   }
 
+  test("incremental dedup: stage counts partition the batch; exact drops match brute force") {
+    import spark.implicits._
+    // Random corpora over a small text pool so exact cross-side duplicates
+    // actually occur; doc_ids unique so the %5 batch split is stable.
+    val docsGen = Gen.chooseNum(8, 40).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf("a b c d", "a b c e", "x y z w", "p q", "lone words here", "m n o p q r")))
+    check(Prop.forAll(docsGen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val dir = java.nio.file.Files.createTempDirectory("graft-prop-inc").toString
+      docs.map { case (id, t) => (id, t, "en", s"src${id % 2}", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = graft.engine.LlmOps.incrementalDedup.build(spark, dir)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      val batch = docs.filter(_._1 % 5 == 0)
+      val existTexts = docs.filter(_._1 % 5 != 0).map(_._2).toSet
+      // stage counts partition the batch per source…
+      got.forall { case (_, nB, nE, nN, nS) => nB == nE + nN + nS } &&
+        got.map(_._2).sum == batch.length &&
+        // …and exact drops equal the brute-force cross-side membership test
+        got.map(_._3).sum == batch.count(d => existTexts.contains(d._2))
+    }, cases = 6)
+  }
+
   test("dup-span fraction: verbatim duplicate pushes both docs to 1.0; bounded") {
     import spark.implicits._
     val textGen = Gen.chooseNum(5, 12).flatMap(n =>
