@@ -626,7 +626,7 @@ object LlmOps {
   val pqDsub = 8
   val pqKs = 16
   private val pqRounds = 2
-  private val pqShortlist = 50
+  private val pqShortlist = 100
 
   /** D3 scale path #3 (no oracle — codebooks are engine-local): product
     * quantization, the representation EVERY billion-vector deployment
@@ -643,7 +643,9 @@ object LlmOps {
     * cosine against the original vectors — the FAISS refine step, which
     * pays full-precision math only on queries × shortlist rows and lifts
     * recall@10 from 0.27 (raw ADC on this near-isotropic fixture) to
-    * 0.64. Vectors are unit-normalized first so L2² = 2 − 2·cos and the
+    * 0.82 (top-100 shortlist; top-50 gave 0.64 — the re-rank is so cheap
+    * that doubling the shortlist is pure recall). Vectors are
+    * unit-normalized first so L2² = 2 − 2·cos and the
     * PQ ranking approximates the brute-force COSINE ranking
     * ([[knnCosine]]) — recall@10 vs that exact baseline is pinned
     * numerically in LlmOpsSpec.

@@ -591,7 +591,10 @@ class LlmOpsSpec extends SparkSpecBase {
     // (PQ's worst regime); the exact-cosine re-rank of the ADC top-50
     // recovers the rest. Floor pinned below measured to catch regressions,
     // not noise — same policy as the LSH/IVF floors.
-    assert(recall >= 0.55, s"PQ recall@10 $recall below floor 0.55")
+    // Measured recall@10 is 0.816 at sf0.001 / 0.809 at sf0.01 with the
+    // round-5 top-100 re-rank shortlist (was 0.64 at top-50) — a
+    // deterministic constant of the fixture. 0.75 is the regression floor.
+    assert(recall >= 0.75, s"PQ recall@10 $recall below floor 0.75")
   }
 
   test("ivf-pq index: parquet round-trip of codebook+codes is search-equivalent") {
