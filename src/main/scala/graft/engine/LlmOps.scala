@@ -691,9 +691,11 @@ object LlmOps {
     // Seeds are the first pqKs vec_ids that SURVIVE the zero-norm filter
     // (not the literal ids 0..pqKs-1): an id gap would otherwise silently
     // shrink the codebook and degrade recall with no signal. The seed scan
-    // is a TakeOrdered over distinct ids — metadata-sized at any corpus
-    // scale — and the code assignment windows over only those pqKs rows.
-    val seeds = sv.select("vec_id").distinct().orderBy("vec_id").limit(pqKs)
+    // is a TakeOrdered over the sub==0 slice (exactly one row per
+    // surviving vector — pqNormSubvectors drops whole VECTORS, never
+    // single subspaces, so no distinct()-exchange is needed) and the code
+    // assignment windows over only those pqKs rows.
+    val seeds = sv.filter(col("sub") === 0).select("vec_id").orderBy("vec_id").limit(pqKs)
       .withColumn("code",
         (row_number().over(Window.orderBy(col("vec_id").asc)) - 1).cast("int"))
     var cb = sv.join(broadcast(seeds), Seq("vec_id"))
