@@ -1581,6 +1581,161 @@ object LogOps {
       .orderBy("h", "event_type")
   }
 
+  /** Log template mining (the Drain/He et al. 2017 family, done the
+    * Spark-declarative way): raw lines → variable tokens masked to `<*>`
+    * → group by the resulting template. This is THE log-analytics
+    * compression step — millions of distinct lines collapse to dozens of
+    * templates, each with volume, user reach, first/last-seen, and an
+    * exemplar for the on-call engineer. Lines are synthesized from
+    * `events` with per-type formats (the [[parseLines]] convention) so
+    * the masking actually has integers/ids/durations to erase.
+    *
+    * Tree-based online parsers (Drain's prefix tree) exist for when the
+    * template set must be learned incrementally; for batch over a data
+    * lake, masking + hash-agg IS the scalable formulation: one scan,
+    * map-side partial aggregation onto a template-cardinality key space
+    * (dozens), no state, no driver structure. The regex stays in the
+    * RE2 ∩ Java subset. template_id is the first 8 hex of md5 — the
+    * stable join key for alert rules and round-over-round diffs.
+    */
+  val templateMine = Q(
+    "log_template_mine",
+    """WITH lines AS (
+      |  SELECT user_id, ts,
+      |    CASE event_type
+      |      WHEN 'error' THEN
+      |        'svc-' || CAST(user_id % 5 AS VARCHAR) || ' ERROR code=' ||
+      |        CAST(props->>'$.k' AS VARCHAR) || ' failed after ' ||
+      |        CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) || 'ms'
+      |      WHEN 'purchase' THEN
+      |        'svc-' || CAST(user_id % 5 AS VARCHAR) || ' INFO purchase user=' ||
+      |        CAST(user_id AS VARCHAR) || ' amount=' ||
+      |        CAST(CAST(floor(value) AS BIGINT) AS VARCHAR)
+      |      WHEN 'click' THEN
+      |        'svc-' || CAST(user_id % 5 AS VARCHAR) || ' DEBUG click user=' ||
+      |        CAST(user_id AS VARCHAR) || ' pos=' || CAST(props->>'$.k' AS VARCHAR)
+      |      ELSE
+      |        'svc-' || CAST(user_id % 5 AS VARCHAR) || ' INFO ' || event_type ||
+      |        ' user=' || CAST(user_id AS VARCHAR) || ' k=' ||
+      |        CAST(props->>'$.k' AS VARCHAR)
+      |    END AS line
+      |  FROM events),
+      |templ AS (
+      |  SELECT user_id, ts, line,
+      |    regexp_replace(line, '[0-9]+', '<*>', 'g') AS template
+      |  FROM lines)
+      |SELECT substr(md5(template), 1, 8) AS template_id, template,
+      |  regexp_extract(template, '^\S+ (\S+)', 1) AS level,
+      |  COUNT(*) AS n_lines,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  MIN(epoch_us(ts)) AS first_us,
+      |  MAX(epoch_us(ts)) AS last_us,
+      |  MIN(line) AS sample_line
+      |FROM templ GROUP BY template ORDER BY template""".stripMargin) { (s, dir) =>
+    val svc = concat(lit("svc-"), (col("user_id") % 5).cast("string"))
+    val k = expr("CAST(get_json_object(props, '$.k') AS BIGINT)").cast("string")
+    val amt = floor(col("value")).cast("long").cast("string")
+    val line = when(col("event_type") === "error",
+        concat(svc, lit(" ERROR code="), k, lit(" failed after "), amt, lit("ms")))
+      .when(col("event_type") === "purchase",
+        concat(svc, lit(" INFO purchase user="), col("user_id").cast("string"),
+          lit(" amount="), amt))
+      .when(col("event_type") === "click",
+        concat(svc, lit(" DEBUG click user="), col("user_id").cast("string"),
+          lit(" pos="), k))
+      .otherwise(
+        concat(svc, lit(" INFO "), col("event_type"),
+          lit(" user="), col("user_id").cast("string"), lit(" k="), k))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), line.as("line"))
+      .withColumn("template", regexp_replace(col("line"), "[0-9]+", "<*>"))
+      .groupBy("template")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        countDistinct("user_id").as("n_users"),
+        min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"),
+        min("line").as("sample_line"))
+      .select(
+        substring(md5(col("template")), 1, 8).as("template_id"),
+        col("template"),
+        regexp_extract(col("template"), "^\\S+ (\\S+)", 1).as("level"),
+        col("n_lines"), col("n_users"), col("first_us"), col("last_us"),
+        col("sample_line"))
+      .orderBy("template")
+  }
+
+  /** J6b: interval-overlap join with NO shared equi-key — "which sessions
+    * were live during each incident window", across ALL users. The naive
+    * formulation (`s.start <= i.end AND i.start <= s.end` alone) has no
+    * equi-conjunct, so Spark would plan a broadcast-nested-loop scan of
+    * every session for every incident — the classic range-join death at
+    * scale. The scalable rewrite BINS the time axis: each interval
+    * explodes to the 1-hour epoch buckets it touches, the join becomes an
+    * equi-join on bucket, the exact overlap predicate filters within the
+    * bucket, and a distinct collapses intervals that met in several
+    * buckets. Shuffle volume is O(intervals × avg buckets per interval),
+    * keyed by time bucket — uniform by construction, skew-free, and the
+    * plan is a plain SortMergeJoin ([[joinRangeEvents]] covers the easier
+    * case where a user_id equi-key already bounds the pairing).
+    *
+    * Incidents = high-value error events ± 2 min; sessions = the standing
+    * 30-min-gap session table ([[sessionTable]] — shares its one user_id
+    * exchange). Bucket width trades fan-out (wide intervals touch more
+    * buckets) against in-bucket selectivity; 1 h >> the 4-min incident
+    * width keeps incident fan-out at ~1-2 buckets.
+    */
+  val joinIntervalOverlap = Q(
+    "join_interval_overlap",
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flagged),
+      |sessions AS (
+      |  SELECT user_id, session_id,
+      |    epoch_us(MIN(ts)) AS s_start, epoch_us(MAX(ts)) AS s_end
+      |  FROM sess GROUP BY user_id, session_id),
+      |incidents AS (
+      |  SELECT event_id AS incident_id,
+      |    epoch_us(ts) - 120000000 AS i_start,
+      |    epoch_us(ts) + 120000000 AS i_end
+      |  FROM events WHERE event_type = 'error' AND value > 150)
+      |SELECT i.incident_id, COUNT(*) AS n_sessions,
+      |  COUNT(DISTINCT s.user_id) AS n_users
+      |FROM incidents i JOIN sessions s
+      |  ON s.s_start <= i.i_end AND i.i_start <= s.s_end
+      |GROUP BY i.incident_id ORDER BY i.incident_id""".stripMargin) { (s, dir) =>
+    val bucketUs = 3600000000L
+    val sessions = sessionTable(s, dir)
+      .select(col("user_id"), col("session_id"),
+        unix_micros(col("session_start")).as("s_start"),
+        unix_micros(col("session_end")).as("s_end"))
+      .withColumn("bucket",
+        explode(sequence(expr(s"s_start div $bucketUs"), expr(s"s_end div $bucketUs"))))
+    val incidents = Tables.events(s, dir)
+      .filter(col("event_type") === "error" && col("value") > 150)
+      .select(col("event_id").as("incident_id"),
+        (unix_micros(col("ts")) - 120000000L).as("i_start"),
+        (unix_micros(col("ts")) + 120000000L).as("i_end"))
+      .withColumn("bucket",
+        explode(sequence(expr(s"i_start div $bucketUs"), expr(s"i_end div $bucketUs"))))
+    incidents.join(sessions, "bucket")
+      .filter(col("s_start") <= col("i_end") && col("i_start") <= col("s_end"))
+      .select("incident_id", "user_id", "session_id")
+      .distinct()
+      .groupBy("incident_id")
+      .agg(count(lit(1)).as("n_sessions"), countDistinct("user_id").as("n_users"))
+      .orderBy("incident_id")
+  }
+
   val all: Seq[Q] = Seq(
     errorRateDaily, grepRegex, grepMulti, regexExtract, regexReplace, stringFuncs,
     parseFields, timeBuckets, jsonExtract, tokenize, saltedAgg,
@@ -1591,5 +1746,5 @@ object LogOps {
     orcRoundtrip, compactLatest, peakConcurrency, valueHistogram,
     cumulativeUsers, jsonRoundtrip, regression, eventRuns, multilineStitch,
     latencyPercentiles, sessionDurations, typeAffinity, typeTransitions,
-    rollingWau, pagerankTypes, seasonality)
+    rollingWau, pagerankTypes, seasonality, templateMine, joinIntervalOverlap)
 }

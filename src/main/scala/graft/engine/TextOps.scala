@@ -1128,10 +1128,177 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** D7 (Gopher repetition suite, Rae et al. 2021 "Scaling Language Models"
+    * Table A1): per-document repetition signals used as pre-training
+    * filters — the fraction of characters covered by (a) the single most
+    * frequent word 2-gram, (b) the most frequent 3-gram, and (c) ALL
+    * duplicated 3-grams. High values mean boilerplate/spam (navigation
+    * bars, keyword stuffing) and gate the doc out of the training mix.
+    *
+    * Distribution: tokens → n-grams explode to (doc_id, n, gram) rows, so
+    * the one shuffle carries O(tokens) small keys partitioned by doc — no
+    * document ever compares against another (contrast the cross-doc dedup
+    * family). The top-gram pick is a (doc_id, n) window over the post-agg
+    * count table (rows ≈ distinct grams per doc), and the final per-doc
+    * rollup is a conditional agg over ≤2 rows per doc. At 100 TB this is
+    * scan + one token-scale exchange — the same budget as TF-IDF.
+    *
+    * Tie-break: equal-count grams resolve to the lexicographically
+    * smallest (rn orders cnt DESC, gram ASC) — pinned so both engines pick
+    * the same winner. Denominator is the character length of the
+    * re-joined token stream, making the fractions tokenizer-consistent.
+    */
+  val gopherRepetition = Q(
+    "text_gopher_repetition",
+    """WITH base AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+      |  FROM documents),
+      |docs2 AS (
+      |  SELECT doc_id, ts, len(ts) AS n_tok,
+      |    CAST(length(array_to_string(ts, ' ')) AS DOUBLE) AS total_chars
+      |  FROM base WHERE len(ts) >= 3),
+      |grams AS (
+      |  SELECT doc_id, n_tok, total_chars, n, unnest(gs) AS gram FROM (
+      |    SELECT doc_id, n_tok, total_chars, 2 AS n,
+      |      list_transform(range(1, CAST(n_tok AS INTEGER)),
+      |        i -> array_to_string(ts[i:i+1], ' ')) AS gs
+      |    FROM docs2
+      |    UNION ALL
+      |    SELECT doc_id, n_tok, total_chars, 3,
+      |      list_transform(range(1, CAST(n_tok AS INTEGER) - 1),
+      |        i -> array_to_string(ts[i:i+2], ' '))
+      |    FROM docs2) t),
+      |counts AS (
+      |  SELECT doc_id, n_tok, total_chars, n, gram, COUNT(*) AS cnt
+      |  FROM grams GROUP BY 1, 2, 3, 4, 5),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id, n ORDER BY cnt DESC, gram) AS rn
+      |  FROM counts),
+      |per_n AS (
+      |  SELECT doc_id, n_tok, total_chars, n,
+      |    SUM(CASE WHEN rn = 1 THEN cnt * length(gram) ELSE 0 END) AS top_chars,
+      |    SUM(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS dup_chars
+      |  FROM ranked GROUP BY 1, 2, 3, 4)
+      |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+      |  ROUND(CAST(MAX(CASE WHEN n = 2 THEN top_chars END) AS DOUBLE) / total_chars, 4) AS top2_frac,
+      |  ROUND(CAST(MAX(CASE WHEN n = 3 THEN top_chars END) AS DOUBLE) / total_chars, 4) AS top3_frac,
+      |  ROUND(CAST(MAX(CASE WHEN n = 3 THEN dup_chars END) AS DOUBLE) / total_chars, 4) AS dup3_frac
+      |FROM per_n GROUP BY doc_id, n_tok, total_chars
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+    // gram arrays are built off the materialized `ts` alias (not the
+    // inlined split tree) — the text_repetition O(len²) lesson
+    def grams(n: Int): Column = transform(
+      sequence(lit(1), size(col("ts")) - (n - 1)),
+      i => concat_ws(" ", slice(col("ts"), i, lit(n))))
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"),
+        size(col("ts")).cast("long").as("n_tok"),
+        length(concat_ws(" ", col("ts"))).cast("double").as("total_chars"),
+        explode(concat(
+          transform(grams(2), g => struct(lit(2).as("n"), g.as("gram"))),
+          transform(grams(3), g => struct(lit(3).as("n"), g.as("gram"))))).as("g"))
+      .select(col("doc_id"), col("n_tok"), col("total_chars"),
+        col("g.n").as("n"), col("g.gram").as("gram"))
+    val counts = base.groupBy("doc_id", "n_tok", "total_chars", "n", "gram")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("doc_id", "n").orderBy(col("cnt").desc, col("gram").asc)
+    val perN = counts
+      .withColumn("rn", row_number().over(w))
+      .groupBy("doc_id", "n_tok", "total_chars", "n")
+      .agg(
+        sum(when(col("rn") === 1, col("cnt") * length(col("gram"))).otherwise(0L)).as("top_chars"),
+        sum(when(col("cnt") >= 2, col("cnt") * length(col("gram"))).otherwise(0L)).as("dup_chars"))
+    perN.groupBy("doc_id", "n_tok", "total_chars")
+      .agg(
+        round(max(when(col("n") === 2, col("top_chars"))).cast("double") / col("total_chars"), 4).as("top2_frac"),
+        round(max(when(col("n") === 3, col("top_chars"))).cast("double") / col("total_chars"), 4).as("top3_frac"),
+        round(max(when(col("n") === 3, col("dup_chars"))).cast("double") / col("total_chars"), 4).as("dup3_frac"))
+      .select("doc_id", "n_tok", "top2_frac", "top3_frac", "dup3_frac")
+      .orderBy("doc_id")
+  }
+
+  /** D7/D10 (Gopher document-level rules, Rae et al. 2021 Table A1): the
+    * hand-written keep/drop gates applied BEFORE any learned quality
+    * model — word-count bounds, mean-word-length bounds, a minimum
+    * stop-word hit count, and a repetition ceiling (duplicate-trigram
+    * fraction, the map-side twin of [[repetition]]). Emits the raw
+    * signals, each rule's verdict, and the conjunction, so the filter
+    * funnel is auditable per document (which rule killed this doc?).
+    *
+    * Entirely map-side: every signal — including the trigram repetition
+    * fraction, computed with higher-order array functions on the row —
+    * needs no shuffle, so the whole gate fuses into the parquet scan.
+    * That is the production property that matters at 100 TB: quality
+    * gating is a streaming pass, not a job. (The ORDER BY is the dump
+    * contract, not part of the operator.)
+    */
+  val gopherDocFilter = Q(
+    "text_gopher_docfilter",
+    """SELECT doc_id, n_tok, ROUND(mean_tok_len, 4) AS mean_tok_len, stop_hits,
+      |  ROUND(tri_rep, 4) AS tri_rep,
+      |  pass_len, pass_wordlen, pass_stop, pass_rep,
+      |  (pass_len AND pass_wordlen AND pass_stop AND pass_rep) AS keep
+      |FROM (
+      |  SELECT doc_id, n_tok, mean_tok_len, stop_hits, tri_rep,
+      |    (n_tok >= 10 AND n_tok <= 1000) AS pass_len,
+      |    (mean_tok_len >= 2.0 AND mean_tok_len <= 10.0) AS pass_wordlen,
+      |    (stop_hits >= 2) AS pass_stop,
+      |    (tri_rep <= 0.2) AS pass_rep
+      |  FROM (
+      |    SELECT doc_id,
+      |      CAST(len(ts) AS BIGINT) AS n_tok,
+      |      CAST(length(array_to_string(ts, '')) AS DOUBLE) / len(ts) AS mean_tok_len,
+      |      CAST(len(list_filter(ts, t -> t IN ('the', 'a', 'value', 'data'))) AS BIGINT) AS stop_hits,
+      |      CASE WHEN len(ts) >= 3 THEN
+      |        1.0 - CAST(len(list_distinct(tris)) AS DOUBLE) / len(tris)
+      |      ELSE 0.0 END AS tri_rep
+      |    FROM (
+      |      SELECT doc_id, ts,
+      |        list_transform(range(1, CAST(len(ts) AS INTEGER) - 1),
+      |          i -> array_to_string(ts[i:i+2], ' ')) AS tris
+      |      FROM (
+      |        SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+      |        FROM documents) t0
+      |      WHERE len(ts) >= 1) t1) t2) t3
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+    val tris = transform(
+      when(size(col("ts")) >= 3, sequence(lit(1), size(col("ts")) - 2))
+        .otherwise(array().cast("array<int>")),
+      i => concat_ws(" ", slice(col("ts"), i, lit(3))))
+    val triRep = when(size(col("ts")) >= 3,
+      lit(1.0) - size(array_distinct(col("tris"))).cast("double") / size(col("tris")))
+      .otherwise(lit(0.0))
+    val signals = Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("ts"))
+      .filter(size(col("ts")) >= 1)
+      .select(col("doc_id"), col("ts"), tris.as("tris"))
+      .select(
+        col("doc_id"),
+        size(col("ts")).cast("long").as("n_tok"),
+        (length(concat_ws("", col("ts"))).cast("double") / size(col("ts"))).as("mean_tok_len"),
+        size(filter(col("ts"), t => t.isin("the", "a", "value", "data"))).cast("long").as("stop_hits"),
+        triRep.as("tri_rep"))
+    signals
+      .select(col("doc_id"), col("n_tok"), col("mean_tok_len"), col("stop_hits"), col("tri_rep"),
+        (col("n_tok") >= 10 && col("n_tok") <= 1000).as("pass_len"),
+        (col("mean_tok_len") >= 2.0 && col("mean_tok_len") <= 10.0).as("pass_wordlen"),
+        (col("stop_hits") >= 2).as("pass_stop"),
+        (col("tri_rep") <= 0.2).as("pass_rep"))
+      .select(col("doc_id"), col("n_tok"), round(col("mean_tok_len"), 4).as("mean_tok_len"),
+        col("stop_hits"), round(col("tri_rep"), 4).as("tri_rep"),
+        col("pass_len"), col("pass_wordlen"), col("pass_stop"), col("pass_rep"),
+        (col("pass_len") && col("pass_wordlen") && col("pass_stop") && col("pass_rep")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     langProfile, langId, qualityScore, tokenCount, fingerprint,
     winnowFingerprints, winnowPairs, simhash,
     simhashPairs, zipfRanks, repetition, piiScrub, boilerplateNgrams,
     levenshteinPairs, tokenEntropy, unigramLogprob, bigramLogprob, normalize,
-    bpeMerges, bpeApply, qualityClassifier)
+    bpeMerges, bpeApply, qualityClassifier, gopherRepetition, gopherDocFilter)
 }

@@ -247,4 +247,58 @@ class LogOpsSpec extends SparkSpecBase {
     assert(delta < 1e-7, s"iter 11→12 delta $delta — raise prIters")
     assert(math.abs(r12.values.sum - 1.0) < 1e-9, s"mass leak: ${r12.values.sum}")
   }
+
+  test("template mine: variable tokens mask away, lines collapse per shape") {
+    val dir = eventsDir(Seq(
+      (1L, ts(0), 7L, "error", 185.22, """{"k": 87}"""),
+      (2L, ts(1), 3L, "purchase", 9.64, """{"k": 12}"""),
+      (3L, ts(2), 12L, "click", 1.0, """{"k": 5}"""),
+      (4L, ts(3), 1L, "view", 2.0, """{"k": 3}"""),
+      (5L, ts(4), 8L, "error", 50.0, """{"k": 87}""")))
+    val rows = LogOps.templateMine.build(spark, dir)
+      .select("template_id", "template", "level", "n_lines", "n_users", "sample_line")
+      .as[(String, String, String, Long, Long, String)].collect()
+    assert(rows.length === 4) // error ×2 collapse; purchase/click/view distinct
+    val err = rows.find(_._2 == "svc-<*> ERROR code=<*> failed after <*>ms").get
+    assert(err._3 === "ERROR" && err._4 === 2L && err._5 === 2L)
+    // exemplar is the lexicographic min of the two concrete lines
+    assert(err._6 === "svc-2 ERROR code=87 failed after 185ms")
+    // template_id is the stable md5-prefix join key
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(err._2.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(err._1 === hex.substring(0, 8))
+    assert(rows.map(_._3).toSet === Set("ERROR", "INFO", "DEBUG"))
+  }
+
+  test("interval overlap: closed-interval touch counts, bucket dupes collapse") {
+    // incident 100 (min 8, window [6,10]) vs sessions: u0 [0,10] (owns the
+    // error), u1 [7,7], u3 [6,6] (touches i_start exactly — closed
+    // semantics), NOT u7 [55,65]. incident 101 (min 59, window [57,61])
+    // spans the 1h-bucket boundary: u5 [59,59], u6 [61,61] (bucket 1 only),
+    // u7 [55,65] — which meets the incident in BOTH buckets and must be
+    // counted once (the distinct step).
+    val dir = eventsDir(Seq(
+      (1L, ts(0), 0L, "view", 1.0, "{}"),
+      (2L, ts(10), 0L, "view", 1.0, "{}"),
+      (100L, ts(8), 0L, "error", 200.0, "{}"),
+      (3L, ts(7), 1L, "view", 1.0, "{}"),
+      (4L, ts(100), 2L, "view", 1.0, "{}"),
+      (5L, ts(6), 3L, "view", 1.0, "{}"),
+      (101L, ts(59), 5L, "error", 200.0, "{}"),
+      (6L, ts(61), 6L, "view", 1.0, "{}"),
+      (7L, ts(55), 7L, "view", 1.0, "{}"),
+      (8L, ts(65), 7L, "view", 1.0, "{}")))
+    val got = LogOps.joinIntervalOverlap.build(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((100L, 3L, 3L), (101L, 3L, 3L)))
+  }
+
+  test("interval overlap: every incident overlaps at least its own session") {
+    val out = LogOps.joinIntervalOverlap.build(spark, sfDir)
+    import org.apache.spark.sql.functions.col
+    val nIncidents = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("event_type") === "error" && col("value") > 150).count()
+    assert(out.count() === nIncidents)
+    assert(out.filter(col("n_sessions") < 1).count() === 0)
+  }
 }

@@ -111,6 +111,37 @@ class PlanSpec extends SparkSpecBase {
     assert(readSchema.contains("text") && !readSchema.contains("doc_id"), readSchema)
   }
 
+  test("interval overlap joins on the time bucket — equi-join, never nested-loop") {
+    // The operator has NO shared equi-key; the bucket binning must be what
+    // the planner joins on. A BNLJ here means the rewrite regressed to the
+    // every-session×every-incident scan that dies at scale.
+    val plan = planOf(LogOps.joinIntervalOverlap)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    assert(
+      plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+        || plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("bucket"), plan)
+  }
+
+  test("template mine is one events scan feeding a partial-aggregated rollup") {
+    val plan = planOf(LogOps.templateMine)
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 events scan, got $scans\n$plan")
+    // min(sample_line) is a string agg → Spark picks SortAggregate (strings
+    // have no mutable hash buffer); what matters is the map-side partial
+    // stage collapsing lines onto template-cardinality keys before the wire
+    assert(plan.contains("partial_count"), plan)
+    assert("(Hash|Sort)Aggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("gopher doc filter is map-only: no hash exchange anywhere in the plan") {
+    // Every rule — including the trigram repetition fraction — computes
+    // row-local with array functions, so the whole gate fuses into the
+    // scan. The only exchange allowed is the dump ORDER BY's range sort.
+    val plan = planOf(graft.engine.TextOps.gopherDocFilter)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
   test("decontamination broadcasts the eval n-grams; train side joins without sorting") {
     val plan = planOf(LlmOps.decontaminate)
     // the scale contract: the (tiny) benchmark side broadcasts, the

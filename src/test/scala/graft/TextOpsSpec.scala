@@ -334,4 +334,46 @@ class TextOpsSpec extends SparkSpecBase {
     assert(j.filter(col("n_bigrams") =!= col("n_tok") - 1).count() === 0)
     assert(j.filter(col("avg_log2p") > 0).count() === 0)
   }
+
+  test("gopher repetition: top/dup n-gram char fractions on hand-computable docs") {
+    // doc 1 "a b a b c" (9 chars): 2-grams {a b:2, b a:1, b c:1} → top2 =
+    // 2·3/9; 3-grams all distinct → top3 = 5/9 (lexicographic tie → "a b a"),
+    // dup3 = 0. doc 2 "x y x y x y" (11 chars): top2 = 3·3/11; 3-grams both
+    // appear twice → top3 = 2·5/11 with the tie resolving to "x y x", and
+    // dup3 = 20/11 — overlap lets the duplicate mass exceed 1 by design.
+    // doc 3 has <3 tokens and is excluded.
+    val dir = docsDir(Seq((1L, "a b a b c"), (2L, "x y x y x y"), (3L, "a b")))
+    val got = TextOps.gopherRepetition.build(spark, dir)
+      .select("doc_id", "n_tok", "top2_frac", "top3_frac", "dup3_frac")
+      .as[(Long, Long, Double, Double, Double)].collect().toSet
+    assert(got === Set(
+      (1L, 5L, 0.6667, 0.5556, 0.0),
+      (2L, 6L, 0.8182, 0.9091, 1.8182)))
+  }
+
+  test("gopher doc filter: each rule trips on its designed violation") {
+    val dir = docsDir(Seq(
+      // 12 tokens, 2 stopword hits, all trigrams distinct → keep
+      (1L, "the a t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+      // repetitive: tri_rep 0.8 > 0.2; mean token length 1 < 2
+      (2L, "a b a b a b a b a b a b"),
+      // only 3 tokens → fails the word-count floor
+      (3L, "the data value"),
+      // single token → length floor fails, tri_rep guard yields 0
+      (4L, "hi")))
+    val got = TextOps.gopherDocFilter.build(spark, dir)
+      .select("doc_id", "pass_len", "pass_wordlen", "pass_stop", "pass_rep", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)].collect()
+      .map { case (id, a, b, c, d, k) => id -> ((a, b, c, d, k)) }.toMap
+    assert(got(1L) === ((true, true, true, true, true)))
+    assert(got(2L) === ((true, false, true, false, false)))
+    assert(got(3L) === ((false, true, true, true, false)))
+    assert(got(4L) === ((false, true, false, true, false)))
+    val nums = TextOps.gopherDocFilter.build(spark, dir)
+      .select("doc_id", "mean_tok_len", "tri_rep")
+      .as[(Long, Double, Double)].collect()
+      .map { case (id, m, r) => id -> ((m, r)) }.toMap
+    assert(nums(1L)._1 === 2.0833)
+    assert(nums(2L)._2 === 0.8)
+  }
 }
