@@ -43,7 +43,9 @@ object Plans {
     "llm_incremental_dedup" -> "digest probe ships 16-byte hashes; the near-dup postings join is batch x existing (small x large) — the standing corpus never self-joins",
     "join_interval_overlap" -> "no shared equi-key, yet NO BNLJ: time-bucket binning turns the interval predicate into a SortMergeJoin on bucket + in-bucket range filter",
     "log_template_mine" -> "mask + hash-agg in one codegen'd scan pipeline; partial agg collapses onto template-cardinality keys map-side",
-    "text_gopher_docfilter" -> "entirely map-side: every rule (incl. trigram repetition via array ops) fuses into the parquet scan — no exchange at all")
+    "text_gopher_docfilter" -> "entirely map-side: every rule (incl. trigram repetition via array ops) fuses into the parquet scan — no exchange at all",
+    "log_inverted_search" -> "query-term filter sits BEFORE the postings exchange: only rows for the 3 searched tokens shuffle — the probe shape of a persisted token-bucketed index",
+    "text_cdc_chunks" -> "one doc_id exchange orders tokens for the boundary cumsum; chunk digests partial-agg; the digest-df join is unhinted (chunk vocabulary scales with the corpus)")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

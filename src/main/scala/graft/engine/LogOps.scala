@@ -1598,11 +1598,11 @@ object LogOps {
     * RE2 ∩ Java subset. template_id is the first 8 hex of md5 — the
     * stable join key for alert rules and round-over-round diffs.
     */
-  val templateMine = Q(
-    "log_template_mine",
-    """WITH lines AS (
-      |  SELECT user_id, ts,
-      |    CASE event_type
+  /** The synthetic raw-line CASE shared by [[templateMine]] and the
+    * streaming twin's oracle ([[StreamOps]]) — one source of truth so the
+    * batch and stream formulations can never mask different lines. */
+  private[engine] val lineCaseSql: String =
+    """CASE event_type
       |      WHEN 'error' THEN
       |        'svc-' || CAST(user_id % 5 AS VARCHAR) || ' ERROR code=' ||
       |        CAST(props->>'$.k' AS VARCHAR) || ' failed after ' ||
@@ -1618,7 +1618,31 @@ object LogOps {
       |        'svc-' || CAST(user_id % 5 AS VARCHAR) || ' INFO ' || event_type ||
       |        ' user=' || CAST(user_id AS VARCHAR) || ' k=' ||
       |        CAST(props->>'$.k' AS VARCHAR)
-      |    END AS line
+      |    END""".stripMargin
+
+  /** Spark side of [[lineCaseSql]]. */
+  private[graft] def syntheticLine: org.apache.spark.sql.Column = {
+    val svc = concat(lit("svc-"), (col("user_id") % 5).cast("string"))
+    val k = expr("CAST(get_json_object(props, '$.k') AS BIGINT)").cast("string")
+    val amt = floor(col("value")).cast("long").cast("string")
+    when(col("event_type") === "error",
+        concat(svc, lit(" ERROR code="), k, lit(" failed after "), amt, lit("ms")))
+      .when(col("event_type") === "purchase",
+        concat(svc, lit(" INFO purchase user="), col("user_id").cast("string"),
+          lit(" amount="), amt))
+      .when(col("event_type") === "click",
+        concat(svc, lit(" DEBUG click user="), col("user_id").cast("string"),
+          lit(" pos="), k))
+      .otherwise(
+        concat(svc, lit(" INFO "), col("event_type"),
+          lit(" user="), col("user_id").cast("string"), lit(" k="), k))
+  }
+
+  val templateMine = Q(
+    "log_template_mine",
+    raw"""WITH lines AS (
+      |  SELECT user_id, ts,
+      |    $lineCaseSql AS line
       |  FROM events),
       |templ AS (
       |  SELECT user_id, ts, line,
@@ -1632,22 +1656,8 @@ object LogOps {
       |  MAX(epoch_us(ts)) AS last_us,
       |  MIN(line) AS sample_line
       |FROM templ GROUP BY template ORDER BY template""".stripMargin) { (s, dir) =>
-    val svc = concat(lit("svc-"), (col("user_id") % 5).cast("string"))
-    val k = expr("CAST(get_json_object(props, '$.k') AS BIGINT)").cast("string")
-    val amt = floor(col("value")).cast("long").cast("string")
-    val line = when(col("event_type") === "error",
-        concat(svc, lit(" ERROR code="), k, lit(" failed after "), amt, lit("ms")))
-      .when(col("event_type") === "purchase",
-        concat(svc, lit(" INFO purchase user="), col("user_id").cast("string"),
-          lit(" amount="), amt))
-      .when(col("event_type") === "click",
-        concat(svc, lit(" DEBUG click user="), col("user_id").cast("string"),
-          lit(" pos="), k))
-      .otherwise(
-        concat(svc, lit(" INFO "), col("event_type"),
-          lit(" user="), col("user_id").cast("string"), lit(" k="), k))
     Tables.events(s, dir)
-      .select(col("user_id"), col("ts"), line.as("line"))
+      .select(col("user_id"), col("ts"), syntheticLine.as("line"))
       .withColumn("template", regexp_replace(col("line"), "[0-9]+", "<*>"))
       .groupBy("template")
       .agg(
@@ -1736,6 +1746,85 @@ object LogOps {
       .orderBy("incident_id")
   }
 
+  /** Conjunctive term search the way a search engine executes it: build
+    * token postings, probe ONLY the query terms, intersect by doc. The
+    * term filter sits BEFORE the postings shuffle, so the exchange
+    * carries query-term rows only — the same data movement as probing a
+    * persisted token-bucketed posting store, which is what this plan
+    * becomes when the postings are materialized (Sinks' bucketed-layout
+    * pattern). Contrast [[grepRegex]]/[[grepMulti]]: those re-scan text
+    * per query; posting intersection is how a log-search engine answers
+    * `term1 AND term2 AND term3` without touching non-matching lines.
+    * Per-doc term frequencies ride along for ranking.
+    */
+  val invertedSearch = Q(
+    "log_inverted_search",
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(ts, t -> t = 'spark')) AS BIGINT) AS tf_spark,
+      |    CAST(len(list_filter(ts, t -> t = 'join')) AS BIGINT) AS tf_join,
+      |    CAST(len(list_filter(ts, t -> t = 'window')) AS BIGINT) AS tf_window
+      |  FROM toks)
+      |SELECT doc_id, tf_spark, tf_join, tf_window
+      |FROM tf WHERE tf_spark > 0 AND tf_join > 0 AND tf_window > 0
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val terms = Seq("spark", "join", "window")
+    val postings = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok").isin(terms: _*)) // probe: only query terms shuffle
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+    postings.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_terms"),
+        max(when(col("tok") === "spark", col("tf"))).as("tf_spark"),
+        max(when(col("tok") === "join", col("tf"))).as("tf_join"),
+        max(when(col("tok") === "window", col("tf"))).as("tf_window"))
+      .filter(col("n_terms") === terms.length) // conjunctive intersection
+      .select("doc_id", "tf_spark", "tf_join", "tf_window")
+      .orderBy("doc_id")
+  }
+
+  /** Phrase search via POSITIONAL postings — the adjacency join that
+    * makes `"hash join"` different from `hash AND join`. Each query term
+    * keeps its (doc, position) posting rows; the phrase match is an
+    * equi-join on (doc_id, pos+1). This is the standard
+    * positional-inverted-index formulation: the join keys are exact, the
+    * planner hashes them, and non-matching documents never pair. The
+    * oracle cross-checks with a direct per-row adjacency scan — same
+    * answer, scan-shaped; the postings shape is the one that works when
+    * the index is persisted and the query should not re-read every
+    * document.
+    */
+  val phraseSearch = Q(
+    "log_phrase_search",
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(list_filter(range(1, CAST(len(ts) AS INTEGER)),
+      |    i -> ts[i] = 'hash' AND ts[i+1] = 'join')) AS BIGINT) AS n_matches
+      |FROM toks
+      |WHERE len(list_filter(range(1, CAST(len(ts) AS INTEGER)),
+      |    i -> ts[i] = 'hash' AND ts[i+1] = 'join')) > 0
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+    val postings = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+      .filter(col("tok").isin("hash", "join"))
+    val a = postings.filter(col("tok") === "hash")
+      .select(col("doc_id"), col("pos").as("a_pos"))
+    val b = postings.filter(col("tok") === "join")
+      .select(col("doc_id").as("b_id"), col("pos").as("b_pos"))
+    a.join(b, col("doc_id") === col("b_id") && col("b_pos") === col("a_pos") + 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     errorRateDaily, grepRegex, grepMulti, regexExtract, regexReplace, stringFuncs,
     parseFields, timeBuckets, jsonExtract, tokenize, saltedAgg,
@@ -1746,5 +1835,6 @@ object LogOps {
     orcRoundtrip, compactLatest, peakConcurrency, valueHistogram,
     cumulativeUsers, jsonRoundtrip, regression, eventRuns, multilineStitch,
     latencyPercentiles, sessionDurations, typeAffinity, typeTransitions,
-    rollingWau, pagerankTypes, seasonality, templateMine, joinIntervalOverlap)
+    rollingWau, pagerankTypes, seasonality, templateMine, joinIntervalOverlap,
+    invertedSearch, phraseSearch)
 }

@@ -110,6 +110,22 @@ object StreamOps {
     Streaming.tumblingDistinctUsers(Tables.events(s, dir)).orderBy("ws", "event_type")
   }
 
+  /** T1 × template mining twin: per-hour masked-template volumes — the
+    * saved-search dashboard fed continuously. Shares [[LogOps.lineCaseSql]]
+    * with the batch miner so both formulations mask identical lines.
+    */
+  val templateTumbling = Q(
+    "stream_template_1h",
+    s"""WITH lines AS (
+      |  SELECT ts, ${LogOps.lineCaseSql} AS line
+      |  FROM events)
+      |SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws,
+      |  regexp_replace(line, '[0-9]+', '<*>', 'g') AS template,
+      |  COUNT(*) AS n
+      |FROM lines GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Streaming.templateCounts(Tables.events(s, dir)).orderBy("ws", "template")
+  }
+
   val all: Seq[Q] = Seq(tumbling, sliding, sessionWindow, errorBurstsBatch, clickAttrib,
-    hllTumbling)
+    hllTumbling, templateTumbling)
 }

@@ -1295,10 +1295,95 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Expected chunk length for [[cdcChunks]]: a token is a chunk boundary
+    * when its hash ≡ 0 (mod this). */
+  private val cdcMod = 8
+
+  /** Content-defined chunking (the Rabin/LBFS/storage-dedup idea, applied
+    * to text): chunk boundaries are declared where a TOKEN's hash hits a
+    * modulus target, so boundaries are a function of local content, not
+    * byte offsets — an insertion early in a document shifts every
+    * fixed-width block but re-synchronizes CDC chunks within ~one chunk.
+    * Duplicate detection then reduces to exact digest matching on chunks:
+    * per document, the fraction of its chunks whose digest also appears
+    * in ANOTHER document is the storage-style dup profile (the
+    * span-granular complement of [[LlmOps]]' doc-level digest dedup, and
+    * cheaper than shingle joins: each token contributes to exactly ONE
+    * chunk, so the postings side is |tokens|/avg_chunk rows, df-cap-free).
+    *
+    * Distribution: one doc_id exchange orders tokens for the running
+    * boundary count (window sum), chunks partial-agg on (doc_id, chunk);
+    * the digest df table is digest-keyed and joins back unhinted (chunk
+    * vocabulary scales with the corpus — must not broadcast). Token hash
+    * = first-8-md5-hex, the proven cross-engine conversion ([[winnowFps]]).
+    */
+  val cdcChunks = Q(
+    "text_cdc_chunks",
+    s"""WITH toks AS (
+       |  SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, CAST(len(ts) AS INTEGER) + 1),
+       |      i -> struct_pack(pos := i, tok := ts[i]))) AS u
+       |    FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+       |          FROM documents) t0) t1),
+       |flagged AS (
+       |  SELECT doc_id, pos, tok,
+       |    CASE WHEN ('0x' || substr(md5(tok), 1, 8))::BIGINT % $cdcMod = 0
+       |         THEN 1 ELSE 0 END AS boundary
+       |  FROM toks),
+       |numbered AS (
+       |  SELECT doc_id, pos, tok,
+       |    SUM(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk_id
+       |  FROM flagged),
+       |chunks AS (
+       |  SELECT doc_id, chunk_id,
+       |    md5(string_agg(tok, ' ' ORDER BY pos)) AS digest,
+       |    COUNT(*) AS n_tok
+       |  FROM numbered GROUP BY doc_id, chunk_id),
+       |df AS (
+       |  SELECT digest, COUNT(DISTINCT doc_id) AS n_docs
+       |  FROM chunks GROUP BY digest)
+       |SELECT c.doc_id,
+       |  COUNT(*) AS n_chunks,
+       |  ROUND(AVG(CAST(c.n_tok AS DOUBLE)), 4) AS avg_chunk_tok,
+       |  CAST(SUM(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+       |  ROUND(CAST(SUM(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*), 4) AS dup_frac
+       |FROM chunks c JOIN df ON c.digest = df.digest
+       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
+    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+    val tokRows = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"),
+        when(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % cdcMod === 0, 1)
+          .otherwise(0).as("boundary"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val chunks = tokRows
+      .withColumn("chunk_id", sum("boundary").over(w))
+      .groupBy("doc_id", "chunk_id")
+      .agg(
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          e => e.getField("tok")), " ")).as("digest"),
+        count(lit(1)).as("n_tok"))
+    val df = chunks.groupBy("digest").agg(countDistinct("doc_id").as("n_docs"))
+    chunks.join(df, "digest") // unhinted: digest table scales with the corpus
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        round(avg(col("n_tok").cast("double")), 4).as("avg_chunk_tok"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("dup_chunks"),
+        round(sum(when(col("n_docs") >= 2, 1.0).otherwise(0.0)) / count(lit(1)), 4)
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     langProfile, langId, qualityScore, tokenCount, fingerprint,
     winnowFingerprints, winnowPairs, simhash,
     simhashPairs, zipfRanks, repetition, piiScrub, boilerplateNgrams,
     levenshteinPairs, tokenEntropy, unigramLogprob, bigramLogprob, normalize,
-    bpeMerges, bpeApply, qualityClassifier, gopherRepetition, gopherDocFilter)
+    bpeMerges, bpeApply, qualityClassifier, gopherRepetition, gopherDocFilter,
+    cdcChunks)
 }

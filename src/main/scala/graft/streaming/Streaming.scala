@@ -57,6 +57,22 @@ object Streaming {
         count(lit(1)).as("n"))
       .select(col("w.start").as("ws"), col("event_type"), col("approx_users"), col("n"))
 
+  /** T1 × template mining: tumbling 1-hour counts per masked log
+    * TEMPLATE — the live dashboard face of `LogOps.templateMine`. The
+    * mask is a stateless per-row map, so the only streaming state is the
+    * (window × template) count — template cardinality is dozens, making
+    * this the cheapest possible keyed state even at full ingest rate.
+    * New line shapes appear as new keys with no schema change (the
+    * add-a-pattern-not-a-scan property, streaming edition).
+    */
+  def templateCounts(events: DataFrame): DataFrame =
+    events
+      .select(col("ts"), graft.engine.LogOps.syntheticLine.as("line"))
+      .withColumn("template", regexp_replace(col("line"), "[0-9]+", "<*>"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("template"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("template"), col("n"))
+
   /** T2: sliding 1-hour window, 15-minute slide. */
   def slidingCounts(events: DataFrame): DataFrame =
     events

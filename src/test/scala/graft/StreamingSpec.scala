@@ -79,6 +79,26 @@ class StreamingSpec extends SparkSpecBase {
     assert(stream === batch)
   }
 
+  test("template tumbling: stream equals batch; masking leaves no digits") {
+    // real props so the masked variables (code=, k=) actually exist
+    def withProps(df: DataFrame): DataFrame = df.withColumn("props",
+      concat(lit("{\"k\": "), col("event_id").cast("string"), lit("}")))
+    val batch = Streaming.templateCounts(withProps(rows.toDF()))
+      .collect().map(_.toString).sorted.toSeq
+    val input = MemoryStream[Streaming.Ev](spark)
+    val q = Streaming.templateCounts(withProps(input.toDF()))
+      .writeStream.format("memory").queryName("templ").outputMode("complete").start()
+    try {
+      input.addData(rows.take(4)); q.processAllAvailable()
+      input.addData(rows.drop(4)); q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("templ").collect().map(_.toString).sorted.toSeq
+    assert(stream === batch)
+    val templates = spark.table("templ").select("template").as[String].collect()
+    assert(templates.nonEmpty)
+    assert(templates.forall(t => !t.exists(_.isDigit)), templates.mkString("; "))
+  }
+
   test("hll tumbling distinct users: stream equals batch, estimate exact at hand scale") {
     val batch = Streaming.tumblingDistinctUsers(toDf(rows)).collect().map(_.toString).sorted.toSeq
     val stream = runStream(Streaming.tumblingDistinctUsers, "complete",

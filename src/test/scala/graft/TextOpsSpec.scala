@@ -376,4 +376,45 @@ class TextOpsSpec extends SparkSpecBase {
     assert(nums(1L)._1 === 2.0833)
     assert(nums(2L)._2 === 0.8)
   }
+
+  test("inverted search: conjunctive AND over postings with per-term tf") {
+    val dir = docsDir(Seq(
+      (1L, "spark join window"),
+      (2L, "spark join"), // missing 'window' → intersection drops it
+      (3L, "window spark join window spark")))
+    val got = graft.engine.LogOps.invertedSearch.build(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 1L, 1L, 1L), (3L, 2L, 1L, 2L)))
+  }
+
+  test("phrase search: adjacency join counts exact 'hash join' occurrences") {
+    val dir = docsDir(Seq(
+      (1L, "the hash join wins"),
+      (2L, "join hash"), // reversed order is NOT the phrase
+      (3L, "hash join hash join")))
+    val got = graft.engine.LogOps.phraseSearch.build(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 1L), (3L, 2L)))
+  }
+
+  test("cdc chunks: content-defined boundaries re-sync after an insertion") {
+    // B = A with one token prepended. Fixed-width blocks would all shift;
+    // CDC boundaries depend only on token content, so every chunk after
+    // the first boundary is byte-identical between A and B → dup counts
+    // within 2 chunks of total. C shares no vocabulary → zero dup chunks.
+    val aToks = (0 until 80).map(i => s"tok${i % 40}")
+    val dir = docsDir(Seq(
+      (1L, aToks.mkString(" ")),
+      (2L, ("inserted" +: aToks).mkString(" ")),
+      (3L, (0 until 40).map(i => s"uniq$i").mkString(" "))))
+    val got = TextOps.cdcChunks.build(spark, dir)
+      .select("doc_id", "n_chunks", "dup_chunks")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val (na, da) = got(1L)
+    val (nb, db) = got(2L)
+    assert(na > 2, s"fixture too short to chunk: $na chunks")
+    assert(da >= na - 2, s"A shares all but its head chunk: $da of $na")
+    assert(db >= nb - 2, s"B re-syncs within one chunk: $db of $nb")
+    assert(got(3L)._2 === 0L)
+  }
 }
