@@ -45,6 +45,7 @@ object Plans {
     "log_template_mine" -> "mask + hash-agg in one codegen'd scan pipeline; partial agg collapses onto template-cardinality keys map-side",
     "text_gopher_docfilter" -> "entirely map-side: every rule (incl. trigram repetition via array ops) fuses into the parquet scan — no exchange at all",
     "log_inverted_search" -> "query-term filter sits BEFORE the postings exchange: only rows for the 3 searched tokens shuffle — the probe shape of a persisted token-bucketed index",
+    "text_gopher_repetition" -> "one corpus-sized doc_id exchange up front; the gram count, (doc,n) window and per-doc rollup all reuse it — gram rows never cross the wire (was 3 exchanges, 31.1->5.4 s at x10)",
     "text_cdc_chunks" -> "one doc_id exchange orders tokens for the boundary cumsum; chunk digests partial-agg; the digest-df join is unhinted (chunk vocabulary scales with the corpus)")
 
   def main(args: Array[String]): Unit = {

@@ -146,7 +146,17 @@ object Soak {
       // protocol is exactly its cap-binding measurement) and the
       // batch×existing ingest dedup (verbatim replication multiplies the
       // existing-side df ×factor — the cap's designed worst case again)
-      "text_levenshtein_pairs", "llm_incremental_dedup")
+      "text_levenshtein_pairs", "llm_incremental_dedup",
+      // round 5b: gram-explode repetition profile (tokens×2 shuffle rows),
+      // CDC chunking (token posexplode + boundary window + digest df
+      // join — verbatim 10× makes every chunk digest's df ×10), the
+      // bucket-binned interval join (10× sessions × 10× incidents meet
+      // only within shared hour buckets), posting search (term filter
+      // before the shuffle caps moved rows at query-term frequency),
+      // and the template miners (template-cardinality agg state)
+      "text_gopher_repetition", "text_cdc_chunks", "join_interval_overlap",
+      "log_inverted_search", "log_phrase_search", "log_template_mine",
+      "stream_template_1h")
     heavy.filter(n => only.forall(_.contains(n))).foreach { name =>
       val fn = SparkEntry.queries(name)
       try { fn(spark, dir).count() } catch { case _: Throwable => () } // warm

@@ -70,6 +70,52 @@ object Sinks {
     writeSized(codes, s"$path/codes", codeFiles)
   }
 
+  /** Positional posting store: the persisted form of the inverted index
+    * behind `log_inverted_search` / `log_phrase_search`. Postings
+    * (tok, doc_id, pos) are laid out partitioned by `tok_bucket =
+    * pmod(hash(tok), buckets)` so a term query prunes to the directories
+    * its terms hash into — the corpus text is read ONCE at build time and
+    * never again; every subsequent search touches |terms| buckets of
+    * posting rows. Bucket-by-hash (not by token) keeps directory count
+    * bounded as the vocabulary grows Heaps-law-style at 100 TB; the
+    * pre-write repartition is the same small-files control as
+    * [[writeEventsByDay]].
+    */
+  def writePostings(docs: DataFrame, path: String, buckets: Int = 64): Unit = {
+    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+    docs
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+      .withColumn("tok_bucket", pmod(hash(col("tok")), lit(buckets)))
+      .repartition(col("tok_bucket"))
+      .write.mode("overwrite")
+      .option("compression", "zstd")
+      .partitionBy("tok_bucket")
+      .parquet(path)
+  }
+
+  /** Conjunctive-AND probe of a [[writePostings]] store: resolves each
+    * term's bucket (the same `hash` the writer used, evaluated on a
+    * terms-sized local frame), filters on the PARTITION column so the
+    * scan prunes to those directories, then intersects by doc. Returns
+    * (doc_id, n_terms-matched tf columns absent — callers rank on top).
+    * StorageLayoutSpec proves the pruning AND that the answer equals the
+    * raw-scan `log_inverted_search` formulation.
+    */
+  def probePostings(spark: org.apache.spark.sql.SparkSession, path: String,
+                    terms: Seq[String], buckets: Int = 64): DataFrame = {
+    import spark.implicits._
+    val bucketIds = terms.toDF("t")
+      .select(pmod(hash(col("t")), lit(buckets)).as("b"))
+      .as[Int].collect().toSeq.distinct
+    spark.read.parquet(path)
+      .filter(col("tok_bucket").isin(bucketIds: _*)) // partition pruning
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id")
+      .agg(countDistinct("tok").as("n_terms"))
+      .filter(col("n_terms") === terms.length)
+      .select("doc_id")
+  }
+
   /** HLL sketch store: persist (key…, day, sk: binary) daily Datasketches
     * HLL sketches, day-partitioned so a date-range union prunes whole
     * directories. This is the production range-query lifecycle behind

@@ -10,6 +10,7 @@ import org.apache.spark.sql.functions._
   * when someone reorganizes storage.
   */
 class StorageLayoutSpec extends SparkSpecBase {
+  import spark.implicits._
 
   private lazy val tmp =
     java.nio.file.Files.createTempDirectory("graft-layout").toString
@@ -35,6 +36,34 @@ class StorageLayoutSpec extends SparkSpecBase {
       .head.metrics("numFiles").value
     val totalFiles = all.inputFiles.length
     assert(numFiles >= 1 && numFiles < totalFiles, s"files=$numFiles of $totalFiles")
+  }
+
+  test("posting store: term probe prunes to the terms' hash buckets, equals raw scan") {
+    val dir = s"$tmp/postings"
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+    graft.sources.Sinks.writePostings(docs, dir, buckets = 16)
+
+    val terms = Seq("spark", "join", "window")
+    val probe = graft.sources.Sinks.probePostings(spark, dir, terms, buckets = 16)
+    // the bucket predicate must land in the scan's PartitionFilters
+    // (directory pruning), not a post-scan filter; sparkPlan is the
+    // pre-AQE tree where the FileSourceScanExec is directly visible
+    val scan = probe.queryExecution.sparkPlan
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.head
+    assert(scan.partitionFilters.exists(_.toString.contains("tok_bucket")),
+      scan.partitionFilters.mkString("; "))
+    val got = probe.as[Long].collect().sorted.toSeq
+    // fewer files listed under the pruned directories than the full store
+    val numFiles = scan.relation.location
+      .listFiles(scan.partitionFilters, Nil).map(_.files.size).sum
+    val totalFiles = spark.read.parquet(dir).inputFiles.length
+    assert(numFiles < totalFiles, s"probe read $numFiles of $totalFiles files")
+    // the persisted-index probe answers exactly what the raw-scan
+    // formulation answers
+    val rawScan = graft.engine.LogOps.invertedSearch.build(spark, sfDir)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got === rawScan)
+    assert(got.nonEmpty)
   }
 
   test("bucketed fact-fact join: no exchange on either side") {
