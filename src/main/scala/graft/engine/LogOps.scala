@@ -1825,6 +1825,64 @@ object LogOps {
       .orderBy("doc_id")
   }
 
+  /** Interval UNION (merge-overlapping) — the classic incident→outage
+    * rollup: individual ±2-min incident windows that overlap or touch
+    * collapse into one outage with a span and an incident count. The
+    * sweep is a running max of interval ends: a window starts a NEW
+    * outage iff its start exceeds every previous end (closed-interval
+    * touch merges, matching [[joinIntervalOverlap]]'s convention).
+    * Partitioned by day so the window state is day-bounded at 100 TB
+    * (an outage crossing midnight reports as two rows — the documented
+    * trade for a partitionable sweep; [[peakConcurrency]] made the same
+    * call). One day-keyed exchange, post-agg rows = outages.
+    */
+  val outageWindows = Q(
+    "log_outage_windows",
+    """WITH incidents AS (
+      |  SELECT event_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |    epoch_us(ts) - 120000000 AS i_start,
+      |    epoch_us(ts) + 120000000 AS i_end
+      |  FROM events WHERE event_type = 'error' AND value > 150),
+      |flagged AS (
+      |  SELECT day, event_id, i_start, i_end,
+      |    CASE WHEN max(i_end) OVER (PARTITION BY day ORDER BY i_start, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |           OR i_start > max(i_end) OVER (PARTITION BY day ORDER BY i_start, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |         THEN 1 ELSE 0 END AS new_outage
+      |  FROM incidents),
+      |numbered AS (
+      |  SELECT day, event_id, i_start, i_end,
+      |    CAST(SUM(new_outage) OVER (PARTITION BY day ORDER BY i_start, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS outage_id
+      |  FROM flagged)
+      |SELECT day, outage_id, COUNT(*) AS n_incidents,
+      |  MIN(i_start) AS start_us, MAX(i_end) AS end_us,
+      |  ROUND(CAST(MAX(i_end) - MIN(i_start) AS DOUBLE) / 1000000, 4) AS duration_s
+      |FROM numbered GROUP BY day, outage_id
+      |ORDER BY day, outage_id""".stripMargin) { (s, dir) =>
+    val incidents = Tables.events(s, dir)
+      .filter(col("event_type") === "error" && col("value") > 150)
+      .select(col("event_id"), date_trunc("day", col("ts")).as("day"),
+        (unix_micros(col("ts")) - 120000000L).as("i_start"),
+        (unix_micros(col("ts")) + 120000000L).as("i_end"))
+    val order = Window.partitionBy("day").orderBy(col("i_start"), col("event_id"))
+    val prevMax = max("i_end").over(order.rowsBetween(Window.unboundedPreceding, -1))
+    incidents
+      .withColumn("new_outage",
+        when(prevMax.isNull || col("i_start") > prevMax, 1).otherwise(0))
+      .withColumn("outage_id",
+        sum("new_outage").over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .groupBy("day", "outage_id")
+      .agg(
+        count(lit(1)).as("n_incidents"),
+        min("i_start").as("start_us"),
+        max("i_end").as("end_us"),
+        round((max("i_end") - min("i_start")).cast("double") / 1000000L, 4).as("duration_s"))
+      .orderBy("day", "outage_id")
+  }
+
   val all: Seq[Q] = Seq(
     errorRateDaily, grepRegex, grepMulti, regexExtract, regexReplace, stringFuncs,
     parseFields, timeBuckets, jsonExtract, tokenize, saltedAgg,
@@ -1836,5 +1894,5 @@ object LogOps {
     cumulativeUsers, jsonRoundtrip, regression, eventRuns, multilineStitch,
     latencyPercentiles, sessionDurations, typeAffinity, typeTransitions,
     rollingWau, pagerankTypes, seasonality, templateMine, joinIntervalOverlap,
-    invertedSearch, phraseSearch)
+    invertedSearch, phraseSearch, outageWindows)
 }

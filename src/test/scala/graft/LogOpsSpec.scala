@@ -293,6 +293,25 @@ class LogOpsSpec extends SparkSpecBase {
     assert(got === Set((100L, 3L, 3L), (101L, 3L, 3L)))
   }
 
+  test("outage windows: overlapping and touching incidents merge, gaps split") {
+    // incidents at minutes 10, 12, 16 → windows [8,12], [10,14], [14,18]:
+    // the first two overlap and the third TOUCHES the running max end
+    // (closed-interval semantics) → one outage [8,18] with 3 incidents.
+    // Minute 40 → [38,42] stands alone. Low-value and non-error events
+    // are not incidents.
+    val dir = eventsDir(Seq(
+      (1L, ts(10), 0L, "error", 200.0, "{}"),
+      (2L, ts(12), 1L, "error", 200.0, "{}"),
+      (3L, ts(16), 2L, "error", 200.0, "{}"),
+      (4L, ts(40), 3L, "error", 200.0, "{}"),
+      (5L, ts(11), 4L, "error", 50.0, "{}"),  // below the value threshold
+      (6L, ts(13), 5L, "view", 200.0, "{}"))) // not an error
+    val got = LogOps.outageWindows.build(spark, dir)
+      .select("outage_id", "n_incidents", "duration_s")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === Set((1L, 3L, 600.0), (2L, 1L, 240.0)))
+  }
+
   test("interval overlap: every incident overlaps at least its own session") {
     val out = LogOps.joinIntervalOverlap.build(spark, sfDir)
     import org.apache.spark.sql.functions.col
