@@ -1825,6 +1825,60 @@ object LogOps {
       .orderBy("doc_id")
   }
 
+  /** Proximity (NEAR/k) search: documents where two terms occur within
+    * k = 4 tokens of each other, either order — the search-engine
+    * feature between AND-search (no position constraint,
+    * [[invertedSearch]]) and phrase search (exact adjacency,
+    * [[phraseSearch]]). The position join uses the SAME binning rewrite
+    * as [[joinIntervalOverlap]], one level down: positions bin into
+    * width-k buckets, one side explodes to its ±1 neighbor buckets, the
+    * join is an equi-join on (doc, bucket), and the |pa−pb| ≤ k filter
+    * runs within the bucket. A frequent-term document thus pairs its
+    * postings per bucket neighborhood, never per document — the per-doc
+    * positions cartesian the naive `ON doc` join would do is exactly
+    * what dies on stopword-frequency terms at scale. Each qualifying
+    * pair matches exactly once (pa's bucket is unique; pb meets it in
+    * one of its three exploded buckets), so no dedup step is needed.
+    */
+  val proximitySearch = Q(
+    "log_proximity_search",
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id,
+      |    list_filter(range(1, CAST(len(ts) AS INTEGER) + 1), i -> ts[i] = 'spark') AS pa,
+      |    list_filter(range(1, CAST(len(ts) AS INTEGER) + 1), i -> ts[i] = 'vector') AS pb
+      |  FROM toks),
+      |d AS (
+      |  SELECT doc_id,
+      |    list_filter(flatten(list_transform(pa,
+      |      x -> list_transform(pb, y -> abs(x - y)))), z -> z <= 4) AS hits
+      |  FROM pos)
+      |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_pairs,
+      |  CAST(list_min(hits) AS BIGINT) AS min_dist
+      |FROM d WHERE len(hits) > 0 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val k = 4
+    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+    val postings = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos0", "tok")))
+      .filter(col("tok").isin("spark", "vector"))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+    val a = postings.filter(col("tok") === "spark")
+      .select(col("doc_id"), col("pos").as("pa"))
+      .withColumn("bucket", expr(s"pa div $k"))
+    val b = postings.filter(col("tok") === "vector")
+      .select(col("doc_id").as("b_id"), col("pos").as("pb"))
+      .withColumn("bucket",
+        explode(sequence(expr(s"pb div $k - 1"), expr(s"pb div $k + 1"))))
+    a.join(b, col("doc_id") === col("b_id") && a("bucket") === b("bucket"))
+      .filter(abs(col("pa") - col("pb")) <= k)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("pa") - col("pb"))).cast("long").as("min_dist"))
+      .orderBy("doc_id")
+  }
+
   /** Interval UNION (merge-overlapping) — the classic incident→outage
     * rollup: individual ±2-min incident windows that overlap or touch
     * collapse into one outage with a span and an incident count. The
@@ -1894,5 +1948,5 @@ object LogOps {
     cumulativeUsers, jsonRoundtrip, regression, eventRuns, multilineStitch,
     latencyPercentiles, sessionDurations, typeAffinity, typeTransitions,
     rollingWau, pagerankTypes, seasonality, templateMine, joinIntervalOverlap,
-    invertedSearch, phraseSearch, outageWindows)
+    invertedSearch, phraseSearch, outageWindows, proximitySearch)
 }

@@ -397,6 +397,19 @@ class TextOpsSpec extends SparkSpecBase {
     assert(got === Set((1L, 1L), (3L, 2L)))
   }
 
+  test("proximity search: NEAR/4 counts pairs either order; bucket edges included") {
+    val dir = docsDir(Seq(
+      (1L, "spark a b c vector"),        // dist 4 — at the k bound, counts
+      (2L, "vector spark"),              // reversed order, dist 1
+      (3L, "spark a b c d vector"),      // dist 5 — excluded
+      (4L, "spark vector spark"),        // two pairs, min dist 1
+      (5L, "a b spark c d e vector")))   // pa=3 (bucket 0), pb=7 (bucket 1): the
+                                         // cross-bucket case the ±1 explode covers
+    val got = graft.engine.LogOps.proximitySearch.build(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 1L, 4L), (2L, 1L, 1L), (4L, 2L, 1L), (5L, 1L, 4L)))
+  }
+
   test("cdc chunks: content-defined boundaries re-sync after an insertion") {
     // B = A with one token prepended. Fixed-width blocks would all shift;
     // CDC boundaries depend only on token content, so every chunk after
