@@ -274,6 +274,93 @@ class PropertySpec extends SparkSpecBase {
     assert(got === exp.map { case ((a, b), c) => (a, b, c) }.toSet)
   }
 
+  test("cdc chunks: identical docs chunk identically and dup at 1.0") {
+    import spark.implicits._
+    // pools chosen so duplicate texts occur; any doc whose text appears
+    // twice in the corpus must have EVERY chunk duplicated (dup_frac 1.0)
+    // and the same chunk profile as its twin — content-defined boundaries
+    // depend only on content.
+    val docsGen = Gen.chooseNum(4, 24).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf("a b c d e f g h", "x y z w v u", "p q r s", "one two three four five",
+        "m n o p q r s t u")))
+    check(Prop.forAll(docsGen) { texts =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-prop-cdc").toString
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "src0", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val rows = graft.engine.TextOps.cdcChunks.build(spark, dir)
+        .select("doc_id", "n_chunks", "avg_chunk_tok", "dup_frac")
+        .as[(Long, Long, Double, Double)].collect()
+      val byId = rows.map(r => r._1 -> r).toMap
+      val dupTexts = texts.zipWithIndex.groupBy(_._1).filter(_._2.size >= 2)
+      dupTexts.forall { case (_, occ) =>
+        val profs = occ.map { case (_, i) => byId(i.toLong) }
+        profs.forall(_._4 == 1.0) &&
+          profs.map(p => (p._2, p._3)).distinct.size == 1
+      }
+    }, cases = 6)
+  }
+
+  test("proximity search equals the brute-force position scan on any doc") {
+    import spark.implicits._
+    val tokGen = Gen.oneOf("spark", "vector", "x", "y")
+    val docsGen = Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n,
+      Gen.chooseNum(1, 20).flatMap(m => Gen.listOfN(m, tokGen))))
+    check(Prop.forAll(docsGen) { docToks =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-prop-prox").toString
+      docToks.zipWithIndex.map { case (ts, i) =>
+        val t = ts.mkString(" "); (i.toLong, t, "en", "src0", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = graft.engine.LogOps.proximitySearch.build(spark, dir)
+        .as[(Long, Long, Long)].collect().toSet
+      val expected = docToks.zipWithIndex.flatMap { case (ts, i) =>
+        val pa = ts.zipWithIndex.collect { case ("spark", p) => p + 1 }
+        val pb = ts.zipWithIndex.collect { case ("vector", p) => p + 1 }
+        val dists = for (a <- pa; b <- pb; d = math.abs(a - b) if d <= 4) yield d.toLong
+        if (dists.isEmpty) None
+        else Some((i.toLong, dists.size.toLong, dists.min))
+      }.toSet
+      got == expected
+    }, cases = 6)
+  }
+
+  test("outage windows equal the brute-force interval merge on any incident set") {
+    import spark.implicits._
+    // minutes 0..600 stay inside one day, so the day partition is a no-op
+    // and the merge semantics alone are under test
+    val evGen = Gen.chooseNum(1, 25).flatMap(n => Gen.listOfN(n, for {
+      minute <- Gen.chooseNum(0, 600)
+      value <- Gen.oneOf(50.0, 200.0)
+      typ <- Gen.oneOf("error", "view")
+    } yield (minute, value, typ)))
+    check(Prop.forAll(evGen) { evs =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-prop-outage").toString
+      evs.zipWithIndex.map { case ((m, v, t), i) =>
+        (i.toLong, new java.sql.Timestamp(1704067200000L + m * 60000L), i.toLong, t, v, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val got = graft.engine.LogOps.outageWindows.build(spark, dir)
+        .select("outage_id", "n_incidents", "start_us", "end_us")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // brute force: sort incident windows, merge when start <= running max end
+      val base = 1704067200000000L
+      val incidents = evs.zipWithIndex
+        .collect { case ((m, v, "error"), i) if v > 150 =>
+          (base + m * 60000000L - 120000000L, base + m * 60000000L + 120000000L, i.toLong) }
+        .sortBy(w => (w._1, w._3))
+      val merged = incidents.foldLeft(List.empty[(Long, Long, Long)]) {
+        case (acc, (s0, e0, _)) => acc match {
+          case (s1, e1, n) :: rest if s0 <= e1 => (s1, math.max(e0, e1), n + 1) :: rest
+          case _ => (s0, e0, 1L) :: acc
+        }
+      }.reverse
+      val expected = merged.zipWithIndex
+        .map { case ((s0, e0, n), i) => (i + 1L, n, s0, e0) }.toSet
+      got == expected
+    }, cases = 8)
+  }
+
   test("type affinity basket cap binds on a saturated basket") {
     import spark.implicits._
     val cap = graft.engine.LogOps.maxAffinityItems
