@@ -1879,6 +1879,64 @@ object LogOps {
       .orderBy("doc_id")
   }
 
+  /** Per-day distribution-drift score — the data-drift monitor a
+    * training pipeline runs on every feature: KL(day ‖ global) over a
+    * 10-bin equal-width histogram of `value`. A drifting day (sensor
+    * recalibration, a client rollout changing the value mix) scores high
+    * even when volumes look normal; KL is the standard drift statistic
+    * (PSI is the same sum with a symmetrizing term).
+    *
+    * Distribution: global min/max and the global bin profile are
+    * single-row / ≤10-row aggregates broadcast back (the metadata-rebase
+    * pattern — PlanSpec-allowlisted); the per-(day, bin) counts
+    * partial-agg onto ≤ days×10 keys. Every ratio derives from integer
+    * counts, and the final sum is ≤10 doubles per day, so round(4)
+    * absorbs summation-order drift (the token-entropy precedent).
+    * day-partition p(bin) > 0 implies global p(bin) > 0 (subset), so the
+    * log never sees a zero denominator.
+    */
+  val driftDaily = Q(
+    "log_drift_daily",
+    """WITH bounds AS (
+      |  SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM events),
+      |binned AS (
+      |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |    CASE WHEN vmax > vmin
+      |         THEN LEAST(9, CAST(floor((value - vmin) / (vmax - vmin) * 10) AS INTEGER))
+      |         ELSE 0 END AS bin
+      |  FROM events CROSS JOIN bounds),
+      |g AS (SELECT bin, COUNT(*) AS cg FROM binned GROUP BY bin),
+      |gn AS (SELECT CAST(SUM(cg) AS BIGINT) AS ng FROM g),
+      |d AS (SELECT day, bin, COUNT(*) AS cd FROM binned GROUP BY day, bin),
+      |dn AS (SELECT day, CAST(SUM(cd) AS BIGINT) AS nd FROM d GROUP BY day)
+      |SELECT d.day, dn.nd AS n_events,
+      |  ROUND(SUM((CAST(cd AS DOUBLE) / nd)
+      |    * ln((CAST(cd AS DOUBLE) * ng) / (CAST(nd AS DOUBLE) * cg))), 4) AS kl
+      |FROM d JOIN dn ON d.day = dn.day JOIN g ON d.bin = g.bin CROSS JOIN gn
+      |GROUP BY d.day, dn.nd ORDER BY d.day""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select(date_trunc("day", col("ts")).as("day"), col("value"))
+    val bounds = ev.agg(min("value").as("vmin"), max("value").as("vmax"))
+    val binned = ev.crossJoin(broadcast(bounds))
+      .select(col("day"),
+        when(col("vmax") > col("vmin"),
+          least(lit(9),
+            floor((col("value") - col("vmin")) / (col("vmax") - col("vmin")) * 10)
+              .cast("int")))
+          .otherwise(0).as("bin"))
+    val g = binned.groupBy("bin").agg(count(lit(1)).as("cg"))
+    val gn = g.agg(sum("cg").as("ng"))
+    val d = binned.groupBy("day", "bin").agg(count(lit(1)).as("cd"))
+    val dn = d.groupBy("day").agg(sum("cd").as("nd"))
+    d.join(dn, "day").join(broadcast(g), "bin").crossJoin(broadcast(gn))
+      .groupBy(col("day"), col("nd"))
+      .agg(round(sum((col("cd").cast("double") / col("nd"))
+        * log((col("cd").cast("double") * col("ng"))
+          / (col("nd").cast("double") * col("cg")))), 4).as("kl"))
+      .select(col("day"), col("nd").as("n_events"), col("kl"))
+      .orderBy("day")
+  }
+
   /** Interval UNION (merge-overlapping) — the classic incident→outage
     * rollup: individual ±2-min incident windows that overlap or touch
     * collapse into one outage with a span and an incident count. The
@@ -1948,5 +2006,5 @@ object LogOps {
     cumulativeUsers, jsonRoundtrip, regression, eventRuns, multilineStitch,
     latencyPercentiles, sessionDurations, typeAffinity, typeTransitions,
     rollingWau, pagerankTypes, seasonality, templateMine, joinIntervalOverlap,
-    invertedSearch, phraseSearch, outageWindows, proximitySearch)
+    invertedSearch, phraseSearch, outageWindows, proximitySearch, driftDaily)
 }

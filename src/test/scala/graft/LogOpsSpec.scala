@@ -312,6 +312,35 @@ class LogOpsSpec extends SparkSpecBase {
     assert(got === Set((1L, 3L, 600.0), (2L, 1L, 240.0)))
   }
 
+  test("drift: KL per day matches hand computation; identical days score 0") {
+    def day(d: Int, m: Int) = new Timestamp(1704067200000L + (d * 1440 + m) * 60000L)
+    // vmin=0, vmax=10 → values 0 and 10 land in bins 0 and 9.
+    // day 1: 2@0 + 2@9 (p = .5/.5); day 2: 3@0 + 1@9 (p = .75/.25);
+    // global: 5/8 and 3/8 → KL₁ = .5·ln(.5/.625)+.5·ln(.5/.375) = 0.0323,
+    // KL₂ = .75·ln(.75/.625)+.25·ln(.25/.375) = 0.0354.
+    val dir = eventsDir(Seq(
+      (1L, day(0, 0), 0L, "view", 0.0, "{}"),
+      (2L, day(0, 1), 0L, "view", 0.0, "{}"),
+      (3L, day(0, 2), 0L, "view", 10.0, "{}"),
+      (4L, day(0, 3), 0L, "view", 10.0, "{}"),
+      (5L, day(1, 0), 0L, "view", 0.0, "{}"),
+      (6L, day(1, 1), 0L, "view", 0.0, "{}"),
+      (7L, day(1, 2), 0L, "view", 0.0, "{}"),
+      (8L, day(1, 3), 0L, "view", 10.0, "{}")))
+    val got = LogOps.driftDaily.build(spark, dir)
+      .select("n_events", "kl").as[(Long, Double)].collect().toSeq
+    assert(got === Seq((4L, 0.0323), (4L, 0.0354)))
+    // two identically-distributed days: every p_day == p_global → KL 0
+    val dir2 = eventsDir(Seq(
+      (1L, day(0, 0), 0L, "view", 0.0, "{}"),
+      (2L, day(0, 1), 0L, "view", 10.0, "{}"),
+      (3L, day(1, 0), 0L, "view", 0.0, "{}"),
+      (4L, day(1, 1), 0L, "view", 10.0, "{}")))
+    val zeros = LogOps.driftDaily.build(spark, dir2)
+      .select("kl").as[Double].collect().toSeq
+    assert(zeros === Seq(0.0, 0.0))
+  }
+
   test("interval overlap: every incident overlaps at least its own session") {
     val out = LogOps.joinIntervalOverlap.build(spark, sfDir)
     import org.apache.spark.sql.functions.col
