@@ -90,24 +90,31 @@ object Sinks {
       .write.mode("overwrite")
       .option("compression", "zstd")
       .partitionBy("tok_bucket")
-      .parquet(path)
+      .parquet(s"$path/postings")
+    // the bucket count is part of the store, not a caller convention: a
+    // prober hashing into a DIFFERENT modulus than the writer would prune
+    // to the wrong directories and silently return misses
+    writeSized(docs.sparkSession.range(1).select(lit(buckets).as("buckets")),
+      s"$path/meta", 1)
   }
 
-  /** Conjunctive-AND probe of a [[writePostings]] store: resolves each
-    * term's bucket (the same `hash` the writer used, evaluated on a
-    * terms-sized local frame), filters on the PARTITION column so the
-    * scan prunes to those directories, then intersects by doc. Returns
-    * (doc_id, n_terms-matched tf columns absent — callers rank on top).
-    * StorageLayoutSpec proves the pruning AND that the answer equals the
-    * raw-scan `log_inverted_search` formulation.
+  /** Conjunctive-AND probe of a [[writePostings]] store: reads the bucket
+    * modulus from the store's own meta (never a caller-supplied count —
+    * see the writer note), resolves each term's bucket with the same
+    * `hash` the writer used, filters on the PARTITION column so the scan
+    * prunes to those directories, then intersects by doc. Returns doc_ids
+    * matching ALL terms. StorageLayoutSpec proves the pruning AND that
+    * the answer equals the raw-scan `log_inverted_search` formulation.
     */
   def probePostings(spark: org.apache.spark.sql.SparkSession, path: String,
-                    terms: Seq[String], buckets: Int = 64): DataFrame = {
+                    terms: Seq[String]): DataFrame = {
     import spark.implicits._
+    val buckets = spark.read.parquet(s"$path/meta").select("buckets")
+      .as[Int].head()
     val bucketIds = terms.toDF("t")
       .select(pmod(hash(col("t")), lit(buckets)).as("b"))
       .as[Int].collect().toSeq.distinct
-    spark.read.parquet(path)
+    spark.read.parquet(s"$path/postings")
       .filter(col("tok_bucket").isin(bucketIds: _*)) // partition pruning
       .filter(col("tok").isin(terms: _*))
       .groupBy("doc_id")

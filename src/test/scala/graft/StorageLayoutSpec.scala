@@ -44,7 +44,7 @@ class StorageLayoutSpec extends SparkSpecBase {
     graft.sources.Sinks.writePostings(docs, dir, buckets = 16)
 
     val terms = Seq("spark", "join", "window")
-    val probe = graft.sources.Sinks.probePostings(spark, dir, terms, buckets = 16)
+    val probe = graft.sources.Sinks.probePostings(spark, dir, terms)
     // the bucket predicate must land in the scan's PartitionFilters
     // (directory pruning), not a post-scan filter; sparkPlan is the
     // pre-AQE tree where the FileSourceScanExec is directly visible
@@ -56,7 +56,7 @@ class StorageLayoutSpec extends SparkSpecBase {
     // fewer files listed under the pruned directories than the full store
     val numFiles = scan.relation.location
       .listFiles(scan.partitionFilters, Nil).map(_.files.size).sum
-    val totalFiles = spark.read.parquet(dir).inputFiles.length
+    val totalFiles = spark.read.parquet(s"$dir/postings").inputFiles.length
     assert(numFiles < totalFiles, s"probe read $numFiles of $totalFiles files")
     // the persisted-index probe answers exactly what the raw-scan
     // formulation answers
