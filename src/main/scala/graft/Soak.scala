@@ -156,7 +156,10 @@ object Soak {
       // and the template miners (template-cardinality agg state)
       "text_gopher_repetition", "text_cdc_chunks", "join_interval_overlap",
       "log_inverted_search", "log_phrase_search", "log_template_mine",
-      "stream_template_1h")
+      "stream_template_1h",
+      // round 5c: proximity's bucket-neighborhood pairing, the day-bounded
+      // outage sweep, and the drift monitor's two-scan + metadata-rebase
+      "log_proximity_search", "log_outage_windows", "log_drift_daily")
     heavy.filter(n => only.forall(_.contains(n))).foreach { name =>
       val fn = SparkEntry.queries(name)
       try { fn(spark, dir).count() } catch { case _: Throwable => () } // warm
