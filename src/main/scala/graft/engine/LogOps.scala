@@ -1695,9 +1695,31 @@ object LogOps {
     * buckets) against in-bucket selectivity; 1 h >> the 4-min incident
     * width keeps incident fan-out at ~1-2 buckets.
     */
+  /** The incident definition shared by [[joinIntervalOverlap]] and
+    * [[outageWindows]] — one source of truth for the severity threshold
+    * and the ±pad, in both the Spark builders and the oracle SQL, so the
+    * two faces of the interval algebra can never silently diverge when
+    * either constant is tuned. (Declared before both uses: object vals
+    * initialize in order.)
+    */
+  private val incidentsCteSql: String =
+    """incidents AS (
+      |  SELECT event_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |    epoch_us(ts) - 120000000 AS i_start,
+      |    epoch_us(ts) + 120000000 AS i_end
+      |  FROM events WHERE event_type = 'error' AND value > 150)""".stripMargin
+
+  private def incidentWindows(s: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_type") === "error" && col("value") > 150)
+      .select(col("event_id"), date_trunc("day", col("ts")).as("day"),
+        (unix_micros(col("ts")) - 120000000L).as("i_start"),
+        (unix_micros(col("ts")) + 120000000L).as("i_end"))
+
   val joinIntervalOverlap = Q(
     "join_interval_overlap",
-    """WITH flagged AS (
+    s"""WITH flagged AS (
       |  SELECT user_id, event_id, ts,
       |    CASE WHEN lag(ts) OVER w IS NULL
       |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
@@ -1713,16 +1735,12 @@ object LogOps {
       |  SELECT user_id, session_id,
       |    epoch_us(MIN(ts)) AS s_start, epoch_us(MAX(ts)) AS s_end
       |  FROM sess GROUP BY user_id, session_id),
-      |incidents AS (
-      |  SELECT event_id AS incident_id,
-      |    epoch_us(ts) - 120000000 AS i_start,
-      |    epoch_us(ts) + 120000000 AS i_end
-      |  FROM events WHERE event_type = 'error' AND value > 150)
-      |SELECT i.incident_id, COUNT(*) AS n_sessions,
+      |$incidentsCteSql
+      |SELECT i.event_id AS incident_id, COUNT(*) AS n_sessions,
       |  COUNT(DISTINCT s.user_id) AS n_users
       |FROM incidents i JOIN sessions s
       |  ON s.s_start <= i.i_end AND i.i_start <= s.s_end
-      |GROUP BY i.incident_id ORDER BY i.incident_id""".stripMargin) { (s, dir) =>
+      |GROUP BY i.event_id ORDER BY incident_id""".stripMargin) { (s, dir) =>
     val bucketUs = 3600000000L
     val sessions = sessionTable(s, dir)
       .select(col("user_id"), col("session_id"),
@@ -1730,11 +1748,8 @@ object LogOps {
         unix_micros(col("session_end")).as("s_end"))
       .withColumn("bucket",
         explode(sequence(expr(s"s_start div $bucketUs"), expr(s"s_end div $bucketUs"))))
-    val incidents = Tables.events(s, dir)
-      .filter(col("event_type") === "error" && col("value") > 150)
-      .select(col("event_id").as("incident_id"),
-        (unix_micros(col("ts")) - 120000000L).as("i_start"),
-        (unix_micros(col("ts")) + 120000000L).as("i_end"))
+    val incidents = incidentWindows(s, dir)
+      .select(col("event_id").as("incident_id"), col("i_start"), col("i_end"))
       .withColumn("bucket",
         explode(sequence(expr(s"i_start div $bucketUs"), expr(s"i_end div $bucketUs"))))
     incidents.join(sessions, "bucket")
@@ -1911,7 +1926,7 @@ object LogOps {
       |dn AS (SELECT day, CAST(SUM(cd) AS BIGINT) AS nd FROM d GROUP BY day)
       |SELECT d.day, dn.nd AS n_events,
       |  ROUND(SUM((CAST(cd AS DOUBLE) / nd)
-      |    * ln((CAST(cd AS DOUBLE) * ng) / (CAST(nd AS DOUBLE) * cg))), 4) AS kl
+      |    * ln((CAST(cd AS DOUBLE) * ng) / (CAST(nd AS DOUBLE) * cg))), 4) + 0 AS kl
       |FROM d JOIN dn ON d.day = dn.day JOIN g ON d.bin = g.bin CROSS JOIN gn
       |GROUP BY d.day, dn.nd ORDER BY d.day""".stripMargin) { (s, dir) =>
     val ev = Tables.events(s, dir)
@@ -1930,9 +1945,13 @@ object LogOps {
     val dn = d.groupBy("day").agg(sum("cd").as("nd"))
     d.join(dn, "day").join(broadcast(g), "bin").crossJoin(broadcast(gn))
       .groupBy(col("day"), col("nd"))
-      .agg(round(sum((col("cd").cast("double") / col("nd"))
+      // `+ 0`: KL is mathematically >= 0 but the float sum of a
+      // near-identical day can land at -1e-17, and the engines disagree on
+      // rendering the resulting rounded -0.0 (the Funcs first_val/corr
+      // precedent — found at sf0.1 there, guarded structurally here)
+      .agg((round(sum((col("cd").cast("double") / col("nd"))
         * log((col("cd").cast("double") * col("ng"))
-          / (col("nd").cast("double") * col("cg")))), 4).as("kl"))
+          / (col("nd").cast("double") * col("cg")))), 4) + lit(0.0)).as("kl"))
       .select(col("day"), col("nd").as("n_events"), col("kl"))
       .orderBy("day")
   }
@@ -1950,11 +1969,7 @@ object LogOps {
     */
   val outageWindows = Q(
     "log_outage_windows",
-    """WITH incidents AS (
-      |  SELECT event_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-      |    epoch_us(ts) - 120000000 AS i_start,
-      |    epoch_us(ts) + 120000000 AS i_end
-      |  FROM events WHERE event_type = 'error' AND value > 150),
+    s"""WITH $incidentsCteSql,
       |flagged AS (
       |  SELECT day, event_id, i_start, i_end,
       |    CASE WHEN max(i_end) OVER (PARTITION BY day ORDER BY i_start, event_id
@@ -1973,11 +1988,7 @@ object LogOps {
       |  ROUND(CAST(MAX(i_end) - MIN(i_start) AS DOUBLE) / 1000000, 4) AS duration_s
       |FROM numbered GROUP BY day, outage_id
       |ORDER BY day, outage_id""".stripMargin) { (s, dir) =>
-    val incidents = Tables.events(s, dir)
-      .filter(col("event_type") === "error" && col("value") > 150)
-      .select(col("event_id"), date_trunc("day", col("ts")).as("day"),
-        (unix_micros(col("ts")) - 120000000L).as("i_start"),
-        (unix_micros(col("ts")) + 120000000L).as("i_end"))
+    val incidents = incidentWindows(s, dir)
     val order = Window.partitionBy("day").orderBy(col("i_start"), col("event_id"))
     val prevMax = max("i_end").over(order.rowsBetween(Window.unboundedPreceding, -1))
     incidents

@@ -1258,7 +1258,9 @@ object TextOps {
       |  FROM (
       |    SELECT doc_id,
       |      CAST(len(ts) AS BIGINT) AS n_tok,
-      |      CAST(length(array_to_string(ts, '')) AS DOUBLE) / len(ts) AS mean_tok_len,
+      |      CASE WHEN len(ts) > 0
+      |        THEN CAST(length(array_to_string(ts, '')) AS DOUBLE) / len(ts)
+      |        ELSE 0.0 END AS mean_tok_len,
       |      CAST(len(list_filter(ts, t -> t IN ('the', 'a', 'value', 'data'))) AS BIGINT) AS stop_hits,
       |      CASE WHEN len(ts) >= 3 THEN
       |        1.0 - CAST(len(list_distinct(tris)) AS DOUBLE) / len(tris)
@@ -1269,9 +1271,13 @@ object TextOps {
       |          i -> array_to_string(ts[i:i+2], ' ')) AS tris
       |      FROM (
       |        SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
-      |        FROM documents) t0
-      |      WHERE len(ts) >= 1) t1) t2) t3
+      |        FROM documents) t0) t1) t2) t3
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    // No row is ever dropped: a ZERO-token doc must still surface with
+    // keep=false (a filter consumer that anti-joins on keep=false would
+    // otherwise silently retain exactly the doc most deserving of
+    // rejection), so the mean guards the 0/0 instead of a WHERE guard
+    // excluding the row.
     val toks = filter(split(lower(col("text")), " "), t => t =!= "")
     val tris = transform(
       when(size(col("ts")) >= 3, sequence(lit(1), size(col("ts")) - 2))
@@ -1282,12 +1288,13 @@ object TextOps {
       .otherwise(lit(0.0))
     val signals = Tables.documents(s, dir)
       .select(col("doc_id"), toks.as("ts"))
-      .filter(size(col("ts")) >= 1)
       .select(col("doc_id"), col("ts"), tris.as("tris"))
       .select(
         col("doc_id"),
         size(col("ts")).cast("long").as("n_tok"),
-        (length(concat_ws("", col("ts"))).cast("double") / size(col("ts"))).as("mean_tok_len"),
+        when(size(col("ts")) > 0,
+          length(concat_ws("", col("ts"))).cast("double") / size(col("ts")))
+          .otherwise(lit(0.0)).as("mean_tok_len"),
         size(filter(col("ts"), t => t.isin("the", "a", "value", "data"))).cast("long").as("stop_hits"),
         triRep.as("tri_rep"))
     signals

@@ -109,17 +109,21 @@ object Sinks {
   def probePostings(spark: org.apache.spark.sql.SparkSession, path: String,
                     terms: Seq[String]): DataFrame = {
     import spark.implicits._
+    // normalize to the writer's tokenization (lowercase) and dedup — a
+    // verbatim "Spark" would hash into the wrong bucket and silently miss,
+    // and a duplicated term would make the n_terms intersection unmatchable
+    val normTerms = terms.map(_.toLowerCase).distinct
     val buckets = spark.read.parquet(s"$path/meta").select("buckets")
       .as[Int].head()
-    val bucketIds = terms.toDF("t")
+    val bucketIds = normTerms.toDF("t")
       .select(pmod(hash(col("t")), lit(buckets)).as("b"))
       .as[Int].collect().toSeq.distinct
     spark.read.parquet(s"$path/postings")
       .filter(col("tok_bucket").isin(bucketIds: _*)) // partition pruning
-      .filter(col("tok").isin(terms: _*))
+      .filter(col("tok").isin(normTerms: _*))
       .groupBy("doc_id")
       .agg(countDistinct("tok").as("n_terms"))
-      .filter(col("n_terms") === terms.length)
+      .filter(col("n_terms") === normTerms.length)
       .select("doc_id")
   }
 

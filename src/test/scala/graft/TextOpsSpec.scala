@@ -360,7 +360,10 @@ class TextOpsSpec extends SparkSpecBase {
       // only 3 tokens → fails the word-count floor
       (3L, "the data value"),
       // single token → length floor fails, tri_rep guard yields 0
-      (4L, "hi")))
+      (4L, "hi"),
+      // zero tokens: the doc MUST still get a keep=false row — dropping
+      // it would let an anti-join consumer silently retain it
+      (5L, " ")))
     val got = TextOps.gopherDocFilter.build(spark, dir)
       .select("doc_id", "pass_len", "pass_wordlen", "pass_stop", "pass_rep", "keep")
       .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)].collect()
@@ -369,6 +372,7 @@ class TextOpsSpec extends SparkSpecBase {
     assert(got(2L) === ((true, false, true, false, false)))
     assert(got(3L) === ((false, true, true, true, false)))
     assert(got(4L) === ((false, true, false, true, false)))
+    assert(got(5L) === ((false, false, false, true, false)))
     val nums = TextOps.gopherDocFilter.build(spark, dir)
       .select("doc_id", "mean_tok_len", "tri_rep")
       .as[(Long, Double, Double)].collect()
