@@ -45,7 +45,10 @@ object Soak {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set("events", "documents", "embeddings"))
     val src = "/root/testdata/sf0.1"
-    val dir = s"/tmp/graft_soak_sf${factor / 10}"
+    // keyed by the exact factor: integer-dividing by 10 collided factors
+    // (e.g. 10 and 15) onto one directory, and a partial-table re-run
+    // could then silently join tables replicated at DIFFERENT scales
+    val dir = s"/tmp/graft_soak_f$factor"
 
     graft.engine.Tables.prepare(spark)
 
@@ -160,17 +163,25 @@ object Soak {
       // round 5c: proximity's bucket-neighborhood pairing, the day-bounded
       // outage sweep, and the drift monitor's two-scan + metadata-rebase
       "log_proximity_search", "log_outage_windows", "log_drift_daily")
+    // the listener bus is asynchronous: stage-completed events can trail
+    // the action that produced them, so snapshots around each query must
+    // let the bus drain or warm-run bytes leak into the timed delta (and
+    // the timed tail into the NEXT query's baseline)
+    def drainListenerBus(): Unit = Thread.sleep(500)
     heavy.filter(n => only.forall(_.contains(n))).foreach { name =>
       val fn = SparkEntry.queries(name)
       try { fn(spark, dir).count() } catch { case _: Throwable => () } // warm
+      drainListenerBus()
       val (w0, r0) = (shufWrite, shufRead)
       peakStageWrite = 0L
       val t0 = System.nanoTime()
       val n = try fn(spark, dir).count() catch { case e: Throwable =>
         println(f"$name%-22s FAILED: ${e.getMessage.take(120)}"); -1L }
+      val elapsed = System.nanoTime() - t0
+      drainListenerBus() // timing stops above; bytes settle before the read
       if (n >= 0) {
         val gb = 1024.0 * 1024 * 1024
-        println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n  " +
+        println(f"$name%-22s ${elapsed / 1e9}%8.2f s  rows=$n  " +
           f"shufW=${(shufWrite - w0) / gb}%.2f GiB shufR=${(shufRead - r0) / gb}%.2f GiB " +
           f"peakStageW=${peakStageWrite / gb}%.3f GiB")
       }

@@ -206,18 +206,42 @@ object LlmOps {
     * pair scan's — any pipeline tweak edits this block and both oracles
     * move together (a hand-copied second block desyncs silently and
     * breaks hash parity only for llm_neardup_filter). */
+  /** Bigram-shingle SELECT shared by [[shinglePairCtes]] (whole-corpus)
+    * and [[incrementalDedup]]'s batch/existing sides — ONE SQL source of
+    * truth for the shingling, per the shinglePairCtes lockstep rule. */
+  private def shingleSelectSql(from: String): String =
+    s"""SELECT doc_id, unnest(list_distinct(list_transform(
+       |        range(1, len(string_split(lower(text), ' '))),
+       |        i -> array_to_string(string_split(lower(text), ' ')[i:i+1], ' ')))) AS sh
+       |    FROM $from""".stripMargin
+
+  /** Spark twin of [[shingleSelectSql]]: distinct bigram shingles per doc.
+    * The token array is a materialized alias — an inlined split() tree
+    * inside the lambda re-tokenizes per position, O(len²) per doc. */
+  private[engine] def bigramShingles(df: DataFrame): DataFrame = {
+    val toks = split(lower(col("text")), " ")
+    df.select(col("doc_id"), toks.as("ts"))
+      .select(col("doc_id"), explode(array_distinct(transform(
+        when(size(col("ts")) >= lit(2), sequence(lit(1), size(col("ts")) - 1))
+          .otherwise(array().cast("array<int>")),
+        i => concat_ws(" ", slice(col("ts"), i, lit(2)))))).as("sh"))
+  }
+
+  /** Shingle df-cap parameters, shared across every consumer (Spark
+    * [[dfCapped]] calls and the oracle CTEs) so the cap can be tuned in
+    * exactly one place. */
+  private val shingleDfFrac = 0.1
+  private val shingleDfAbs = 2000L
+
   private val shinglePairCtes =
-    """sh0 AS (
+    s"""sh0 AS (
       |  SELECT doc_id, sh FROM (
-      |    SELECT doc_id, unnest(list_distinct(list_transform(
-      |        range(1, len(string_split(lower(text), ' '))),
-      |        i -> array_to_string(string_split(lower(text), ' ')[i:i+1], ' ')))) AS sh
-      |    FROM documents) t),
+      |    ${shingleSelectSql("documents")}) t),
       |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM sh0),
       |dfc AS (SELECT sh, COUNT(*) AS df FROM sh0 GROUP BY 1),
       |sh AS (
       |  SELECT t.doc_id, t.sh FROM sh0 t JOIN dfc USING (sh) CROSS JOIN nd
-      |  WHERE dfc.df <= least(0.1 * nd.n_docs, 2000)),
+      |  WHERE dfc.df <= least($shingleDfFrac * nd.n_docs, $shingleDfAbs)),
       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
       |inter AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
@@ -236,22 +260,11 @@ object LlmOps {
       |JOIN sz sb ON inter.id_b = sb.doc_id
       |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $shingleJaccardThreshold
       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
-    // tokenize once into a materialized column — an inlined split() tree
-    // inside the lambda would re-tokenize the text per shingle position,
-    // O(len²) per doc (CollapseProject keeps a multiply-referenced
-    // non-cheap alias as a real column)
-    val toks = split(lower(col("text")), " ")
-    val sh0 = Tables.documents(s, dir)
-      .select(col("doc_id"), toks.as("ts"))
-      .select(col("doc_id"),
-        explode(array_distinct(transform(
-          when(size(col("ts")) >= lit(2), sequence(lit(1), size(col("ts")) - 1))
-            .otherwise(array().cast("array<int>")),
-          i => concat_ws(" ", slice(col("ts"), i, lit(2)))))).as("sh"))
+    val sh0 = bigramShingles(Tables.documents(s, dir))
     // localCheckpoint before fan-out, as in [[jaccardPairs]]: the
     // shingling pipeline is consumed by the size relation and the pair
     // expansion and must not re-run per consumer.
-    val sh = dfCapped(sh0, "sh", 0.1).localCheckpoint()
+    val sh = dfCapped(sh0, "sh", shingleDfFrac, shingleDfAbs).localCheckpoint()
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = pairCounts(sh, "sh")
     val jac = col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c"))
@@ -1220,7 +1233,7 @@ object LlmOps {
     */
   val incrementalDedup = Q(
     "llm_incremental_dedup",
-    """WITH batch AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 5 = 0),
+    s"""WITH batch AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 5 = 0),
       |exist AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
       |eh AS (SELECT DISTINCT md5(text) AS h FROM exist),
       |bstat AS (
@@ -1228,20 +1241,14 @@ object LlmOps {
       |    CASE WHEN h IS NOT NULL THEN 1 ELSE 0 END AS is_exact
       |  FROM batch LEFT JOIN eh ON md5(batch.text) = eh.h),
       |shx0 AS (
-      |  SELECT doc_id, unnest(list_distinct(list_transform(
-      |      range(1, len(string_split(lower(text), ' '))),
-      |      i -> array_to_string(string_split(lower(text), ' ')[i:i+1], ' ')))) AS sh
-      |  FROM exist),
+      |  ${shingleSelectSql("exist")}),
       |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM shx0),
       |keys AS (
       |  SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM shx0 GROUP BY 1) CROSS JOIN nd
-      |  WHERE df <= least(0.1 * n_docs, 2000)),
+      |  WHERE df <= least($shingleDfFrac * n_docs, $shingleDfAbs)),
       |shx AS (SELECT s.doc_id, s.sh FROM shx0 s JOIN keys USING (sh)),
       |shb0 AS (
-      |  SELECT doc_id, unnest(list_distinct(list_transform(
-      |      range(1, len(string_split(lower(text), ' '))),
-      |      i -> array_to_string(string_split(lower(text), ' ')[i:i+1], ' ')))) AS sh
-      |  FROM bstat WHERE is_exact = 0),
+      |  ${shingleSelectSql("bstat WHERE is_exact = 0")}),
       |shb AS (SELECT s.doc_id, s.sh FROM shb0 s JOIN keys USING (sh)),
       |szx AS (SELECT doc_id, COUNT(*) AS n FROM shx GROUP BY 1),
       |szb AS (SELECT doc_id, COUNT(*) AS n FROM shb GROUP BY 1),
@@ -1252,7 +1259,7 @@ object LlmOps {
       |  SELECT DISTINCT bid FROM inter
       |  JOIN szb ON inter.bid = szb.doc_id
       |  JOIN szx ON inter.xid = szx.doc_id
-      |  WHERE CAST(c AS DOUBLE) / (szb.n + szx.n - c) >= 0.5)
+      |  WHERE CAST(c AS DOUBLE) / (szb.n + szx.n - c) >= $shingleJaccardThreshold)
       |SELECT source,
       |  CAST(COUNT(*) AS BIGINT) AS n_batch,
       |  CAST(SUM(is_exact) AS BIGINT) AS n_exact_dup,
@@ -1270,22 +1277,14 @@ object LlmOps {
       .select(col("doc_id"), col("source"),
         when(col("h").isNotNull, 1).otherwise(0).as("is_exact"), col("text"))
       .localCheckpoint()
-    def shingles(df: DataFrame): DataFrame = {
-      val toks = split(lower(col("text")), " ")
-      df.select(col("doc_id"), toks.as("ts"))
-        .select(col("doc_id"), explode(array_distinct(transform(
-          when(size(col("ts")) >= lit(2), sequence(lit(1), size(col("ts")) - 1))
-            .otherwise(array().cast("array<int>")),
-          i => concat_ws(" ", slice(col("ts"), i, lit(2)))))).as("sh"))
-    }
-    val shx0 = shingles(exist).localCheckpoint() // census + cap + postings
+    val shx0 = bigramShingles(exist).localCheckpoint() // census + cap + postings
     val nd = shx0.agg(countDistinct("doc_id").as("n_docs"))
     val keys = shx0.groupBy("sh").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nd))
-      .filter(col("df") <= least(lit(0.1) * col("n_docs"), lit(2000L)))
+      .filter(col("df") <= least(lit(shingleDfFrac) * col("n_docs"), lit(shingleDfAbs)))
       .select("sh")
     val shx = shx0.join(keys, Seq("sh"), "left_semi").localCheckpoint()
-    val shb = shingles(bstat.filter(col("is_exact") === 0))
+    val shb = bigramShingles(bstat.filter(col("is_exact") === 0))
       .join(keys, Seq("sh"), "left_semi").localCheckpoint()
     val szx = shx.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val szb = shb.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -1296,7 +1295,7 @@ object LlmOps {
     val nears = inter
       .join(szb.select(col("doc_id").as("bid"), col("n").as("bn")), Seq("bid"))
       .join(szx.select(col("doc_id").as("xid"), col("n").as("xn")), Seq("xid"))
-      .filter(jac >= 0.5)
+      .filter(jac >= shingleJaccardThreshold)
       .select("bid").distinct()
     bstat.join(nears, bstat("doc_id") === nears("bid"), "left")
       .groupBy("source")

@@ -838,7 +838,14 @@ object TextOps {
     * single-pass non-overlapping BPE merge fold the Spark side computes
     * with `aggregate` (e.g. "aaa" + merge(a,a) → [aa, a] in both). The
     * delimiter is safe: tokens come from splitting text on spaces and the
-    * corpus has no control characters. AS MATERIALIZED is load-bearing —
+    * corpus has no control characters. One PRECONDITION applies: the
+    * unanchored replace() pattern could also match a symbol FRAGMENT (a
+    * symbol merely ending in ma before mb, or ma before a symbol merely
+    * starting with mb), where the whole-symbol fold would not merge.
+    * TextOpsSpec replays the trainer over every oracle corpus and pins
+    * that no learned merge round ever creates such an adjacency — a
+    * corpus regeneration that violated it would fail the spec loudly
+    * instead of silently hash-mismatching. AS MATERIALIZED is load-bearing —
     * DuckDB inlines plain CTEs and a 6-round chain of inlined v_r would
     * blow up 2^6. TextOpsSpec additionally re-runs the identical
     * algorithm in pure Scala and asserts equal merge sequences — stronger

@@ -397,6 +397,9 @@ object Streaming {
       .withColumn("text_hash", md5(col("text")))
       .join(corpus.select(md5(col("text")).as("text_hash")).distinct(),
         Seq("text_hash"), "left_anti")
+      // survivors land in the same store the corpus came from — the
+      // internal digest column must not leak into the landed schema
+      .drop("text_hash")
 
   // ---- S6: streaming sources ----
 

@@ -586,14 +586,14 @@ class LlmOpsSpec extends SparkSpecBase {
       rows.map(_._2).toSet.intersect(exact(q)).size / 10.0
     }
     val recall = recalls.sum / recalls.size
-    // Measured 0.640 at sf0.001 / 0.624 at sf0.01 (SCALE.md §6b): raw ADC
-    // alone reaches only 0.27 on these NEAR-ORTHOGONAL synthetic vectors
-    // (PQ's worst regime); the exact-cosine re-rank of the ADC top-50
-    // recovers the rest. Floor pinned below measured to catch regressions,
-    // not noise — same policy as the LSH/IVF floors.
-    // Measured recall@10 is 0.816 at sf0.001 / 0.809 at sf0.01 with the
-    // round-5 top-100 re-rank shortlist (was 0.64 at top-50) — a
-    // deterministic constant of the fixture. 0.75 is the regression floor.
+    // Raw ADC alone reaches only 0.27 on these NEAR-ORTHOGONAL synthetic
+    // vectors (PQ's worst regime); the exact-cosine re-rank of the ADC
+    // shortlist recovers the rest. Measured recall@10 is 0.816 at
+    // sf0.001 / 0.809 at sf0.01 with the round-5 top-100 re-rank
+    // shortlist (0.640/0.624 at the original top-50) — a deterministic
+    // constant of the fixture. 0.75 is the regression floor, pinned
+    // below measured to catch regressions, not noise — same policy as
+    // the LSH/IVF floors.
     assert(recall >= 0.75, s"PQ recall@10 $recall below floor 0.75")
   }
 

@@ -71,6 +71,10 @@ class StreamingSpec extends SparkSpecBase {
     val plan = Streaming.dedupAgainstCorpus(input.toDF().toDF("doc_id", "text"), corpus)
       .queryExecution.analyzed.toString
     assert(!plan.contains("StateStore"), plan)
+    // survivors keep EXACTLY the input schema — the internal digest
+    // column must not leak into the landed corpus
+    val in = Seq((9L, "t")).toDF("doc_id", "text")
+    assert(Streaming.dedupAgainstCorpus(in, corpus).schema === in.schema)
   }
 
   test("tumbling window: stream (complete mode) equals batch") {

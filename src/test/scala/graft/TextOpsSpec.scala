@@ -215,27 +215,40 @@ class TextOpsSpec extends SparkSpecBase {
     * oracle for text_bpe_merges: greedy left-to-right non-overlapping merge,
     * argmax pair by (score desc, a asc, b asc).
     */
-  private def bpeReference(words: Map[String, Long], rounds: Int): Seq[(String, String, Long)] = {
-    var vocab: Map[Vector[String], Long] = words.toSeq
+  private type BpeVocab = Map[Vector[String], Long]
+
+  private def bpePairScores(vocab: BpeVocab): Map[(String, String), Long] = {
+    val scores = scala.collection.mutable.Map[(String, String), Long]()
+    vocab.foreach { case (syms, f) =>
+      syms.zip(syms.tail).foreach(p => scores(p) = scores.getOrElse(p, 0L) + f)
+    }
+    scores.toMap
+  }
+
+  private def bpeApplyMerge(vocab: BpeVocab, a: String, b: String): BpeVocab =
+    vocab.toSeq.map { case (syms, f) =>
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) { out += a + b; i += 2 }
+        else { out += syms(i); i += 1 }
+      }
+      (out.toVector, f)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+
+  private def bpeInitVocab(words: Map[String, Long]): BpeVocab =
+    words.toSeq
       .map { case (w, f) => (w.map(_.toString).toVector, f) }
       .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+
+  private def bpeReference(words: Map[String, Long], rounds: Int): Seq[(String, String, Long)] = {
+    var vocab = bpeInitVocab(words)
     (1 to rounds).flatMap { _ =>
-      val scores = scala.collection.mutable.Map[(String, String), Long]()
-      vocab.foreach { case (syms, f) =>
-        syms.zip(syms.tail).foreach(p => scores(p) = scores.getOrElse(p, 0L) + f)
-      }
+      val scores = bpePairScores(vocab)
       if (scores.isEmpty) None // pairs exhausted: remaining rounds are no-ops
       else {
         val ((a, b), sc) = scores.toSeq.minBy { case ((x, y), s) => (-s, x, y) }
-        vocab = vocab.toSeq.map { case (syms, f) =>
-          val out = scala.collection.mutable.ArrayBuffer[String]()
-          var i = 0
-          while (i < syms.length) {
-            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) { out += a + b; i += 2 }
-            else { out += syms(i); i += 1 }
-          }
-          (out.toVector, f)
-        }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        vocab = bpeApplyMerge(vocab, a, b)
         Some((a, b, sc))
       }
     }
@@ -261,6 +274,40 @@ class TextOpsSpec extends SparkSpecBase {
     check(TestSpark.sfDir)
     check(docsDir(Seq(
       (1L, "low low low lower lower newest newest newest newest widest widest"))))
+  }
+
+  test("bpe oracle precondition: replace() never matches across symbol boundaries") {
+    // The oracle simulates the whole-symbol merge fold with a delimited-
+    // string replace(ma || chr(31) || mb → ma || mb). That is equivalent
+    // ONLY while no symbol FRAGMENT spells the pattern: a symbol merely
+    // ENDING in ma followed by mb, or ma followed by a symbol merely
+    // STARTING with mb, would let replace() merge where the whole-symbol
+    // fold does not. This replays the trainer over every oracle corpus
+    // and asserts the precondition at every round — turning "the fixtures
+    // happen not to hit it" into a pinned invariant that fails loudly if
+    // a regenerated corpus ever does (instead of a silent hash mismatch).
+    import org.apache.spark.sql.functions.{col, explode, filter, lower, split}
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val words = spark.read.parquet(s"$dir/documents.parquet")
+        .select(explode(filter(split(lower(col("text")), " "), t => t =!= "")).as("tok"))
+        .groupBy("tok").count().as[(String, Long)].collect().toMap
+      var vocab = bpeInitVocab(words)
+      for (round <- 1 to TextOps.bpeRounds) {
+        val scores = bpePairScores(vocab)
+        if (scores.nonEmpty) {
+          val ((a, b), _) = scores.toSeq.minBy { case ((x, y), s) => (-s, x, y) }
+          vocab.keys.foreach { syms =>
+            syms.zip(syms.tail).foreach { case (x, y) =>
+              val fragment = x.endsWith(a) && y.startsWith(b) && !(x == a && y == b)
+              assert(!fragment,
+                s"$dir round $round: replace() would corrupt [$x|$y] under pair ($a, $b)")
+            }
+          }
+          vocab = bpeApplyMerge(vocab, a, b)
+        }
+      }
+    }
   }
 
   test("bpe apply: vocab round-trips, token counts bounded, exhaustion is a no-op") {
