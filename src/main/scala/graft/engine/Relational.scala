@@ -447,10 +447,65 @@ object Relational {
         max("n").as("max_n"))
   }
 
+  /** Data-catalog column profiling — the `ANALYZE TABLE` statistics every
+    * lakehouse keeps per column: row count, null count, distinct count,
+    * min/max (stringified so one schema fits all types). Computed in ONE
+    * corpus scan: a single aggregation row carries every column's stats,
+    * then a metadata-sized reshape stacks it to one output row per column
+    * (the unpivot is over the 1-row agg, not the data). Distincts are
+    * exact here for oracle parity; production swaps in
+    * approx_count_distinct and the plan shape does not change. This is
+    * the stats source a cost-based optimizer and a data catalog both
+    * read.
+    */
+  val metaColumnProfile = Q(
+    "meta_column_profile",
+    """WITH s AS (
+      |  SELECT COUNT(*) AS n,
+      |    SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS null_doc_id,
+      |    COUNT(DISTINCT doc_id) AS nd_doc_id,
+      |    CAST(MIN(doc_id) AS VARCHAR) AS min_doc_id, CAST(MAX(doc_id) AS VARCHAR) AS max_doc_id,
+      |    SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
+      |    COUNT(DISTINCT text) AS nd_text,
+      |    CAST(MIN(text) AS VARCHAR) AS min_text, CAST(MAX(text) AS VARCHAR) AS max_text,
+      |    SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS null_lang,
+      |    COUNT(DISTINCT lang) AS nd_lang,
+      |    CAST(MIN(lang) AS VARCHAR) AS min_lang, CAST(MAX(lang) AS VARCHAR) AS max_lang,
+      |    SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS null_source,
+      |    COUNT(DISTINCT source) AS nd_source,
+      |    CAST(MIN(source) AS VARCHAR) AS min_source, CAST(MAX(source) AS VARCHAR) AS max_source,
+      |    SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS null_n_chars,
+      |    COUNT(DISTINCT n_chars) AS nd_n_chars,
+      |    CAST(MIN(n_chars) AS VARCHAR) AS min_n_chars, CAST(MAX(n_chars) AS VARCHAR) AS max_n_chars
+      |  FROM documents)
+      |SELECT col, CAST(n AS BIGINT) AS n, CAST(n_null AS BIGINT) AS n_null,
+      |  CAST(n_distinct AS BIGINT) AS n_distinct, min_v, max_v FROM (
+      |  SELECT 'doc_id' AS col, n, null_doc_id AS n_null, nd_doc_id AS n_distinct,
+      |    min_doc_id AS min_v, max_doc_id AS max_v FROM s
+      |  UNION ALL SELECT 'lang', n, null_lang, nd_lang, min_lang, max_lang FROM s
+      |  UNION ALL SELECT 'n_chars', n, null_n_chars, nd_n_chars, min_n_chars, max_n_chars FROM s
+      |  UNION ALL SELECT 'source', n, null_source, nd_source, min_source, max_source FROM s
+      |  UNION ALL SELECT 'text', n, null_text, nd_text, min_text, max_text FROM s) t
+      |ORDER BY col""".stripMargin) { (s, dir) =>
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val aggs = count(lit(1)).as("n") +: cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1).otherwise(0)).as(s"null_$c"),
+      countDistinct(col(c)).as(s"nd_$c"),
+      min(col(c)).cast("string").as(s"min_$c"),
+      max(col(c)).cast("string").as(s"max_$c")))
+    val one = Tables.documents(s, dir).agg(aggs.head, aggs.tail: _*)
+    cols.map { c =>
+      one.select(lit(c).as("col"), col("n"),
+        col(s"null_$c").cast("long").as("n_null"),
+        col(s"nd_$c").cast("long").as("n_distinct"),
+        col(s"min_$c").as("min_v"), col(s"max_$c").as("max_v"))
+    }.reduce(_ unionByName _).orderBy("col")
+  }
+
   val all: Seq[Q] = Seq(
     selProject, filterPredicates, filterLikeNulls,
     joinBroadcastDim, joinFactFact, joinOuter, joinSemi, joinAnti, joinCross,
     joinNullSafe, joinSaltedSkew, aggPricingSummary, aggDistinct, aggRollup, aggPercentile,
     aggArgmax, aggCollectList, topkGlobal, setUnion, setIntersectExcept,
-    setOpsAll, aggKeySkewProfile)
+    setOpsAll, aggKeySkewProfile, metaColumnProfile)
 }

@@ -55,4 +55,22 @@ class RelationalSpec extends SparkSpecBase {
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(7)).toMap
     assert(got === expected)
   }
+
+  test("column profile: nulls, distincts, and min/max are per column") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prof").toString
+    Seq(
+      (1L, "bb", "en", "src0", 2L),
+      (2L, null.asInstanceOf[String], "en", "src1", 0L),
+      (3L, "aa", null.asInstanceOf[String], "src0", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Relational.metaColumnProfile.build(spark, dir)
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got("doc_id") === ((3L, 0L, 3L, "1", "3")))
+    assert(got("text") === ((3L, 1L, 2L, "aa", "bb"))) // null excluded from distinct/min/max
+    assert(got("lang") === ((3L, 1L, 1L, "en", "en")))
+    assert(got("source") === ((3L, 0L, 2L, "src0", "src1")))
+    assert(got("n_chars") === ((3L, 0L, 2L, "0", "2")))
+  }
 }
