@@ -166,8 +166,19 @@ object Soak {
     // the listener bus is asynchronous: stage-completed events can trail
     // the action that produced them, so snapshots around each query must
     // let the bus drain or warm-run bytes leak into the timed delta (and
-    // the timed tail into the NEXT query's baseline)
-    def drainListenerBus(): Unit = Thread.sleep(500)
+    // the timed tail into the NEXT query's baseline). Poll until two
+    // consecutive reads agree — a fixed sleep would silently under-wait
+    // behind a hundred-stage run's event tail on a loaded machine.
+    def drainListenerBus(): Unit = {
+      val deadline = System.nanoTime() + 10_000_000_000L // 10 s cap
+      var prev = (-1L, -1L)
+      var cur = (shufWrite, shufRead)
+      while (prev != cur && System.nanoTime() < deadline) {
+        prev = cur
+        Thread.sleep(200)
+        cur = (shufWrite, shufRead)
+      }
+    }
     heavy.filter(n => only.forall(_.contains(n))).foreach { name =>
       val fn = SparkEntry.queries(name)
       try { fn(spark, dir).count() } catch { case _: Throwable => () } // warm

@@ -198,22 +198,18 @@ object LlmOps {
     * DOWN at len = 0 and a `greatest(1, …)` floor would emit a degenerate
     * unigram shingle DuckDB never builds).
     */
-  /** Shared oracle-SQL CTE chain for the shingle-Jaccard pipeline
-    * (shingling → df-cap → sizes → pair intersection counts). ONE source
-    * of truth interpolated into BOTH [[shingleJaccard]] and
-    * [[nearDupFilter]]: the filter's Spark side delegates to
-    * `shingleJaccard.build`, so its oracle must stay in lockstep with the
-    * pair scan's — any pipeline tweak edits this block and both oracles
-    * move together (a hand-copied second block desyncs silently and
-    * breaks hash parity only for llm_neardup_filter). */
   /** Bigram-shingle SELECT shared by [[shinglePairCtes]] (whole-corpus)
     * and [[incrementalDedup]]'s batch/existing sides — ONE SQL source of
-    * truth for the shingling, per the shinglePairCtes lockstep rule. */
-  private def shingleSelectSql(from: String): String =
+    * truth for the shingling, per the shinglePairCtes lockstep rule.
+    * `fromClause` is spliced verbatim after FROM and may carry a WHERE
+    * (incrementalDedup passes "bstat WHERE is_exact = 0") — callers own
+    * the clause's validity; this helper must never append its own WHERE
+    * or alias after it. */
+  private def shingleSelectSql(fromClause: String): String =
     s"""SELECT doc_id, unnest(list_distinct(list_transform(
        |        range(1, len(string_split(lower(text), ' '))),
        |        i -> array_to_string(string_split(lower(text), ' ')[i:i+1], ' ')))) AS sh
-       |    FROM $from""".stripMargin
+       |    FROM $fromClause""".stripMargin
 
   /** Spark twin of [[shingleSelectSql]]: distinct bigram shingles per doc.
     * The token array is a materialized alias — an inlined split() tree
@@ -233,6 +229,14 @@ object LlmOps {
   private val shingleDfFrac = 0.1
   private val shingleDfAbs = 2000L
 
+  /** Shared oracle-SQL CTE chain for the shingle-Jaccard pipeline
+    * (shingling → df-cap → sizes → pair intersection counts). ONE source
+    * of truth interpolated into BOTH [[shingleJaccard]] and
+    * [[nearDupFilter]]: the filter's Spark side delegates to
+    * `shingleJaccard.build`, so its oracle must stay in lockstep with the
+    * pair scan's — any pipeline tweak edits this block and both oracles
+    * move together (a hand-copied second block desyncs silently and
+    * breaks hash parity only for llm_neardup_filter). */
   private val shinglePairCtes =
     s"""sh0 AS (
       |  SELECT doc_id, sh FROM (

@@ -1920,9 +1920,9 @@ object LogOps {
       |         THEN LEAST(9, CAST(floor((value - vmin) / (vmax - vmin) * 10) AS INTEGER))
       |         ELSE 0 END AS bin
       |  FROM events CROSS JOIN bounds),
-      |g AS (SELECT bin, COUNT(*) AS cg FROM binned GROUP BY bin),
-      |gn AS (SELECT CAST(SUM(cg) AS BIGINT) AS ng FROM g),
       |d AS (SELECT day, bin, COUNT(*) AS cd FROM binned GROUP BY day, bin),
+      |g AS (SELECT bin, CAST(SUM(cd) AS BIGINT) AS cg FROM d GROUP BY bin),
+      |gn AS (SELECT CAST(SUM(cg) AS BIGINT) AS ng FROM g),
       |dn AS (SELECT day, CAST(SUM(cd) AS BIGINT) AS nd FROM d GROUP BY day)
       |SELECT d.day, dn.nd AS n_events,
       |  ROUND(SUM((CAST(cd AS DOUBLE) / nd)
@@ -1939,9 +1939,14 @@ object LogOps {
             floor((col("value") - col("vmin")) / (col("vmax") - col("vmin")) * 10)
               .cast("int")))
           .otherwise(0).as("bin"))
-    val g = binned.groupBy("bin").agg(count(lit(1)).as("cg"))
+    // the global bin profile and both totals all RE-AGGREGATE the per-
+    // (day, bin) counts — integer sums, so byte-identical to recounting
+    // from binned, but the corpus is scanned once for d instead of once
+    // per derived relation; localCheckpoint pins that (d has four
+    // consumers and is days×10 rows — the usual fan-out rule)
+    val d = binned.groupBy("day", "bin").agg(count(lit(1)).as("cd")).localCheckpoint()
+    val g = d.groupBy("bin").agg(sum("cd").as("cg"))
     val gn = g.agg(sum("cg").as("ng"))
-    val d = binned.groupBy("day", "bin").agg(count(lit(1)).as("cd"))
     val dn = d.groupBy("day").agg(sum("cd").as("nd"))
     d.join(dn, "day").join(broadcast(g), "bin").crossJoin(broadcast(gn))
       .groupBy(col("day"), col("nd"))
