@@ -126,6 +126,38 @@ object StreamOps {
     Streaming.templateCounts(Tables.events(s, dir)).orderBy("ws", "template")
   }
 
+  /** T10 twin: hourly distribution drift vs the standing corpus as its
+    * own baseline — the oracle-checkable face of
+    * [[Streaming.driftAgainstBaseline]] (whose single-aggregation
+    * histogram formulation StreamingSpec replays through MemoryStream,
+    * including the unseen-bin signal the twin can't exercise: with
+    * baseline == corpus, every populated bin is known, so n_unseen pins
+    * at 0 here).
+    */
+  val driftTumbling = Q(
+    "stream_drift_1h",
+    """WITH bounds AS (
+      |  SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM events),
+      |binned AS (
+      |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws,
+      |    CASE WHEN vmax > vmin
+      |         THEN LEAST(9, CAST(floor((value - vmin) / (vmax - vmin) * 10) AS INTEGER))
+      |         ELSE 0 END AS bin
+      |  FROM events CROSS JOIN bounds),
+      |d AS (SELECT ws, bin, COUNT(*) AS cd FROM binned GROUP BY 1, 2),
+      |g AS (SELECT bin, CAST(SUM(cd) AS BIGINT) AS cg FROM d GROUP BY bin),
+      |gn AS (SELECT CAST(SUM(cg) AS BIGINT) AS ng FROM g),
+      |dn AS (SELECT ws, CAST(SUM(cd) AS BIGINT) AS nd FROM d GROUP BY ws)
+      |SELECT d.ws, dn.nd AS n_events,
+      |  ROUND(SUM((CAST(cd AS DOUBLE) / nd)
+      |    * ln((CAST(cd AS DOUBLE) * ng) / (CAST(nd AS DOUBLE) * cg))), 4) + 0 AS kl,
+      |  CAST(0 AS BIGINT) AS n_unseen
+      |FROM d JOIN dn ON d.ws = dn.ws JOIN g ON d.bin = g.bin CROSS JOIN gn
+      |GROUP BY d.ws, dn.nd ORDER BY d.ws""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    Streaming.driftAgainstBaseline(ev, ev).orderBy("ws")
+  }
+
   val all: Seq[Q] = Seq(tumbling, sliding, sessionWindow, errorBurstsBatch, clickAttrib,
-    hllTumbling, templateTumbling)
+    hllTumbling, templateTumbling, driftTumbling)
 }

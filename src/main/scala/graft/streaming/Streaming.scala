@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -72,6 +72,60 @@ object Streaming {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("template"))
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("ws"), col("template"), col("n"))
+
+  /** T10: streaming distribution-drift monitor — each tumbling 1-hour
+    * window's `value` histogram scored with KL divergence against a
+    * STATIC baseline profile (the standing corpus), the continuous
+    * data-quality check behind `log_drift_daily`'s batch form. Built
+    * streaming-legal: Structured Streaming allows ONE stateful
+    * aggregation, so the per-window histogram lands as ten conditional
+    * counts in a single groupBy (state = 10 longs per window — bounded),
+    * and the KL folds in a stateless projection against the broadcast
+    * baseline row. Bins the stream has but the baseline lacks cannot
+    * enter the KL (log of zero) — they surface as `n_unseen`, which in
+    * production is the loudest drift signal of all (values in a region
+    * the baseline corpus never saw).
+    */
+  def driftAgainstBaseline(events: DataFrame, baseline: DataFrame): DataFrame = {
+    val bins = 10
+    val bounds = baseline.agg(min("value").as("vmin"), max("value").as("vmax"))
+    def binOf: Column =
+      when(col("vmax") > col("vmin"),
+        least(lit(bins - 1),
+          floor((col("value") - col("vmin")) / (col("vmax") - col("vmin")) * bins)
+            .cast("int")))
+        .otherwise(0)
+    // baseline profile as ONE broadcastable row: g0..g9 + total
+    val gRow = baseline.crossJoin(broadcast(bounds))
+      .select(binOf.as("bin"))
+      .agg(
+        sum(when(col("bin") === 0, 1L).otherwise(0L)).as("g0"),
+        (1 until bins).map(b =>
+          sum(when(col("bin") === b, 1L).otherwise(0L)).as(s"g$b")) :+
+          count(lit(1)).as("ng"): _*)
+    val windowed = events.crossJoin(broadcast(bounds))
+      .select(col("ts"), binOf.as("bin"))
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(
+        sum(when(col("bin") === 0, 1L).otherwise(0L)).as("c0"),
+        (1 until bins).map(b =>
+          sum(when(col("bin") === b, 1L).otherwise(0L)).as(s"c$b")) :+
+          count(lit(1)).as("n"): _*)
+    val klTerms = (0 until bins).map { b =>
+      val (cb, gb) = (col(s"c$b"), col(s"g$b"))
+      when(cb > 0 && gb > 0,
+        (cb.cast("double") / col("n"))
+          * log((cb.cast("double") * col("ng")) / (col("n").cast("double") * gb)))
+        .otherwise(lit(0.0))
+    }
+    val unseenTerms = (0 until bins).map { b =>
+      when(col(s"c$b") > 0 && col(s"g$b") === 0, col(s"c$b")).otherwise(lit(0L))
+    }
+    windowed.crossJoin(broadcast(gRow))
+      .select(col("w.start").as("ws"), col("n").as("n_events"),
+        (round(klTerms.reduce(_ + _), 4) + lit(0.0)).as("kl"),
+        unseenTerms.reduce(_ + _).as("n_unseen"))
+  }
 
   /** T2: sliding 1-hour window, 15-minute slide. */
   def slidingCounts(events: DataFrame): DataFrame =

@@ -261,6 +261,7 @@ class PlanSpec extends SparkSpecBase {
     "text_unigram_logprob"  -> "single-row corpus-total aggregate cross-joined into log2 N",
     "log_retention_policy"  -> "single-row max-ts aggregate cross-joined into the age tiers",
     "log_drift_daily"       -> "single-row global min/max and bin-total aggregates cross-joined into the binning and the KL normalizer",
+    "stream_drift_1h"       -> "single-row baseline bounds + 1-row baseline histogram broadcast into the per-window KL projection (streaming-legal single aggregation)",
     "log_type_affinity"     -> "single-row session-count aggregate cross-joined into the lift",
     "log_pagerank_types"    -> ("per-round single-row node-count and dangling-mass aggregates " +
                                 "cross-joined back as explicit broadcasts — metadata, not data"),

@@ -103,6 +103,36 @@ class StreamingSpec extends SparkSpecBase {
     assert(templates.forall(t => !t.exists(_.isDigit)), templates.mkString("; "))
   }
 
+  test("drift vs static baseline: stream equals batch; unseen bins surface") {
+    // baseline values {0, 10} populate only bins 0 and 9. Window 0 streams
+    // the same 50/50 mix → KL exactly 0, nothing unseen. Window 1 streams
+    // value 5 → bin 5, which the baseline never populated: it must be
+    // EXCLUDED from the KL (log of zero) and surface as n_unseen instead.
+    val baseline = toDf(Seq(
+      Streaming.Ev(100L, ts(0), 0L, "view", 0.0),
+      Streaming.Ev(101L, ts(1), 0L, "view", 10.0)))
+    val streamRows = Seq(
+      Streaming.Ev(1L, ts(0), 0L, "view", 0.0),
+      Streaming.Ev(2L, ts(1), 0L, "view", 10.0),
+      Streaming.Ev(3L, ts(70), 0L, "view", 5.0))
+    val batch = Streaming.driftAgainstBaseline(toDf(streamRows), baseline)
+      .collect().map(_.toString).sorted.toSeq
+    val input = MemoryStream[Streaming.Ev](spark)
+    val q = Streaming.driftAgainstBaseline(
+        input.toDF().withColumn("props", lit("{}")), baseline)
+      .writeStream.format("memory").queryName("drift").outputMode("complete").start()
+    try {
+      input.addData(streamRows.take(2)); q.processAllAvailable()
+      input.addData(streamRows.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.table("drift").collect().map(_.toString).sorted.toSeq
+    assert(stream === batch)
+    val rows = spark.table("drift")
+      .select("n_events", "kl", "n_unseen")
+      .as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(rows === Seq((1L, 0.0, 1L), (2L, 0.0, 0L)))
+  }
+
   test("hll tumbling distinct users: stream equals batch, estimate exact at hand scale") {
     val batch = Streaming.tumblingDistinctUsers(toDf(rows)).collect().map(_.toString).sorted.toSeq
     val stream = runStream(Streaming.tumblingDistinctUsers, "complete",
