@@ -46,7 +46,11 @@ object Plans {
     "text_gopher_docfilter" -> "entirely map-side: every rule (incl. trigram repetition via array ops) fuses into the parquet scan — no exchange at all",
     "log_inverted_search" -> "query-term filter sits BEFORE the postings exchange: only rows for the 3 searched tokens shuffle — the probe shape of a persisted token-bucketed index",
     "text_gopher_repetition" -> "one corpus-sized doc_id exchange up front; the gram count, (doc,n) window and per-doc rollup all reuse it — gram rows never cross the wire (was 3 exchanges, 31.1->5.4 s at x10)",
-    "text_cdc_chunks" -> "one doc_id exchange orders tokens for the boundary cumsum; chunk digests partial-agg; the digest-df join is unhinted (chunk vocabulary scales with the corpus)")
+    "text_cdc_chunks" -> "one doc_id exchange orders tokens for the boundary cumsum; chunk digests partial-agg; the digest-df join is unhinted (chunk vocabulary scales with the corpus)",
+    "log_proximity_search" -> "NEAR/k as an equi-join: positions bin into width-k buckets, one side explodes +-1 neighbors — frequent terms pair per bucket neighborhood, never per document",
+    "log_drift_daily" -> "two scans total: bounds agg + binned counts; the global profile and all totals re-aggregate the checkpointed (day, bin) table — broadcast metadata rebases, no third scan",
+    "stream_drift_1h" -> "streaming-legal single aggregation: the 10-bin histogram is ten conditional counts in ONE groupBy; KL folds statelessly against the broadcast baseline row",
+    "meta_column_profile" -> "ANALYZE TABLE in one scan: a single aggregation row carries every column's stats; the per-column reshape unions 1-row projections, never rescans")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
