@@ -162,7 +162,10 @@ object Soak {
       "stream_template_1h",
       // round 5c: proximity's bucket-neighborhood pairing, the day-bounded
       // outage sweep, and the drift monitor's two-scan + metadata-rebase
-      "log_proximity_search", "log_outage_windows", "log_drift_daily")
+      "log_proximity_search", "log_outage_windows", "log_drift_daily",
+      // round 5d: span removal — verbatim replication makes EVERY gram
+      // df ≥ factor, so every doc cleans to "": the all-covered worst case
+      "llm_dup_span_removal")
     // the listener bus is asynchronous: stage-completed events can trail
     // the action that produced them, so snapshots around each query must
     // let the bus drain or warm-run bytes leak into the timed delta (and

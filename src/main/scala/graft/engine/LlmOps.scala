@@ -1444,6 +1444,86 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** The ACTION to [[dupSpanFraction]]'s metric — duplicate-span REMOVAL
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better": cut the repeated substring, keep the rest of the document):
+    * every token position covered by a word-5-gram that also appears in
+    * ANOTHER document is dropped, and the surviving tokens re-join into
+    * the cleaned text. Coverage derives from gram START positions with a
+    * 4-preceding window max — token i is covered iff any dup gram starts
+    * in [i−4, i] — so the whole rewrite is the dup-span gram-df join plus
+    * ONE doc-ordered window pass; no pairwise document comparison exists
+    * anywhere. Fully-duplicated docs clean to the empty string (their
+    * text lives elsewhere); sub-5-token docs have no grams and pass
+    * through verbatim (lowercased — the rewrite operates on the
+    * normalized token stream).
+    */
+  val dupSpanRemoval = Q(
+    "llm_dup_span_removal",
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, u.pos AS i, u.tok AS tok FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, CAST(len(ts) AS INTEGER) + 1),
+      |      i -> struct_pack(pos := i, tok := ts[i]))) AS u
+      |    FROM toks) t),
+      |grams AS (
+      |  SELECT doc_id, u.pos AS p, u.gram AS gram FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, CAST(len(ts) AS INTEGER) - 3),
+      |      i -> struct_pack(pos := i, gram := array_to_string(ts[i:i+4], ' ')))) AS u
+      |    FROM toks WHERE len(ts) >= 5) t),
+      |dfc AS (
+      |  SELECT gram, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY 1),
+      |dstart AS (
+      |  SELECT g.doc_id, g.p FROM grams g JOIN dfc USING (gram) WHERE dfc.df >= 2),
+      |flags AS (
+      |  SELECT t.doc_id, t.i, t.tok,
+      |    CASE WHEN d.p IS NOT NULL THEN 1 ELSE 0 END AS st
+      |  FROM tok t LEFT JOIN dstart d ON t.doc_id = d.doc_id AND t.i = d.p),
+      |cov AS (
+      |  SELECT doc_id, i, tok,
+      |    MAX(st) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS covered
+      |  FROM flags)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_tok,
+      |  CAST(SUM(covered) AS BIGINT) AS n_removed,
+      |  ROUND(CAST(SUM(covered) AS DOUBLE) / COUNT(*), 4) AS removed_frac,
+      |  COALESCE(string_agg(CASE WHEN covered = 0 THEN tok END, ' ' ORDER BY i), '')
+      |    AS cleaned_text
+      |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val ts = filter(split(lower(col("text")), " "), t => t =!= "")
+    val base = Tables.documents(s, dir).select(col("doc_id"), ts.as("ts"))
+    val tok = base.select(col("doc_id"), posexplode(col("ts")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).as("i"), col("tok"))
+    val grams = base
+      .filter(size(col("ts")) >= 5)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ts")) - 4),
+        i => struct(i.as("p"), concat_ws(" ", slice(col("ts"), i, lit(5))).as("gram")))).as("u"))
+      .select(col("doc_id"), col("u.p").as("p"), col("u.gram").as("gram"))
+    val dfc = grams.select("doc_id", "gram").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+    val dstart = grams.join(dfc, "gram").filter(col("df") >= 2)
+      .select(col("doc_id").as("d_id"), col("p"))
+    val w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-4, Window.currentRow)
+    tok
+      .join(dstart, col("doc_id") === col("d_id") && col("i") === col("p"), "left")
+      .select(col("doc_id"), col("i"), col("tok"),
+        when(col("p").isNotNull, 1).otherwise(0).as("st"))
+      .withColumn("covered", max("st").over(w))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tok"),
+        sum("covered").as("n_removed"),
+        round(sum("covered").cast("double") / count(lit(1)), 4).as("removed_frac"),
+        array_join(transform(
+          array_sort(collect_list(when(col("covered") === 0, struct(col("i"), col("tok"))))),
+          e => e.getField("tok")), " ").as("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
   /** Embedding clustering E-step (the building block of k-means curation
     * clustering / semantic mixing): assign every vector to its
     * max-cosine centroid and profile the clusters. Centroids here are the
@@ -1794,7 +1874,7 @@ object LlmOps {
     dedupExact, dedupHash, jaccardPairs, shingleJaccard, knnCosine, annLsh,
     annIvf, nearDupCosine, embedNorm, minhashPairs, tfidf, approxDistinct,
     approxPercentile, nearDupClusters, decontaminate, quantizeInt8, approxTopK,
-    embedDimStats, embedNormalize, dupSpanFraction, centroidAssign,
+    embedDimStats, embedNormalize, dupSpanFraction, dupSpanRemoval, centroidAssign,
     embedOutliers, semDedup, embedCorrPairs, nearDupFilter, kmeansEmbed,
     bloomDecontaminate, annIvfPq, hardNegatives, incrementalDedup)
 }

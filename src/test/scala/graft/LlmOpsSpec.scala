@@ -630,4 +630,25 @@ class LlmOpsSpec extends SparkSpecBase {
     val excess = cand.keySet -- exact.keySet
     assert(excess.size <= 0.05 * nTrain + 2, s"${excess.size} excess docs of $nTrain train")
   }
+
+  test("dup-span removal: shared 5-gram spans cut, unique context survives") {
+    // docs 1/2 share exactly the 5-gram "a b c d e" (at different
+    // positions); its span is removed from BOTH, each keeping its unique
+    // tokens. doc 3 is sub-gram-length → passes through verbatim. docs
+    // 4/5 are full duplicates → every position covered, cleaned to "".
+    val dir = docsDir(Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x a b c d e y z"),
+      (3L, "p q r"),
+      (4L, "m n o p q r"),
+      (5L, "m n o p q r")))
+    val got = graft.engine.LlmOps.dupSpanRemoval.build(spark, dir)
+      .as[(Long, Long, Long, Double, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) === ((8L, 5L, 0.625, "f g h")))
+    assert(got(2L) === ((8L, 5L, 0.625, "x y z")))
+    assert(got(3L) === ((3L, 0L, 0.0, "p q r")))
+    assert(got(4L) === ((6L, 6L, 1.0, "")))
+    assert(got(5L) === ((6L, 6L, 1.0, "")))
+  }
 }
