@@ -171,15 +171,27 @@ object Soak {
     // let the bus drain or warm-run bytes leak into the timed delta (and
     // the timed tail into the NEXT query's baseline). Poll until two
     // consecutive reads agree — a fixed sleep would silently under-wait
-    // behind a hundred-stage run's event tail on a loaded machine.
+    // behind a hundred-stage run's event tail on a loaded machine. The
+    // bus is drained explicitly first (waitUntilEmpty covers queued
+    // events; the stable-read loop then covers the in-flight handler),
+    // and three consecutive stable reads are required so a single
+    // 200 ms listener-thread stall (GC, straggler event) can't fake
+    // quiescence.
     def drainListenerBus(): Unit = {
+      // listenerBus is private[spark] (public in bytecode) → reflection
+      try {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty", java.lang.Long.TYPE)
+          .invoke(bus, java.lang.Long.valueOf(10_000L))
+      } catch { case _: Throwable => () } // timeout/API drift → fall through to polls
       val deadline = System.nanoTime() + 10_000_000_000L // 10 s cap
-      var prev = (-1L, -1L)
-      var cur = (shufWrite, shufRead)
-      while (prev != cur && System.nanoTime() < deadline) {
-        prev = cur
+      var stable = 0
+      var prev = (shufWrite, shufRead)
+      while (stable < 3 && System.nanoTime() < deadline) {
         Thread.sleep(200)
-        cur = (shufWrite, shufRead)
+        val cur = (shufWrite, shufRead)
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
       }
     }
     heavy.filter(n => only.forall(_.contains(n))).foreach { name =>

@@ -1492,7 +1492,11 @@ object LlmOps {
       |  ROUND(CAST(SUM(covered) AS DOUBLE) / COUNT(*), 4) AS removed_frac,
       |  COALESCE(string_agg(CASE WHEN covered = 0 THEN tok END, ' ' ORDER BY i), '')
       |    AS cleaned_text
-      |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      |FROM cov GROUP BY doc_id
+      |UNION ALL
+      |SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0.0, ''
+      |FROM toks WHERE len(ts) = 0
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val ts = filter(split(lower(col("text")), " "), t => t =!= "")
     val base = Tables.documents(s, dir).select(col("doc_id"), ts.as("ts"))
     val tok = base.select(col("doc_id"), posexplode(col("ts")).as(Seq("pos0", "tok")))
@@ -1508,7 +1512,7 @@ object LlmOps {
     val dstart = grams.join(dfc, "gram").filter(col("df") >= 2)
       .select(col("doc_id").as("d_id"), col("p"))
     val w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-4, Window.currentRow)
-    tok
+    val cleaned = tok
       .join(dstart, col("doc_id") === col("d_id") && col("i") === col("p"), "left")
       .select(col("doc_id"), col("i"), col("tok"),
         when(col("p").isNotNull, 1).otherwise(0).as("st"))
@@ -1521,7 +1525,14 @@ object LlmOps {
         array_join(transform(
           array_sort(collect_list(when(col("covered") === 0, struct(col("i"), col("tok"))))),
           e => e.getField("tok")), " ").as("cleaned_text"))
-      .orderBy("doc_id")
+    // zero-token (empty/whitespace) docs vanish from posexplode on both
+    // engines; a consumer joining cleaned_text back would lose them. Emit
+    // an explicit all-zero row so no document is ever dropped (the same
+    // no-row-dropped contract gopherDocFilter documents).
+    val empties = base.filter(size(col("ts")) === 0)
+      .select(col("doc_id"), lit(0L).as("n_tok"), lit(0L).as("n_removed"),
+        lit(0.0).as("removed_frac"), lit("").as("cleaned_text"))
+    cleaned.unionByName(empties).orderBy("doc_id")
   }
 
   /** Embedding clustering E-step (the building block of k-means curation

@@ -494,12 +494,16 @@ object Relational {
       min(col(c)).cast("string").as(s"min_$c"),
       max(col(c)).cast("string").as(s"max_$c")))
     val one = Tables.documents(s, dir).agg(aggs.head, aggs.tail: _*)
-    cols.map { c =>
-      one.select(lit(c).as("col"), col("n"),
+    // one output row per column via explode over the single agg row — a
+    // STRUCTURAL one-scan guarantee (a 5-branch union of the same agg
+    // would lean on ReuseExchange deduplication, which a planner/config
+    // change could silently break; PlanSpec pins the scan count)
+    one.select(explode(array(cols.map(c => struct(
+        lit(c).as("col"), col("n"),
         col(s"null_$c").cast("long").as("n_null"),
         col(s"nd_$c").cast("long").as("n_distinct"),
-        col(s"min_$c").as("min_v"), col(s"max_$c").as("max_v"))
-    }.reduce(_ unionByName _).orderBy("col")
+        col(s"min_$c").as("min_v"), col(s"max_$c").as("max_v"))): _*)).as("kv"))
+      .select("kv.*").orderBy("col")
   }
 
   val all: Seq[Q] = Seq(

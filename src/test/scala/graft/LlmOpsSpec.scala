@@ -167,6 +167,71 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(byBlob.values.map(ids => got(ids.head)).toSet.size === 3)
   }
 
+  test("kmeans oracle guard bands: assignment margins and M-step means clear of float midpoints") {
+    // The llm_kmeans hash-equality oracle's acknowledged residual flake
+    // risk: a regenerated fixture could land an M-step mean on a
+    // float-rounding midpoint (the two engines' last-ulp summation drift
+    // would then round to DIFFERENT floats) or put a vector
+    // near-equidistant between two centroids (tie resolved differently).
+    // This replays the 3(+final-assign)-round loop driver-side in double
+    // math — sequential-summation drift ~1e-13, far below both guards —
+    // and asserts every margin loudly, the BPE-precondition precedent.
+    val vecs = graft.engine.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, a) => (id, a.map(_.toDouble)) }.sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0; while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    var centroids: Seq[(Long, Array[Double])] =
+      vecs.filter(_._1 < 8).toSeq.map { case (id, v) => (id, v) }
+    for (round <- 1 to 4) {
+      val assigned = vecs.map { case (id, v) =>
+        val d2s = centroids.map { case (cid, c) =>
+          (dot(v, v) + dot(c, c) - 2.0 * dot(v, c), cid)
+        }.sorted
+        val margin = d2s(1)._1 - d2s(0)._1
+        assert(margin > 1e-7, s"round $round vec $id assignment margin $margin below 1e-7 guard")
+        (id, v, d2s.head._2)
+      }
+      if (round < 4) {
+        centroids = assigned.groupBy(_._3).toSeq.sortBy(_._1).map { case (cid, members) =>
+          val mean = Array.tabulate(members.head._2.length) { d =>
+            members.map(_._2(d)).sum / members.length
+          }
+          mean.zipWithIndex.foreach { case (m, d) =>
+            val f = m.toFloat
+            val ulp = Math.ulp(f).toDouble
+            val distFromMidpoint = math.abs(ulp / 2 - math.abs(m - f.toDouble))
+            if (distFromMidpoint <= 1e-3 * ulp) {
+              // A mean ON (or within the band of) a float-rounding midpoint
+              // is still deterministic IF the double summation producing it
+              // is exact — then every summation order yields bit-identical
+              // doubles and round-half-even resolves identically on both
+              // engines. (The fixture does hit exact midpoints: float
+              // addends summed exactly then divided make dyadic rationals.)
+              // So near-midpoint demands PROOF of exactness, else fail.
+              val xs = members.map(_._2(d))
+              val sumD = xs.sum
+              // java.math.BigDecimal: scala's wrapper folds under a 34-digit
+              // MathContext, which would round the exact sum itself
+              val exactSum = xs.map(new java.math.BigDecimal(_))
+                .reduce(_.add(_))
+              assert(new java.math.BigDecimal(sumD).compareTo(exactSum) == 0,
+                s"round $round c_id $cid dim $d: mean $m in the float-midpoint " +
+                  s"guard band with INEXACT summation — cross-engine rounding flake")
+              val probeBits = Seq(xs, xs.reverse, xs.sorted, xs.sorted.reverse,
+                xs.sortBy(math.abs), xs.sortBy(x => -math.abs(x)))
+                .map(p => java.lang.Double.doubleToLongBits(p.sum / p.length)).toSet
+              assert(probeBits.size == 1,
+                s"round $round c_id $cid dim $d: order-sensitive summation at a float midpoint")
+            }
+          }
+          (cid, mean.map(x => x.toFloat.toDouble))
+        }
+      }
+    }
+  }
+
   test("incremental dedup: batch docs drop vs the existing corpus only (exact, near-dup, novel)") {
     // doc_id % 5 == 0 → batch; rest → existing corpus (10 existing docs so
     // the 0.1·n_docs df-cap evaluates to 1.0 and keeps df=1 shingles —
@@ -636,19 +701,28 @@ class LlmOpsSpec extends SparkSpecBase {
     // positions); its span is removed from BOTH, each keeping its unique
     // tokens. doc 3 is sub-gram-length → passes through verbatim. docs
     // 4/5 are full duplicates → every position covered, cleaned to "".
+    // docs 6/7: zero-token (empty / whitespace-only) — posexplode emits no
+    // rows for them, so without the explicit empties union they would
+    // vanish from the output entirely; the no-row-dropped contract says
+    // they surface as all-zero rows instead.
     val dir = docsDir(Seq(
       (1L, "a b c d e f g h"),
       (2L, "x a b c d e y z"),
       (3L, "p q r"),
       (4L, "m n o p q r"),
-      (5L, "m n o p q r")))
+      (5L, "m n o p q r"),
+      (6L, ""),
+      (7L, "   ")))
     val got = graft.engine.LlmOps.dupSpanRemoval.build(spark, dir)
       .as[(Long, Long, Long, Double, String)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got.size === 7, s"a document was dropped: ${got.keySet}")
     assert(got(1L) === ((8L, 5L, 0.625, "f g h")))
     assert(got(2L) === ((8L, 5L, 0.625, "x y z")))
     assert(got(3L) === ((3L, 0L, 0.0, "p q r")))
     assert(got(4L) === ((6L, 6L, 1.0, "")))
     assert(got(5L) === ((6L, 6L, 1.0, "")))
+    assert(got(6L) === ((0L, 0L, 0.0, "")))
+    assert(got(7L) === ((0L, 0L, 0.0, "")))
   }
 }

@@ -111,6 +111,15 @@ class PlanSpec extends SparkSpecBase {
     assert(readSchema.contains("text") && !readSchema.contains("doc_id"), readSchema)
   }
 
+  test("column profile reads the corpus exactly once") {
+    // The operator's claim is ANALYZE-TABLE stats in ONE scan. The builder
+    // makes that structural (explode over the single agg row, not a
+    // 5-branch union relying on ReuseExchange); this pin keeps it so.
+    val plan = planOf(Relational.metaColumnProfile)
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 documents scan, got $scans\n$plan")
+  }
+
   test("interval overlap joins on the time bucket — equi-join, never nested-loop") {
     // The operator has NO shared equi-key; the bucket binning must be what
     // the planner joins on. A BNLJ here means the rewrite regressed to the

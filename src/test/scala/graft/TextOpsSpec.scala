@@ -287,8 +287,13 @@ class TextOpsSpec extends SparkSpecBase {
     // happen not to hit it" into a pinned invariant that fails loudly if
     // a regenerated corpus ever does (instead of a silent hash mismatch).
     import org.apache.spark.sql.functions.{col, explode, filter, lower, split}
-    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
-        "/root/testdata/sf0.1")) {
+    // every fixture corpus on disk, not a hardcoded list: a regenerated
+    // or added SF (e.g. sf1) is covered automatically
+    val corpora = new java.io.File("/root/testdata").listFiles()
+      .filter(d => d.isDirectory && new java.io.File(d, "documents.parquet").exists())
+      .map(_.getAbsolutePath).sorted.toSeq
+    assert(corpora.nonEmpty, "no fixture corpora found under /root/testdata")
+    for (dir <- corpora) {
       val words = spark.read.parquet(s"$dir/documents.parquet")
         .select(explode(filter(split(lower(col("text")), " "), t => t =!= "")).as("tok"))
         .groupBy("tok").count().as[(String, Long)].collect().toMap
