@@ -681,6 +681,25 @@ object LlmOps {
     pqSearch(s, dir, cb, codes)
   }
 
+  /** The PERSISTED-index lifecycle behind [[annIvfPq]]: the codebook +
+    * encoded corpus are trained/written ONCE (`Sinks.writePqIndex` via the
+    * build-once `Stores` registry) and every query batch is served from
+    * the standing parquet index — the original float vectors are touched
+    * only for the shortlist re-rank fetch. Same ADC + refine query path
+    * (LlmOpsSpec proves the parquet round-trip is search-equivalent, and
+    * a spec pins indexed ≡ in-memory output row-for-row); what the
+    * registered form adds is the real serve-from-disk plan: a 32×-smaller
+    * code-table scan instead of re-training per query. No oracle for the
+    * same reason as [[annIvfPq]] (engine-local codebooks); recall floors
+    * are CI-pinned on the in-memory twin.
+    */
+  val annIvfPqIndexed = Q.noOracle("llm_ann_ivfpq_indexed") { (s, dir) =>
+    val path = graft.sources.Stores.pqIndex(s, dir)
+    val cb = s.read.parquet(s"$path/codebook")
+    val codes = s.read.parquet(s"$path/codes")
+    pqSearch(s, dir, cb, codes)
+  }
+
   /** (vec_id, sub, sv): unit-normalized subvector rows — the shared input
     * of PQ training, encode, and the query-side ADC tables.
     */
@@ -1887,5 +1906,6 @@ object LlmOps {
     approxPercentile, nearDupClusters, decontaminate, quantizeInt8, approxTopK,
     embedDimStats, embedNormalize, dupSpanFraction, dupSpanRemoval, centroidAssign,
     embedOutliers, semDedup, embedCorrPairs, nearDupFilter, kmeansEmbed,
-    bloomDecontaminate, annIvfPq, hardNegatives, incrementalDedup)
+    bloomDecontaminate, annIvfPq, hardNegatives, incrementalDedup,
+    annIvfPqIndexed)
 }

@@ -108,11 +108,45 @@ object Sinks {
     */
   def probePostings(spark: org.apache.spark.sql.SparkSession, path: String,
                     terms: Seq[String]): DataFrame = {
+    val normTerms = normalizeTerms(terms)
+    prunedPostings(spark, path, normTerms)
+      .groupBy("doc_id")
+      .agg(countDistinct("tok").as("n_terms"))
+      .filter(col("n_terms") === normTerms.length)
+      .select("doc_id")
+  }
+
+  /** [[probePostings]] with per-(doc, term) term frequencies attached —
+    * the probe shape ranked retrieval and the registered
+    * `log_indexed_search` consume: (doc_id, tok, tf) rows for every doc
+    * matching ALL terms, read from the pruned buckets only.
+    */
+  def probePostingsTf(spark: org.apache.spark.sql.SparkSession, path: String,
+                      terms: Seq[String]): DataFrame = {
+    val normTerms = normalizeTerms(terms)
+    val tf = prunedPostings(spark, path, normTerms)
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val hits = tf.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"))
+      .filter(col("n_terms") === normTerms.length)
+      .select("doc_id")
+    tf.join(hits, "doc_id")
+  }
+
+  // normalize to the writer's tokenization (lowercase) and dedup — a
+  // verbatim "Spark" would hash into the wrong bucket and silently miss,
+  // and a duplicated term would make the n_terms intersection unmatchable
+  private def normalizeTerms(terms: Seq[String]): Seq[String] =
+    terms.map(_.toLowerCase).distinct
+
+  /** Store scan pruned to the query terms' partitions: resolves the bucket
+    * modulus from the store's own meta, hashes each term with the writer's
+    * `hash`, and filters on the PARTITION column before the term filter.
+    */
+  private def prunedPostings(spark: org.apache.spark.sql.SparkSession,
+                             path: String, normTerms: Seq[String]): DataFrame = {
     import spark.implicits._
-    // normalize to the writer's tokenization (lowercase) and dedup — a
-    // verbatim "Spark" would hash into the wrong bucket and silently miss,
-    // and a duplicated term would make the n_terms intersection unmatchable
-    val normTerms = terms.map(_.toLowerCase).distinct
     val buckets = spark.read.parquet(s"$path/meta").select("buckets")
       .as[Int].head()
     val bucketIds = normTerms.toDF("t")
@@ -121,10 +155,6 @@ object Sinks {
     spark.read.parquet(s"$path/postings")
       .filter(col("tok_bucket").isin(bucketIds: _*)) // partition pruning
       .filter(col("tok").isin(normTerms: _*))
-      .groupBy("doc_id")
-      .agg(countDistinct("tok").as("n_terms"))
-      .filter(col("n_terms") === normTerms.length)
-      .select("doc_id")
   }
 
   /** HLL sketch store: persist (key…, day, sk: binary) daily Datasketches

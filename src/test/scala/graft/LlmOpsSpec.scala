@@ -675,6 +675,33 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(inMem.nonEmpty)
   }
 
+  test("registered indexed ANN: serves from the standing PQ store, full top-10s, recall floor") {
+    val df = LlmOps.annIvfPqIndexed.build(spark, sfDir)
+    // the ADC shortlist must scan the PERSISTED code table — a re-trained
+    // in-memory index here means the lifecycle regressed to per-query build
+    val roots = df.queryExecution.sparkPlan
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .map(_.relation.location.rootPaths.mkString(","))
+    assert(roots.exists(_.contains("pq_index/codes")), s"no persisted code scan in: $roots")
+    assert(roots.exists(_.contains("pq_index/codebook")), s"no persisted codebook scan in: $roots")
+    val got = df.select("q_id", "vec_id", "rn").as[(Long, Long, Int)].collect()
+    val byQ = got.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to 10), s"query $q ranks ${rows.map(_._3).toSeq}")
+    }
+    // same recall discipline as the in-memory twin (round-trip equivalence
+    // is proved bit-for-bit by the ivf-pq round-trip test above)
+    val exact = LlmOps.knnCosine.build(spark, sfDir)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = byQ.map { case (q, rows) =>
+      rows.map(_._2).toSet.intersect(exact(q)).size / 10.0
+    }
+    assert(recalls.sum / recalls.size >= 0.75,
+      s"indexed PQ recall@10 ${recalls.sum / recalls.size} below floor 0.75")
+  }
+
   test("bloom decontamination: superset of the exact hit list, bounded excess") {
     val exact = LlmOps.decontaminate.build(spark, sfDir)
       .select("doc_id", "n_shared").as[(Long, Long)].collect().toMap

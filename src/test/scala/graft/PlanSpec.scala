@@ -120,6 +120,34 @@ class PlanSpec extends SparkSpecBase {
     assert(scans == 1, s"expected 1 documents scan, got $scans\n$plan")
   }
 
+  test("indexed search serves from the posting store: pruned bucket scan, corpus never read") {
+    // The registered log_indexed_search must run the ENGINE lifecycle:
+    // answer from the standing index's pruned tok_bucket directories and
+    // never re-tokenize the corpus. A documents.parquet scan appearing
+    // here means the query regressed to the raw-scan formulation.
+    val df = LogOps.indexedSearch.build(spark, sfDir)
+    val scans = df.queryExecution.sparkPlan
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    val roots = scans.map(_.relation.location.rootPaths.mkString(","))
+    assert(!roots.exists(_.contains("documents.parquet")),
+      s"indexed search read the corpus: $roots")
+    val store = scans.find(_.output.exists(_.name == "tok"))
+      .getOrElse(fail(s"no posting-store scan found in: $roots"))
+    assert(store.partitionFilters.exists(_.toString.contains("tok_bucket")),
+      store.partitionFilters.mkString("; "))
+  }
+
+  test("bm25 ranked retrieval: map-side tf, broadcast stats, TakeOrdered top-k") {
+    val plan = planOf(LogOps.searchRanked)
+    // top-20 must be a TakeOrdered, never a global sort of all matches
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // per-doc tf/dl never explode/shuffle tokens: no Generate (explode)
+    // node anywhere — tfs come from size(filter(ts)) inside the scan
+    assert(!plan.contains("Generate"), plan)
+    // corpus stats ride in as a broadcast, not a shuffled join
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("interval overlap joins on the time bucket — equi-join, never nested-loop") {
     // The operator has NO shared equi-key; the bucket binning must be what
     // the planner joins on. A BNLJ here means the rewrite regressed to the
@@ -254,6 +282,10 @@ class PlanSpec extends SparkSpecBase {
     "llm_ann_ivf"           -> "centroid table ≤ 2^bits rows, broadcast by construction",
     "llm_ann_ivfpq"         -> ("100-row ADC-table side broadcast over the code scan (knn " +
                                 "discipline); codebook ≤ m·ks rows, broadcast by construction"),
+    "llm_ann_ivfpq_indexed" -> ("same query path as llm_ann_ivfpq served from the persisted " +
+                                "index — 100-row ADC broadcast over the code-table scan"),
+    "log_search_ranked"     -> ("single-row corpus-stats aggregate (N, avgdl, dfs) cross-joined " +
+                                "into the BM25 score — metadata rebase"),
     "llm_centroid_assign"   -> "k=8 centroid table broadcast; corpus side never shuffles",
     "llm_kmeans"            -> "k=8 centroid table broadcast per Lloyd round; corpus never shuffles in the E-step",
     "llm_semdedup"          -> "k=8 centroid table broadcast for assignment; pair scan itself is the (c_id, ci, cj) equi-join",
