@@ -1752,7 +1752,13 @@ object LogOps {
       .select(col("event_id").as("incident_id"), col("i_start"), col("i_end"))
       .withColumn("bucket",
         explode(sequence(expr(s"i_start div $bucketUs"), expr(s"i_end div $bucketUs"))))
-    incidents.join(sessions, "bucket")
+    // hot-bucket guard: a storm hour concentrates one bucket key and its
+    // whole sessions×incidents pairing would run in one task; the census
+    // salt splits a hot bucket's sessions over 8 sub-keys and replicates
+    // only that bucket's incidents (identical results — SkewSpec pins the
+    // storm case; cold buckets join exactly as before)
+    Skew.censusSaltedJoin(sessions, incidents, Seq("bucket"),
+        saltBy = xxhash64(col("user_id"), col("session_id")))
       .filter(col("s_start") <= col("i_end") && col("i_start") <= col("s_end"))
       .select("incident_id", "user_id", "session_id")
       .distinct()
@@ -1955,6 +1961,11 @@ object LogOps {
     * what dies on stopword-frequency terms at scale. Each qualifying
     * pair matches exactly once (pa's bucket is unique; pb meets it in
     * one of its three exploded buckets), so no dedup step is needed.
+    * No hot-key salt is needed here (unlike [[joinIntervalOverlap]]'s
+    * census guard): the join key includes doc_id AND a width-k position
+    * bucket, so a (doc, bucket) key holds at most k = 4 left rows and
+    * 3k right rows BY CONSTRUCTION — the key itself bounds the pairing,
+    * no matter how frequent the term.
     */
   val proximitySearch = Q(
     "log_proximity_search",
@@ -2094,10 +2105,25 @@ object LogOps {
       |  ROUND(CAST(MAX(i_end) - MIN(i_start) AS DOUBLE) / 1000000, 4) AS duration_s
       |FROM numbered GROUP BY day, outage_id
       |ORDER BY day, outage_id""".stripMargin) { (s, dir) =>
-    val incidents = incidentWindows(s, dir)
+    dayOutages(s, dir)
+      .withColumn("duration_s",
+        round((col("end_us") - col("start_us")).cast("double") / 1000000L, 4))
+      .select("day", "outage_id", "n_incidents", "start_us", "end_us", "duration_s")
+      .orderBy("day", "outage_id")
+  }
+
+  /** Phase 1 of the outage rollup, shared by [[outageWindows]] and
+    * [[outageWindowsMerged]]: the day-partitioned running-max sweep over
+    * incident windows → one row per (day, outage_id) with its incident
+    * count and span. Day partitioning keeps window state bounded at
+    * 100 TB; what it costs — an outage crossing midnight appears once per
+    * day it touches — is exactly what phase 2 repairs.
+    */
+  private def dayOutages(s: org.apache.spark.sql.SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame = {
     val order = Window.partitionBy("day").orderBy(col("i_start"), col("event_id"))
     val prevMax = max("i_end").over(order.rowsBetween(Window.unboundedPreceding, -1))
-    incidents
+    incidentWindows(s, dir)
       .withColumn("new_outage",
         when(prevMax.isNull || col("i_start") > prevMax, 1).otherwise(0))
       .withColumn("outage_id",
@@ -2107,9 +2133,79 @@ object LogOps {
       .agg(
         count(lit(1)).as("n_incidents"),
         min("i_start").as("start_us"),
-        max("i_end").as("end_us"),
-        round((max("i_end") - min("i_start")).cast("double") / 1000000L, 4).as("duration_s"))
-      .orderBy("day", "outage_id")
+        max("i_end").as("end_us"))
+  }
+
+  /** [[outageWindows]] with the midnight seam repaired — the two-phase
+    * interval union: phase 1 is the SAME day-partitioned sweep (corpus-
+    * scale work, window state bounded per day), phase 2 re-runs the
+    * identical running-max sweep over phase 1's OUTAGE rows in one global
+    * window to glue boundary-touching pieces back together. Outage rows
+    * are post-aggregation metadata (thousands, not billions — bounded by
+    * days × outages/day), so the single-partition second pass costs
+    * nothing at any corpus size; this is the standard "sweep within
+    * partitions, then sweep the partition summaries" repair, and the
+    * reason phase 1's midnight split was an acceptable trade. `n_spans`
+    * reports how many per-day pieces merged (1 = within-day outage,
+    * ≥ 2 = crossed midnight).
+    */
+  val outageWindowsMerged = Q(
+    "log_outage_windows_merged",
+    s"""WITH $incidentsCteSql,
+      |flagged AS (
+      |  SELECT day, event_id, i_start, i_end,
+      |    CASE WHEN max(i_end) OVER (PARTITION BY day ORDER BY i_start, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |           OR i_start > max(i_end) OVER (PARTITION BY day ORDER BY i_start, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |         THEN 1 ELSE 0 END AS new_outage
+      |  FROM incidents),
+      |numbered AS (
+      |  SELECT day, event_id, i_start, i_end,
+      |    CAST(SUM(new_outage) OVER (PARTITION BY day ORDER BY i_start, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS outage_id
+      |  FROM flagged),
+      |day_outages AS (
+      |  SELECT day, outage_id, COUNT(*) AS n_incidents,
+      |    MIN(i_start) AS start_us, MAX(i_end) AS end_us
+      |  FROM numbered GROUP BY day, outage_id),
+      |mflag AS (
+      |  SELECT day, outage_id, n_incidents, start_us, end_us,
+      |    CASE WHEN max(end_us) OVER (ORDER BY start_us, day, outage_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |           OR start_us > max(end_us) OVER (ORDER BY start_us, day, outage_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |         THEN 1 ELSE 0 END AS new_m
+      |  FROM day_outages),
+      |mnum AS (
+      |  SELECT day, outage_id, n_incidents, start_us, end_us,
+      |    CAST(SUM(new_m) OVER (ORDER BY start_us, day, outage_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS m_id
+      |  FROM mflag)
+      |SELECT m_id AS outage_id,
+      |  CAST(SUM(n_incidents) AS BIGINT) AS n_incidents,
+      |  CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |  MIN(start_us) AS start_us, MAX(end_us) AS end_us,
+      |  ROUND(CAST(MAX(end_us) - MIN(start_us) AS DOUBLE) / 1000000, 4) AS duration_s
+      |FROM mnum GROUP BY m_id ORDER BY outage_id""".stripMargin) { (s, dir) =>
+    val order = Window.orderBy(col("start_us"), col("day"), col("outage_id"))
+    val prevMax = max("end_us").over(order.rowsBetween(Window.unboundedPreceding, -1))
+    dayOutages(s, dir)
+      .withColumn("new_m",
+        when(prevMax.isNull || col("start_us") > prevMax, 1).otherwise(0))
+      .withColumn("m_id",
+        sum("new_m").over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .groupBy("m_id")
+      .agg(
+        sum("n_incidents").cast("long").as("n_incidents"),
+        count(lit(1)).as("n_spans"),
+        min("start_us").as("start_us"),
+        max("end_us").as("end_us"),
+        round((max("end_us") - min("start_us")).cast("double") / 1000000L, 4).as("duration_s"))
+      .select(col("m_id").as("outage_id"), col("n_incidents"), col("n_spans"),
+        col("start_us"), col("end_us"), col("duration_s"))
+      .orderBy("outage_id")
   }
 
   val all: Seq[Q] = Seq(
@@ -2124,5 +2220,5 @@ object LogOps {
     latencyPercentiles, sessionDurations, typeAffinity, typeTransitions,
     rollingWau, pagerankTypes, seasonality, templateMine, joinIntervalOverlap,
     invertedSearch, phraseSearch, outageWindows, proximitySearch, driftDaily,
-    indexedSearch, searchRanked)
+    indexedSearch, searchRanked, outageWindowsMerged)
 }

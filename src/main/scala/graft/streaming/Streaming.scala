@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
@@ -495,6 +496,85 @@ object Streaming {
           .write.mode("overwrite").parquet(s"$path/batch=$batchId")
       }
       .start()
+
+  /** S5 (keyed-upsert sink): the streaming twin of `log_compact_latest` —
+    * MERGE-style latest-record-wins into a standing keyed table. Each
+    * micro-batch compacts itself per (user_id, event_type), then merges
+    * with the table state: newer (ts, event_id) wins the value columns,
+    * per-key version counts accumulate. Exactly-once under at-least-once
+    * replay comes from MVCC versioning rather than blind overwrite: batch
+    * N reads the latest table version with id < N and writes version N,
+    * so a replayed batch N re-reads the SAME pre-state and rewrites the
+    * same post-state — idempotent by construction (the plain-parquet form
+    * of a lakehouse MERGE transaction log; StreamingSpec's replay test
+    * pins it). At 100 TB the table would be hash-bucketed by key and the
+    * merge would rewrite only touched buckets — the version protocol is
+    * unchanged.
+    */
+  def startKeyedUpsertSink(events: DataFrame, path: String,
+                           checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        upsertBatch(batch, path, batchId)
+      }
+      .start()
+
+  /** One keyed-upsert MERGE step (factored out so the replay spec can
+    * drive a crash re-delivery directly). Latest version of the table =
+    * `path/v=<max committed batchId>`.
+    */
+  def upsertBatch(batch: DataFrame, path: String, batchId: Long): Unit = {
+    val key = Window.partitionBy("user_id", "event_type")
+    val compacted = batch
+      .select(col("user_id"), col("event_type"), col("ts"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(key.orderBy(col("ts").desc, col("event_id").desc)))
+      .withColumn("n_versions", count(lit(1)).over(key))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("ts").as("last_ts"),
+        col("value").as("last_value"), col("event_id").as("last_event_id"),
+        col("n_versions"))
+    // pre-state = latest version STRICTLY BEFORE this batch — a replayed
+    // batch must merge against what it saw the first time, never its own
+    // output (reading v=batchId here would double-count on re-delivery)
+    val prev = tableVersions(path).filter(_ < batchId)
+    val merged =
+      if (prev.isEmpty) compacted
+      else {
+        val state = batch.sparkSession.read.parquet(s"$path/v=${prev.max}")
+        state.unionByName(compacted)
+          .withColumn("rn", row_number().over(
+            key.orderBy(col("last_ts").desc, col("last_event_id").desc)))
+          .withColumn("nv", sum("n_versions").over(key))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"), col("last_ts"),
+            col("last_value"), col("last_event_id"), col("nv").as("n_versions"))
+      }
+    merged.write.mode("overwrite").parquet(s"$path/v=$batchId")
+    // retire versions older than the one just read — the pre-state must
+    // survive until THIS version commits, in case this batch replays
+    prev.filter(_ < prev.maxOption.getOrElse(Long.MinValue)).foreach { v =>
+      deleteRecursively(new java.io.File(s"$path/v=$v"))
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  /** Committed version ids of a keyed-upsert table (dirs with _SUCCESS). */
+  def tableVersions(path: String): Seq[Long] = {
+    val root = new java.io.File(path)
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v=") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .map(_.getName.stripPrefix("v=").toLong).toSeq.sorted
+  }
+
+  /** Current contents of a keyed-upsert table: its latest version. */
+  def readKeyedTable(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/v=${tableVersions(path).max}")
 
   /** File-based streaming source over an events-shaped directory: new
     * parquet files appearing under `dir` are treated as stream arrivals

@@ -312,6 +312,31 @@ class LogOpsSpec extends SparkSpecBase {
     assert(got === Set((1L, 3L, 600.0), (2L, 1L, 240.0)))
   }
 
+  test("merged outage windows: a midnight-spanning incident chain glues back into one outage") {
+    // Incident chain across midnight: minutes -3, -1, +1, +3 around the
+    // 1704067200 day boundary → windows [-5,-1]∪[-3,+1] (day A) and
+    // [-1,+3]∪[+1,+5] (day B). The day-partitioned sweep reports TWO
+    // outages (one per day); day A's piece ends at +1 ≥ day B's piece
+    // start -1, so phase 2 must merge them into ONE outage spanning
+    // [-5,+5] (600 s, 4 incidents, 2 spans). Minute +40 stands alone
+    // (1 span) and the below-threshold event never becomes an incident.
+    val dir = eventsDir(Seq(
+      (1L, ts(-3), 0L, "error", 200.0, "{}"),
+      (2L, ts(-1), 1L, "error", 200.0, "{}"),
+      (3L, ts(1), 2L, "error", 200.0, "{}"),
+      (4L, ts(3), 3L, "error", 200.0, "{}"),
+      (5L, ts(40), 4L, "error", 200.0, "{}"),
+      (6L, ts(0), 5L, "error", 50.0, "{}")))
+    // phase 1 alone really does split at the seam (the repair is not vacuous)
+    val split = LogOps.outageWindows.build(spark, dir)
+      .select("outage_id", "n_incidents").as[(Long, Long)].collect().toSeq
+    assert(split.length === 3, s"expected the seam split + the lone outage: $split")
+    val got = LogOps.outageWindowsMerged.build(spark, dir)
+      .select("outage_id", "n_incidents", "n_spans", "duration_s")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === Set((1L, 4L, 2L, 600.0), (2L, 1L, 1L, 240.0)))
+  }
+
   test("drift: KL per day matches hand computation; identical days score 0") {
     def day(d: Int, m: Int) = new Timestamp(1704067200000L + (d * 1440 + m) * 60000L)
     // vmin=0, vmax=10 → values 0 and 10 land in bins 0 and 9.

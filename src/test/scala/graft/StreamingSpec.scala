@@ -404,6 +404,43 @@ class StreamingSpec extends SparkSpecBase {
     assert(totals === expected)
   }
 
+  test("keyed-upsert sink: stream equals batch compaction; crash replay is idempotent") {
+    val base = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val input = MemoryStream[Streaming.Ev](spark)
+    val q = Streaming.startKeyedUpsertSink(
+      input.toDF().withColumn("props", lit("{}")), s"$base/table", s"$base/ckpt")
+    try {
+      input.addData(rows.take(3)); q.processAllAvailable()
+      input.addData(rows.slice(3, 5)); q.processAllAvailable()
+      input.addData(rows.drop(5)); q.processAllAvailable()
+    } finally q.stop()
+    def tableRows: Seq[String] =
+      Streaming.readKeyedTable(spark, s"$base/table")
+        .select("user_id", "event_type", "last_ts", "last_value",
+          "last_event_id", "n_versions")
+        .collect().map(_.toString).sorted.toSeq
+    val streamed = tableRows
+    // stream ≡ batch: the standing table after 3 micro-batches must be
+    // exactly what log_compact_latest computes over the full event set
+    val batchDir = java.nio.file.Files.createTempDirectory("graft-upsert-b").toString
+    toDf(rows).write.mode("overwrite").parquet(s"$batchDir/events.parquet")
+    val batch = graft.engine.LogOps.compactLatest.build(spark, batchDir)
+      .select("user_id", "event_type", "last_ts", "last_value",
+        "last_event_id", "n_versions")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // crash replay: foreachBatch delivery is at-least-once — re-driving the
+    // LAST batch with the same batchId must leave the table unchanged
+    // (the merge re-reads the pre-state version, not its own output)
+    val lastVersion = Streaming.tableVersions(s"$base/table").max
+    Streaming.upsertBatch(toDf(rows.drop(5)), s"$base/table", lastVersion)
+    assert(tableRows === streamed, "replaying a delivered batch changed the table")
+    // and a SECOND replay of the same batch is still stable
+    Streaming.upsertBatch(toDf(rows.drop(5)), s"$base/table", lastVersion)
+    assert(tableRows === streamed)
+  }
+
   test("file stream source reads the events fixture incrementally") {
     val out = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
     // copy the sf0.001 events through the batch normalizer to get µs ts
