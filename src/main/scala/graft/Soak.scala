@@ -86,8 +86,25 @@ object Soak {
     if (tables("embeddings")) {
       val emb = spark.read.parquet(s"$src/embeddings.parquet")
       val eN = emb.count()
+      // SPARK_GRAFT_SOAK_EMB_MODE=rotate → each replica cyclically rotates
+      // the embedding dims by its replica index: same norms and value
+      // distribution, but DISTINCT vectors (and band bits) per replica —
+      // a factor× bigger corpus rather than a factor×-duplicated one.
+      // Verbatim replication (the default, what the dedup soaks want)
+      // would make every vector a factor-clique of cosine-1.0 pairs, so
+      // the banded sweep's output itself would be quadratic BY
+      // CONSTRUCTION and measure nothing about the algorithm.
+      val rotate = sys.env.get("SPARK_GRAFT_SOAK_EMB_MODE").contains("rotate")
       replicate(emb, factor) { (d, rep) =>
-        d.withColumn("vec_id", col("vec_id") + rep * lit(eN))
+        val shifted = d.withColumn("vec_id", col("vec_id") + rep * lit(eN))
+        if (!rotate) shifted
+        else {
+          val dim = size(col("embedding"))
+          val r = pmod(rep, dim).cast("int")
+          shifted.withColumn("embedding",
+            concat(slice(col("embedding"), r + 1, dim - r),
+              slice(col("embedding"), lit(1), r)))
+        }
       }.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     }
 
@@ -194,6 +211,43 @@ object Soak {
         if (cur == prev) stable += 1 else { stable = 0; prev = cur }
       }
     }
+    // §6f: banded near-dup candidate-volume sweep (SPARK_GRAFT_SOAK_ONLY=
+    // neardup_banded_sweep, with SOAK_TABLES=embeddings SOAK_EMB_MODE=
+    // rotate): measures candidate volume + wall time as the band-bit knob
+    // grows, demonstrating bits ≈ log2(n) + const keeps the candidate set
+    // near-linear while n² explodes. tables shrink as bits grow because
+    // this fixture has only 64 sign bits to spend (tables·bits ≤ 64); a
+    // production 768-dim embedding keeps all 6 tables at any bit depth.
+    if (only.exists(_.contains("neardup_banded_sweep"))) {
+      // emulate at-scale planning: a corpus-derived side can never
+      // auto-broadcast at 100 TB (and Spark's size estimate under the
+      // generate fan-out is unreliable enough here to OOM the driver by
+      // trying); the engine's own explicit broadcast() hints — all
+      // metadata-sized — are unaffected by the threshold
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val e = graft.engine.Tables.embeddings(spark, dir)
+      val n = e.count()
+      println(f"banded sweep: n=$n%d vectors, n(n-1)/2=${n * (n - 1) / 2}%d possible pairs")
+      for ((tabs, bits) <- Seq((6, 8), (6, 10), (5, 12), (4, 16))) {
+        drainListenerBus()
+        val (w0, _) = (shufWrite, shufRead)
+        val t0 = System.nanoTime()
+        val cand = graft.engine.LlmOps.bandedCandidates(e, tabs, bits, 32).count()
+        val tc = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val pairs = graft.engine.LlmOps.bandedPairs(e, tabs, bits, 32, 0.4).count()
+        val tp = (System.nanoTime() - t1) / 1e9
+        drainListenerBus()
+        val gb = 1024.0 * 1024 * 1024
+        val frac = cand.toDouble / (n.toDouble * (n - 1) / 2)
+        println(f"tables=$tabs bits=$bits%2d candidates=$cand%12d ($frac%.6f of n²/2) " +
+          f"cand_count=$tc%7.2f s  verified_pairs=$pairs%10d full=$tp%7.2f s  " +
+          f"shufW=${(shufWrite - w0) / gb}%.2f GiB")
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+
     heavy.filter(n => only.forall(_.contains(n))).foreach { name =>
       val fn = SparkEntry.queries(name)
       try { fn(spark, dir).count() } catch { case _: Throwable => () } // warm

@@ -517,6 +517,41 @@ object LlmOps {
     * before the ROUND, and derives the identical band ids from CASE'd
     * sign tests on the same dimensions.
     */
+  /** The banded candidate generator behind [[nearDupCosine]], with the
+    * scale knobs as parameters: `tables` OR-probe band tables of `bits`
+    * sign bits each (dims t·bits..t·bits+bits−1 — requires tables·bits ≤
+    * embedding dim), block-grid distributed over `numBlocks`. Returns the
+    * PRE-verification candidate rows (a pair colliding in k tables
+    * appears k times — that multiplicity IS the work the verify step
+    * pays), so the ×100 soak can measure candidate volume directly as
+    * `bits` grows with log n. The registered query applies the cosine
+    * threshold + dedup on top with the fixture constants.
+    */
+  private[graft] def bandedCandidates(e: DataFrame, tables: Int, bits: Int,
+                                      numBlocks: Int): DataFrame = {
+    def bandExpr(t: Int): Column =
+      (0 until bits).map { i =>
+        when(element_at(col("embedding"), t * bits + i + 1) >= 0,
+          lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+    val withBands = e.select(
+      col("vec_id"), col("embedding"),
+      array((0 until tables).map(bandExpr): _*).as("bands"),
+      pmod(col("vec_id"), lit(numBlocks)).as("blk"))
+    val aSide = withBands
+      .select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+        col("blk").as("ci"), posexplode(col("bands")).as(Seq("t", "band")))
+      .withColumn("cj", explode(sequence(col("ci"), lit(numBlocks - 1))))
+    val bSide = withBands
+      .select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+        col("blk").as("cj"), posexplode(col("bands")).as(Seq("t", "band")))
+      .withColumn("ci", explode(sequence(lit(0), col("cj"))))
+    aSide
+      .join(bSide, Seq("t", "band", "ci", "cj"))
+      .filter(col("id_a") =!= col("id_b") &&
+        (col("ci") =!= col("cj") || col("id_a") < col("id_b")))
+  }
+
   val nearDupCosine = Q(
     "llm_neardup_cosine", {
       val bandSql = (0 until ndBandTables).map { t =>
@@ -541,41 +576,28 @@ object LlmOps {
          |     * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
          |ORDER BY id_a, id_b""".stripMargin
     }) { (s, dir) =>
-    val numBlocks = 4
-    val e = Tables.embeddings(s, dir)
     // Band id of table t = the b sign bits of dims t·b..t·b+b−1 packed
-    // little-endian (element_at is 1-indexed, matching DuckDB's lists).
-    def bandExpr(t: Int): Column =
-      (0 until ndBandBits).map { i =>
-        when(element_at(col("embedding"), t * ndBandBits + i + 1) >= 0,
-          lit(1 << i)).otherwise(lit(0))
-      }.reduce(_ + _)
-    val withBands = e.select(
-      col("vec_id"), col("embedding"),
-      array((0 until ndBandTables).map(bandExpr): _*).as("bands"),
-      pmod(col("vec_id"), lit(numBlocks)).as("blk"))
-    // posexplode fans each vector into its (table, band) probes; the grid
-    // dimension is a second generator on top. Same one-cell-per-unordered-
-    // pair construction as exactCosinePairs, per (t, band).
-    val aSide = withBands
-      .select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
-        col("blk").as("ci"), posexplode(col("bands")).as(Seq("t", "band")))
-      .withColumn("cj", explode(sequence(col("ci"), lit(numBlocks - 1))))
-    val bSide = withBands
-      .select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
-        col("blk").as("cj"), posexplode(col("bands")).as(Seq("t", "band")))
-      .withColumn("ci", explode(sequence(lit(0), col("cj"))))
+    // little-endian (element_at is 1-indexed, matching DuckDB's lists);
+    // posexplode fans each vector into its (table, band) probes and the
+    // block grid is a second generator on top — see [[bandedCandidates]].
+    bandedPairs(Tables.embeddings(s, dir), ndBandTables, ndBandBits,
+      numBlocks = 4, threshold = 0.4)
+  }
+
+  /** Full banded near-dup pipeline with the knobs exposed (the registered
+    * query is this at the fixture constants): [[bandedCandidates]] →
+    * exact-cosine verification → dedup of multi-table collisions.
+    */
+  private[graft] def bandedPairs(e: DataFrame, tables: Int, bits: Int,
+                                 numBlocks: Int, threshold: Double): DataFrame = {
     val cos = vectors.cosineSim(col("emb_a"), col("emb_b"))
-    aSide
-      .join(bSide, Seq("t", "band", "ci", "cj"))
-      .filter(col("id_a") =!= col("id_b") &&
-        (col("ci") =!= col("cj") || col("id_a") < col("id_b")))
-      .filter(cos >= 0.4)
+    bandedCandidates(e, tables, bits, numBlocks)
+      .filter(cos >= threshold)
       .select(
         least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"),
         round(cos, 4).as("cos_sim"))
-      // a pair can collide in up to ndBandTables tables; rounded cos_sim is
+      // a pair can collide in up to `tables` tables; rounded cos_sim is
       // a pure function of the pair, so the 3-column dedup is deterministic
       .dropDuplicates("id_a", "id_b", "cos_sim")
       .orderBy("id_a", "id_b")

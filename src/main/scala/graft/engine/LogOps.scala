@@ -1859,8 +1859,11 @@ object LogOps {
     * are ranked on the 4-dp-rounded score with doc_id tiebreak so the
     * cut is deterministic cross-engine.
     */
-  val searchRanked = Q(
-    "log_search_ranked",
+  /** The BM25 oracle SQL, shared by the raw-scan [[searchRanked]] and the
+    * store-served [[indexedSearchRanked]] — the two formulations must be
+    * answer-identical, so they share one source of truth.
+    */
+  private val searchRankedSql =
     """WITH toks AS (
       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
       |  FROM documents),
@@ -1885,7 +1888,9 @@ object LogOps {
       |    4) AS bm25
       |  FROM base, stats
       |  WHERE tf1 > 0 OR tf2 > 0 OR tf3 > 0) t
-      |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
+  val searchRanked = Q("log_search_ranked", searchRankedSql) { (s, dir) =>
     val terms = Seq("spark", "hash", "scan")
     val ts = filter(split(lower(col("text")), " "), t => t =!= "")
     val base = Tables.documents(s, dir)
@@ -1921,8 +1926,10 @@ object LogOps {
     * the index is persisted and the query should not re-read every
     * document.
     */
-  val phraseSearch = Q(
-    "log_phrase_search",
+  /** Phrase oracle SQL, shared by the raw-scan [[phraseSearch]] and the
+    * store-served [[indexedPhrase]].
+    */
+  private val phraseSearchSql =
     """WITH toks AS (
       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
       |  FROM documents)
@@ -1932,7 +1939,9 @@ object LogOps {
       |FROM toks
       |WHERE len(list_filter(range(1, CAST(len(ts) AS INTEGER)),
       |    i -> ts[i] = 'hash' AND ts[i+1] = 'join')) > 0
-      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      |ORDER BY doc_id""".stripMargin
+
+  val phraseSearch = Q("log_phrase_search", phraseSearchSql) { (s, dir) =>
     val toks = filter(split(lower(col("text")), " "), t => t =!= "")
     val postings = Tables.documents(s, dir)
       .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
@@ -1944,6 +1953,28 @@ object LogOps {
     a.join(b, col("doc_id") === col("b_id") && col("b_pos") === col("a_pos") + 1)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_matches"))
+      .orderBy("doc_id")
+  }
+
+  /** [[searchRanked]] served ENTIRELY from the standing posting store —
+    * the completion of the index lifecycle for the ranked search page:
+    * tfs and dfs from the pruned term buckets, document lengths from the
+    * store's docstats side table, (N, avgdl) from its meta. Zero corpus
+    * reads at query time; the oracle is the raw-scan BM25 SQL, so
+    * store-served ranking is proven answer-identical to scanning.
+    */
+  val indexedSearchRanked = Q("log_indexed_search_ranked", searchRankedSql) { (s, dir) =>
+    val store = graft.sources.Stores.postingStore(s, dir)
+    graft.sources.Sinks.probePostingsBm25(s, store, Seq("spark", "hash", "scan"), k = 20)
+  }
+
+  /** [[phraseSearch]] served from the standing posting store: positional
+    * rows from the two terms' pruned buckets, adjacency equi-join on
+    * (doc, pos+1). Same oracle as the raw scan.
+    */
+  val indexedPhrase = Q("log_indexed_phrase", phraseSearchSql) { (s, dir) =>
+    val store = graft.sources.Stores.postingStore(s, dir)
+    graft.sources.Sinks.probePostingsPhrase(s, store, "hash", "join")
       .orderBy("doc_id")
   }
 
@@ -2220,5 +2251,6 @@ object LogOps {
     latencyPercentiles, sessionDurations, typeAffinity, typeTransitions,
     rollingWau, pagerankTypes, seasonality, templateMine, joinIntervalOverlap,
     invertedSearch, phraseSearch, outageWindows, proximitySearch, driftDaily,
-    indexedSearch, searchRanked, outageWindowsMerged)
+    indexedSearch, searchRanked, outageWindowsMerged,
+    indexedSearchRanked, indexedPhrase)
 }

@@ -91,10 +91,21 @@ object Sinks {
       .option("compression", "zstd")
       .partitionBy("tok_bucket")
       .parquet(s"$path/postings")
+    // per-doc token counts: the BM25 length normalizer — built in the same
+    // corpus pass family at index time, so ranked queries never touch text
+    val docstats = docs
+      .select(col("doc_id"), size(toks).cast("long").as("dl"))
+    docstats.write.mode("overwrite")
+      .option("compression", "zstd")
+      .parquet(s"$path/docstats")
     // the bucket count is part of the store, not a caller convention: a
     // prober hashing into a DIFFERENT modulus than the writer would prune
-    // to the wrong directories and silently return misses
-    writeSized(docs.sparkSession.range(1).select(lit(buckets).as("buckets")),
+    // to the wrong directories and silently return misses. The corpus
+    // stats (N, avgdl) ride along so ranking needs no corpus pass either.
+    // meta is written LAST: its _SUCCESS is the store's completion marker.
+    writeSized(docstats
+      .agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+      .withColumn("buckets", lit(buckets)),
       s"$path/meta", 1)
   }
 
@@ -132,6 +143,54 @@ object Sinks {
       .filter(col("n_terms") === normTerms.length)
       .select("doc_id")
     tf.join(hits, "doc_id")
+  }
+
+  /** BM25 ranked retrieval served ENTIRELY from a [[writePostings]] store:
+    * per-(doc, term) tfs from the pruned term buckets, per-term dfs from
+    * the same rows, document lengths from the docstats side table, and
+    * (N, avgdl) from the store meta — the corpus text is never touched.
+    * Disjunctive (any-term) semantics, Robertson/Lucene idf, score
+    * rounded to 4 dp with doc_id tiebreak, top-`k`.
+    */
+  def probePostingsBm25(spark: org.apache.spark.sql.SparkSession, path: String,
+                        terms: Seq[String], k: Int,
+                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val normTerms = normalizeTerms(terms)
+    val (nDocs, avgdl) = spark.read.parquet(s"$path/meta")
+      .select("n_docs", "avgdl").as[(Long, Double)].head()
+    val tf = prunedPostings(spark, path, normTerms)
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+    val lengthNorm = lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))
+    tf.join(broadcast(dfc), "tok") // |terms| rows
+      .join(spark.read.parquet(s"$path/docstats"), "doc_id")
+      .withColumn("contrib",
+        idf * (col("tf").cast("double") * (k1 + 1)) / (col("tf") + lengthNorm))
+      .groupBy("doc_id")
+      .agg(round(sum("contrib"), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Exact-adjacency phrase search from a [[writePostings]] store: both
+    * terms' POSITIONAL posting rows come from the pruned buckets and the
+    * phrase match is the (doc_id, pos + 1) equi-join — the positional-
+    * index formulation of `log_phrase_search`, with no corpus read.
+    */
+  def probePostingsPhrase(spark: org.apache.spark.sql.SparkSession, path: String,
+                          first: String, second: String): DataFrame = {
+    val p = prunedPostings(spark, path, normalizeTerms(Seq(first, second)))
+    val a = p.filter(col("tok") === first.toLowerCase)
+      .select(col("doc_id"), col("pos").as("a_pos"))
+    val b = p.filter(col("tok") === second.toLowerCase)
+      .select(col("doc_id").as("b_id"), col("pos").as("b_pos"))
+    a.join(b, col("doc_id") === col("b_id") && col("b_pos") === col("a_pos") + 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"))
   }
 
   // normalize to the writer's tokenization (lowercase) and dedup — a

@@ -21,7 +21,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Stores {
 
-  private val VERSION = "v1"
+  private val VERSION = "v2" // v2: posting store gained docstats + (n_docs, avgdl) meta
   private val memo = scala.collection.concurrent.TrieMap.empty[String, String]
 
   private def storeRoot(dataDir: String, kind: String): String = {

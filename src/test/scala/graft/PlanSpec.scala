@@ -137,6 +137,19 @@ class PlanSpec extends SparkSpecBase {
       store.partitionFilters.mkString("; "))
   }
 
+  test("store-served BM25 and phrase search never read the corpus") {
+    // The whole point of the standing index: ranked retrieval and phrase
+    // matching answer from posting buckets + docstats + meta only.
+    for (q <- Seq(LogOps.indexedSearchRanked, LogOps.indexedPhrase)) {
+      val roots = q.build(spark, sfDir).queryExecution.sparkPlan
+        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        .map(_.relation.location.rootPaths.mkString(","))
+      assert(!roots.exists(_.contains("documents.parquet")),
+        s"${q.name} read the corpus: $roots")
+      assert(roots.exists(_.contains("postings")), s"${q.name}: no posting scan in $roots")
+    }
+  }
+
   test("bm25 ranked retrieval: map-side tf, broadcast stats, TakeOrdered top-k") {
     val plan = planOf(LogOps.searchRanked)
     // top-20 must be a TakeOrdered, never a global sort of all matches
