@@ -41,7 +41,7 @@ object Plans {
     "llm_ann_ivfpq" -> "ADC tables ride as a 100-row broadcast over the code scan; re-rank fetch is a broadcast equi-join on vec_id touching only shortlist rows",
     "log_grep_multi" -> "all N rlike predicates evaluate in ONE codegen'd pass over a single text scan; adding a pattern adds a count column, never a scan",
     "llm_incremental_dedup" -> "digest probe ships 16-byte hashes; the near-dup postings join is batch x existing (small x large) — the standing corpus never self-joins",
-    "join_interval_overlap" -> "no shared equi-key, yet NO BNLJ: time-bucket binning turns the interval predicate into a SortMergeJoin on bucket + in-bucket range filter",
+    "join_interval_overlap" -> "no shared equi-key, yet NO BNLJ: time-bucket binning turns the interval predicate into a SortMergeJoin on bucket + in-bucket range filter; the census-salt guard (broadcast hot-bucket list, salt sub-keys) bounds a storm hour's pairing per task",
     "log_template_mine" -> "mask + hash-agg in one codegen'd scan pipeline; partial agg collapses onto template-cardinality keys map-side",
     "text_gopher_docfilter" -> "entirely map-side: every rule (incl. trigram repetition via array ops) fuses into the parquet scan — no exchange at all",
     "log_inverted_search" -> "query-term filter sits BEFORE the postings exchange: only rows for the 3 searched tokens shuffle — the probe shape of a persisted token-bucketed index",
@@ -50,7 +50,12 @@ object Plans {
     "log_proximity_search" -> "NEAR/k as an equi-join: positions bin into width-k buckets, one side explodes +-1 neighbors — frequent terms pair per bucket neighborhood, never per document",
     "log_drift_daily" -> "two scans total: bounds agg + binned counts; the global profile and all totals re-aggregate the checkpointed (day, bin) table — broadcast metadata rebases, no third scan",
     "stream_drift_1h" -> "streaming-legal single aggregation: the 10-bin histogram is ten conditional counts in ONE groupBy; KL folds statelessly against the broadcast baseline row",
-    "meta_column_profile" -> "ANALYZE TABLE in one scan: a single aggregation row carries every column's stats; the per-column reshape unions 1-row projections, never rescans")
+    "meta_column_profile" -> "ANALYZE TABLE in one scan: a single aggregation row carries every column's stats; the per-column reshape EXPLODES that one row (structurally one scan, PlanSpec-pinned), never rescans",
+    "log_indexed_search" -> "the standing-index lifecycle: partition-pruned posting-store scan (PartitionFilters on tok_bucket = the query terms' hash buckets); the documents corpus appears nowhere in the plan",
+    "log_search_ranked" -> "BM25 with zero token shuffles: per-term tf and dl via size(filter(ts)) inside the scan (no Generate node), corpus stats as a single-row broadcast, TakeOrderedAndProject top-20",
+    "log_indexed_search_ranked" -> "ranked retrieval with ZERO corpus reads: pruned posting buckets -> tf/df, docstats join for dl, (N, avgdl) from store meta; same oracle as the raw-scan BM25",
+    "llm_ann_ivfpq_indexed" -> "ANN served from the persisted index: ADC tables broadcast over the PERSISTED code-table scan; codebook read from parquet — no training stages in the plan",
+    "log_outage_windows_merged" -> "two-phase interval union: day-partitioned running-max sweep at corpus scale, then a single-partition sweep over the metadata-sized per-day outage rows to glue midnight-crossing pieces")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
