@@ -226,6 +226,7 @@ object Soak {
       // metadata-sized — are unaffected by the threshold
       val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
       val e = graft.engine.Tables.embeddings(spark, dir)
       val n = e.count()
       println(f"banded sweep: n=$n%d vectors, n(n-1)/2=${n * (n - 1) / 2}%d possible pairs")
@@ -245,7 +246,9 @@ object Soak {
           f"cand_count=$tc%7.2f s  verified_pairs=$pairs%10d full=$tp%7.2f s  " +
           f"shufW=${(shufWrite - w0) / gb}%.2f GiB")
       }
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      // finally: a mid-sweep failure must not leave the session with
+      // broadcast disabled for whatever runs after it
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
 
     heavy.filter(n => only.forall(_.contains(n))).foreach { name =>

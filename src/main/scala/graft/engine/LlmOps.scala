@@ -529,6 +529,13 @@ object LlmOps {
     */
   private[graft] def bandedCandidates(e: DataFrame, tables: Int, bits: Int,
                                       numBlocks: Int): DataFrame = {
+    // out-of-range element_at returns null and the sign test silently
+    // degrades to constant-0 bits (bands collide, candidates explode
+    // quadratically while looking like an algorithmic property) — fail
+    // loudly instead. embedDim is the engine's fixture contract, the same
+    // one the PQ geometry (pqM·pqDsub) builds on.
+    require(tables * bits <= embedDim,
+      s"bandedCandidates: tables($tables) * bits($bits) exceeds the $embedDim-dim embedding")
     def bandExpr(t: Int): Column =
       (0 until bits).map { i =>
         when(element_at(col("embedding"), t * bits + i + 1) >= 0,
@@ -663,6 +670,9 @@ object LlmOps {
     */
   val pqM = 8
   val pqDsub = 8
+  /** The fixture embedding dimensionality (= pqM · pqDsub); the banded
+    * sign-bit layout and PQ geometry both budget against it. */
+  val embedDim = 64
   val pqKs = 16
   private val pqRounds = 2
   private val pqShortlist = 100

@@ -1839,12 +1839,12 @@ object LogOps {
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val terms = Seq("spark", "join", "window")
     val store = graft.sources.Stores.postingStore(s, dir)
+    // pivot columns derive from `terms` — a term edit can't silently
+    // leave a stale literal producing an all-null tf column
+    val pivots = terms.map(t => max(when(col("tok") === t, col("tf"))).as(s"tf_$t"))
     graft.sources.Sinks.probePostingsTf(s, store, terms)
       .groupBy("doc_id")
-      .agg(
-        max(when(col("tok") === "spark", col("tf"))).as("tf_spark"),
-        max(when(col("tok") === "join", col("tf"))).as("tf_join"),
-        max(when(col("tok") === "window", col("tf"))).as("tf_window"))
+      .agg(pivots.head, pivots.tail: _*)
       .orderBy("doc_id")
   }
 

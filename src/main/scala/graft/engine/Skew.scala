@@ -41,9 +41,17 @@ object Skew {
                        salts: Int = 8): DataFrame = {
     val keyCols = keys.map(col)
     // the census is post-aggregation metadata: one row per key OVER the
-    // threshold (zero rows in the steady state), broadcast to both sides
-    val hot = left.groupBy(keyCols: _*).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > hotThreshold)
+    // threshold (zero rows in the steady state), broadcast to both sides.
+    // BOTH sides are censused: a key can be hot because either side
+    // concentrates (a storm of incidents from few users makes the RIGHT
+    // side huge while the left stays cold); the per-task pairing bound is
+    // |left_k|·|right_k|, so either side over the threshold trips the
+    // salt — pairing then spreads as |left_k|·|right_k| / salts.
+    def hotKeys(side: DataFrame) =
+      side.groupBy(keyCols: _*).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > hotThreshold)
+        .select(keyCols: _*)
+    val hot = hotKeys(left).unionByName(hotKeys(right)).distinct()
       .select(keyCols :+ lit(1).as("__hot"): _*)
     val l = left.join(broadcast(hot), keys, "left")
       .withColumn("__salt",

@@ -93,17 +93,16 @@ object Sinks {
       .parquet(s"$path/postings")
     // per-doc token counts: the BM25 length normalizer — built in the same
     // corpus pass family at index time, so ranked queries never touch text
-    val docstats = docs
-      .select(col("doc_id"), size(toks).cast("long").as("dl"))
-    docstats.write.mode("overwrite")
-      .option("compression", "zstd")
-      .parquet(s"$path/docstats")
+    writeSized(docs.select(col("doc_id"), size(toks).cast("long").as("dl")),
+      s"$path/docstats", 8)
     // the bucket count is part of the store, not a caller convention: a
     // prober hashing into a DIFFERENT modulus than the writer would prune
     // to the wrong directories and silently return misses. The corpus
-    // stats (N, avgdl) ride along so ranking needs no corpus pass either.
+    // stats (N, avgdl) ride along so ranking needs no corpus pass either —
+    // aggregated from the JUST-WRITTEN docstats parquet, not re-derived
+    // from the corpus (that would be a third full tokenize pass).
     // meta is written LAST: its _SUCCESS is the store's completion marker.
-    writeSized(docstats
+    writeSized(docs.sparkSession.read.parquet(s"$path/docstats")
       .agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
       .withColumn("buckets", lit(buckets)),
       s"$path/meta", 1)

@@ -11,36 +11,64 @@ import org.apache.spark.sql.SparkSession
   * formulations do.
   *
   * Stores live under the JVM temp dir, keyed by (layout version, data
-  * dir): the first query against a corpus builds; every later query —
-  * including a benchmark's timed run after its warm run — reads the
-  * standing store, which is exactly the steady state worth measuring. The
-  * layout VERSION is part of the path so a writer-format change can never
-  * probe a stale store; the completion marker is the store's LAST-written
-  * component (meta / codebook `_SUCCESS`), so a crashed partial build is
-  * rebuilt, never trusted.
+  * dir, CORPUS FINGERPRINT): the first query against a corpus builds;
+  * every later query — including a benchmark's timed run after its warm
+  * run — reads the standing store, which is exactly the steady state
+  * worth measuring. The fingerprint folds in every source file's name,
+  * length and mtime, so a REGENERATED corpus at the same path (or two
+  * distinct paths whose sanitized names would collide) can never be
+  * served a stale or foreign index — the store key changes and a fresh
+  * build runs. The layout VERSION is part of the path so a writer-format
+  * change can never probe a stale store; the completion marker is the
+  * store's LAST-written component, so a crashed partial build is
+  * rebuilt, never trusted. Builds are serialized under a lock: two
+  * concurrent first queries must not race overwrite-mode writers onto
+  * the same directory.
   */
 object Stores {
 
   private val VERSION = "v2" // v2: posting store gained docstats + (n_docs, avgdl) meta
   private val memo = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val buildLock = new Object
 
-  private def storeRoot(dataDir: String, kind: String): String = {
+  /** Fingerprint of the source table's files: (relative name, length,
+    * mtime) of every file under `dataDir/table`, order-insensitive via
+    * sort, hashed. Driver-side metadata listing only.
+    */
+  private def fingerprint(dataDir: String, table: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq.flatMap(walk)
+      else Seq(f)
+    val sig = walk(new java.io.File(dataDir, table))
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").sorted.mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest((dataDir + "|" + sig).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+  }
+
+  private def storeRoot(dataDir: String, table: String, kind: String): String = {
     val safe = dataDir.replaceAll("[^A-Za-z0-9.]+", "_")
-    s"${sys.props("java.io.tmpdir")}/graft_stores/$VERSION/$safe/$kind"
+    s"${sys.props("java.io.tmpdir")}/graft_stores/$VERSION/${safe}_${fingerprint(dataDir, table)}/$kind"
   }
 
   private def buildOnce(key: String, doneMarker: String)(build: => Unit): String =
-    memo.getOrElseUpdate(key, {
-      if (!new java.io.File(doneMarker).exists()) build
-      key
+    memo.getOrElse(key, buildLock.synchronized {
+      // re-check under the lock: a concurrent first query may have built
+      // while this thread waited — getOrElseUpdate alone would run both
+      // thunks and race two overwrite-mode writers onto one directory
+      memo.getOrElseUpdate(key, {
+        if (!new java.io.File(doneMarker).exists()) build
+        key
+      })
     })
 
   /** Path of the standing positional posting store for `dataDir`'s
     * documents table, building it via [[Sinks.writePostings]] on first use.
     */
   def postingStore(spark: SparkSession, dataDir: String): String = {
-    val path = storeRoot(dataDir, "postings_store")
-    // meta is written after the postings directory → valid completion marker
+    val path = storeRoot(dataDir, "documents.parquet", "postings_store")
+    // meta is written after postings + docstats → valid completion marker
     buildOnce(path, s"$path/meta/_SUCCESS") {
       Sinks.writePostings(graft.engine.Tables.documents(spark, dataDir), path)
     }
@@ -51,7 +79,7 @@ object Stores {
     * the same `pqTrainEncode` the self-contained query runs.
     */
   def pqIndex(spark: SparkSession, dataDir: String): String = {
-    val path = storeRoot(dataDir, "pq_index")
+    val path = storeRoot(dataDir, "embeddings.parquet", "pq_index")
     // codes is written after codebook (writePqIndex order) → marker
     buildOnce(path, s"$path/codes/_SUCCESS") {
       val (cb, codes) = graft.engine.LlmOps.pqTrainEncode(spark, dataDir)

@@ -34,6 +34,24 @@ class SkewSpec extends SparkSpecBase {
     assert(left.filter(col("k") === 7).count() > 100)
   }
 
+  test("censusSaltedJoin salts keys made hot by the RIGHT side alone") {
+    // The storm can come from either side: a few sessions (left cold)
+    // meeting a million-incident hour (right hot). The census must trip
+    // on the right side's count too — the per-task pairing bound is
+    // |left_k|·|right_k| — and the salted result must still equal the
+    // plain join exactly.
+    val left = (1 to 5).map(i => (7L, i.toLong)).toDF("k", "lv")   // cold by itself
+    val right = ((1 to 500).map(j => (7L, j.toLong)) ++            // right-hot key
+      (1 to 3).map(j => (2L, (900 + j).toLong))).toDF("k", "rv")
+    val salted = Skew.censusSaltedJoin(left, right, Seq("k"),
+        saltBy = xxhash64(col("lv")), hotThreshold = 100L, salts = 4)
+      .select("k", "lv", "rv").as[(Long, Long, Long)].collect().sorted.toSeq
+    val plain = left.join(right, "k")
+      .select("k", "lv", "rv").as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(salted === plain)
+    assert(salted.size === 2500) // 5 × 500 pairings survived the salt split
+  }
+
   test("interval overlap survives a single-hour incident storm with exact results") {
     // 1100 users, each one 3-event session spanning minutes 0-50 of the
     // same hour → 1100 sessions explode into ONE hour bucket, over the

@@ -289,7 +289,8 @@ class TextOpsSpec extends SparkSpecBase {
     import org.apache.spark.sql.functions.{col, explode, filter, lower, split}
     // every fixture corpus on disk, not a hardcoded list: a regenerated
     // or added SF (e.g. sf1) is covered automatically
-    val corpora = new java.io.File("/root/testdata").listFiles()
+    val corpora = Option(new java.io.File("/root/testdata").listFiles())
+      .getOrElse(Array.empty[java.io.File]) // listFiles is null on a missing dir
       .filter(d => d.isDirectory && new java.io.File(d, "documents.parquet").exists())
       .map(_.getAbsolutePath).sorted.toSeq
     assert(corpora.nonEmpty, "no fixture corpora found under /root/testdata")
