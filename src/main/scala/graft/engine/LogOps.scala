@@ -1978,6 +1978,90 @@ object LogOps {
       .orderBy("doc_id")
   }
 
+  /** Trending templates — "what is new in today's logs": each template's
+    * per-day line volume against its OWN corpus-wide daily baseline
+    * (total lines / observed days), ranked by lift. The on-call question
+    * after template mining ("which log shapes exist") is always "which
+    * shape is suddenly loud"; lift against a per-template baseline
+    * surfaces a template that doubled even when absolute volumes differ
+    * by orders of magnitude across templates. All ratios derive from
+    * integer counts (lines × days / total), so cross-engine parity is
+    * exact under round(4).
+    *
+    * Scale: the corpus scans once into (day, template) counts —
+    * partial-aggregated onto days × templates keys (metadata-sized);
+    * template totals re-aggregate those counts (never the corpus) and
+    * broadcast back; the day census is a single-row broadcast; top-20 is
+    * a TakeOrdered.
+    */
+  val trendingTemplates = Q(
+    "log_trending_templates",
+    raw"""WITH lines AS (
+      |  SELECT ts, $lineCaseSql AS line FROM events),
+      |templ AS (
+      |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |    regexp_replace(line, '[0-9]+', '<*>', 'g') AS template
+      |  FROM lines),
+      |d AS (SELECT day, template, COUNT(*) AS n FROM templ GROUP BY 1, 2),
+      |t AS (SELECT template, SUM(n) AS total FROM d GROUP BY 1),
+      |nd AS (SELECT COUNT(DISTINCT day) AS n_days FROM d)
+      |SELECT day, substr(md5(template), 1, 8) AS template_id,
+      |  CAST(n AS BIGINT) AS n_lines,
+      |  ROUND(n * n_days / CAST(total AS DOUBLE), 4) AS lift
+      |FROM d JOIN t USING (template) CROSS JOIN nd
+      |ORDER BY lift DESC, day, template_id LIMIT 20""".stripMargin) { (s, dir) =>
+    val d = Tables.events(s, dir)
+      .select(date_trunc("day", col("ts")).as("day"), syntheticLine.as("line"))
+      .withColumn("template", regexp_replace(col("line"), "[0-9]+", "<*>"))
+      .groupBy("day", "template").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // 3 consumers; days×templates rows — metadata
+    val t = d.groupBy("template").agg(sum("n").as("total"))
+    val nd = d.agg(countDistinct("day").as("n_days"))
+    d.join(broadcast(t), "template").crossJoin(broadcast(nd))
+      .select(col("day"),
+        substring(md5(col("template")), 1, 8).as("template_id"),
+        col("n").cast("long").as("n_lines"),
+        round(col("n") * col("n_days") / col("total").cast("double"), 4).as("lift"))
+      .orderBy(col("lift").desc, col("day"), col("template_id"))
+      .limit(20)
+  }
+
+  /** grep -C: every line matching the pattern plus its ±1 neighbor lines
+    * within the same source file — THE log-reading workflow (a match
+    * without its surrounding lines is rarely diagnosable). One window
+    * pass: the match flag is computed map-side in the scan, and a
+    * per-source ordered `max(m) over (±1 rows)` marks covered lines —
+    * the same coverage-window idea as dup-span removal, one level
+    * simpler. No self-join, no per-match re-scan; a line between two
+    * matches appears exactly once. Cost at 100 TB: one source-keyed
+    * exchange (files are the natural partition; a production layout
+    * sorted by (source, line_no) makes even that exchange free).
+    */
+  val grepContext = Q(
+    "log_grep_context",
+    """WITH lines AS (
+      |  SELECT doc_id, source, text,
+      |    CASE WHEN regexp_matches(text, 'slow (join|scan)') THEN 1 ELSE 0 END AS m
+      |  FROM documents),
+      |cov AS (
+      |  SELECT doc_id, source, text, m,
+      |    MAX(m) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS covered
+      |  FROM lines)
+      |SELECT doc_id, source, CAST(m AS BIGINT) AS is_match,
+      |  substr(text, 1, 30) AS snippet
+      |FROM cov WHERE covered = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(-1, 1)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"),
+        when(col("text").rlike("slow (join|scan)"), 1).otherwise(0).as("m"))
+      .withColumn("covered", max("m").over(w))
+      .filter(col("covered") === 1)
+      .select(col("doc_id"), col("source"), col("m").cast("long").as("is_match"),
+        substring(col("text"), 1, 30).as("snippet"))
+      .orderBy("doc_id")
+  }
+
   /** Proximity (NEAR/k) search: documents where two terms occur within
     * k = 4 tokens of each other, either order — the search-engine
     * feature between AND-search (no position constraint,
@@ -2252,5 +2336,5 @@ object LogOps {
     rollingWau, pagerankTypes, seasonality, templateMine, joinIntervalOverlap,
     invertedSearch, phraseSearch, outageWindows, proximitySearch, driftDaily,
     indexedSearch, searchRanked, outageWindowsMerged,
-    indexedSearchRanked, indexedPhrase)
+    indexedSearchRanked, indexedPhrase, grepContext, trendingTemplates)
 }

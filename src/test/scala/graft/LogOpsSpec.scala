@@ -337,6 +337,27 @@ class LogOpsSpec extends SparkSpecBase {
     assert(got === Set((1L, 4L, 2L, 600.0), (2L, 1L, 1L, 240.0)))
   }
 
+  test("grep context: matches pull ±1 neighbors within their source only, once each") {
+    // source A lines 1-5 with matches at 2 and 4: lines 1,2,3,4,5 all
+    // covered (3 sits between two matches → exactly once). source B has
+    // no match → nothing. A match on a source BOUNDARY line must not
+    // leak into the other source.
+    val dir = java.nio.file.Files.createTempDirectory("graft-grepctx").toString
+    Seq(
+      (1L, "start of a", "a"),
+      (2L, "a slow join here", "a"),
+      (3L, "between", "a"),
+      (4L, "a slow scan there", "a"),
+      (5L, "end of a", "a"),
+      (6L, "first of b", "b"),
+      (7L, "quiet line", "b"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = LogOps.grepContext.build(spark, dir)
+      .select("doc_id", "is_match").as[(Long, Long)].collect().toSeq.sorted
+    assert(got === Seq((1L, 0L), (2L, 1L), (3L, 0L), (4L, 1L), (5L, 0L)))
+  }
+
   test("drift: KL per day matches hand computation; identical days score 0") {
     def day(d: Int, m: Int) = new Timestamp(1704067200000L + (d * 1440 + m) * 60000L)
     // vmin=0, vmax=10 → values 0 and 10 land in bins 0 and 9.

@@ -299,6 +299,8 @@ class PlanSpec extends SparkSpecBase {
                                 "index — 100-row ADC broadcast over the code-table scan"),
     "log_search_ranked"     -> ("single-row corpus-stats aggregate (N, avgdl, dfs) cross-joined " +
                                 "into the BM25 score — metadata rebase"),
+    "log_trending_templates"-> ("single-row day-census aggregate cross-joined into the lift " +
+                                "denominator — metadata rebase over (day, template) counts"),
     "llm_centroid_assign"   -> "k=8 centroid table broadcast; corpus side never shuffles",
     "llm_kmeans"            -> "k=8 centroid table broadcast per Lloyd round; corpus never shuffles in the E-step",
     "llm_semdedup"          -> "k=8 centroid table broadcast for assignment; pair scan itself is the (c_id, ci, cj) equi-join",
