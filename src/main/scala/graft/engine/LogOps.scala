@@ -2323,6 +2323,30 @@ object LogOps {
       .orderBy("outage_id")
   }
 
+  /** Weekly traffic report served from the STANDING MATERIALIZED ROLLUP
+    * ([[graft.sources.Stores.dailyRollup]]): the raw log was aggregated to
+    * (day, event_type) partials ONCE at build time; this query reads only
+    * the metadata-sized rollup — never events — and re-aggregates partials
+    * to weeks (count/sum are decomposable, so partial-of-partials is
+    * exact for counts and FP-stable to the 2dp the report rounds to).
+    * Appends fold in via [[graft.sources.Sinks.refreshDailyRollup]],
+    * which rewrites only the touched day partitions (refresh ≡ rebuild is
+    * spec-proved in StorageLayoutSpec). The oracle reads the raw events —
+    * the materialized-view contract is exactly that the two agree.
+    * PlanSpec pins that no events scan appears in this plan.
+    */
+  val rollupServed = Q(
+    "log_rollup_served",
+    """SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week, event_type,
+      |  COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY week, event_type""".stripMargin) { (s, dir) =>
+    val path = graft.sources.Stores.dailyRollup(s, dir)
+    s.read.parquet(path)
+      .groupBy(date_trunc("week", col("day")).as("week"), col("event_type"))
+      .agg(sum("n").as("n_events"), round(sum("sum_value"), 2).as("total_value"))
+      .orderBy("week", "event_type")
+  }
+
   val all: Seq[Q] = Seq(
     errorRateDaily, grepRegex, grepMulti, regexExtract, regexReplace, stringFuncs,
     parseFields, timeBuckets, jsonExtract, tokenize, saltedAgg,
@@ -2336,5 +2360,6 @@ object LogOps {
     rollingWau, pagerankTypes, seasonality, templateMine, joinIntervalOverlap,
     invertedSearch, phraseSearch, outageWindows, proximitySearch, driftDaily,
     indexedSearch, searchRanked, outageWindowsMerged,
-    indexedSearchRanked, indexedPhrase, grepContext, trendingTemplates)
+    indexedSearchRanked, indexedPhrase, grepContext, trendingTemplates,
+    rollupServed)
 }

@@ -138,6 +138,36 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** J2 served from the STANDING BUCKETED LAYOUT ([[graft.sources.Stores
+    * .bucketedFacts]]): both facts were written once clustered + sorted on
+    * the order key, so the fact×fact join runs with ZERO exchanges on
+    * either input — the scans themselves satisfy the join's required
+    * distribution (plan-pinned in PlanSpec; layout proved in
+    * StorageLayoutSpec). The `merge` hint pins the co-located sort-merge
+    * join at test scale, where AQE would otherwise broadcast the small
+    * side and hide exactly the exchange this layout exists to elide. The
+    * oracle reads the raw tables — the store holds the same rows, laid
+    * out for the join.
+    */
+  val joinBucketed = Q(
+    "join_bucketed",
+    """SELECT l_returnflag, l_linestatus,
+      |  COUNT(*) AS n_lines,
+      |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    val (ordersT, lineitemT) = graft.sources.Stores.bucketedFacts(s, dir)
+    s.table(ordersT)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .join(s.table(lineitemT).hint("merge"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   /** J3 + P5: left outer join keeping customers with zero orders; COUNT over
     * the nullable side + COALESCE on the aggregated sum.
     */
@@ -508,7 +538,7 @@ object Relational {
 
   val all: Seq[Q] = Seq(
     selProject, filterPredicates, filterLikeNulls,
-    joinBroadcastDim, joinFactFact, joinOuter, joinSemi, joinAnti, joinCross,
+    joinBroadcastDim, joinFactFact, joinBucketed, joinOuter, joinSemi, joinAnti, joinCross,
     joinNullSafe, joinSaltedSkew, aggPricingSummary, aggDistinct, aggRollup, aggPercentile,
     aggArgmax, aggCollectList, topkGlobal, setUnion, setIntersectExcept,
     setOpsAll, aggKeySkewProfile, metaColumnProfile)

@@ -70,6 +70,61 @@ object Sinks {
     writeSized(codes, s"$path/codes", codeFiles)
   }
 
+  /** Materialized daily rollup: the standing (day, event_type) → (n,
+    * sum_value) aggregate behind `log_rollup_served`. Day-partitioned so
+    * (a) report queries over a date range prune whole directories and
+    * (b) [[refreshDailyRollup]] can fold an append batch in by
+    * overwriting ONLY the touched day partitions. Partial sums are stored
+    * at full double precision — rounding is the REPORT's job; rounding
+    * partials would compound error across refreshes.
+    *
+    * At 100 TB this is the materialized-view contract: the raw log is
+    * scanned once per ingest batch, and every dashboard query reads the
+    * metadata-sized rollup instead of the corpus.
+    */
+  def writeDailyRollup(events: DataFrame, path: String): Unit =
+    events
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .repartition(col("day"))
+      .write.mode("overwrite")
+      .option("compression", "zstd")
+      .partitionBy("day")
+      .parquet(path)
+
+  /** Incremental refresh of a [[writeDailyRollup]] store for an APPEND
+    * batch: aggregates the batch, merges it with the standing partials of
+    * only the touched days (sum of sums / sum of counts — the rollup's
+    * aggregates are all decomposable), and dynamically overwrites just
+    * those day partitions. Untouched days are never read or rewritten, so
+    * refresh cost tracks the batch size, not corpus size.
+    */
+  def refreshDailyRollup(spark: org.apache.spark.sql.SparkSession,
+                         path: String, newEvents: DataFrame): Unit = {
+    val batch = newEvents
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+    // touched days only: metadata-sized (≤ days in the batch)
+    val days = batch.select("day").distinct().collect().map(_.getDate(0))
+    val standing = spark.read.parquet(path)
+      .filter(col("day").isin(days: _*))
+      .select("day", "event_type", "n", "sum_value")
+    standing.unionByName(batch)
+      .groupBy("day", "event_type")
+      .agg(sum("n").as("n"), sum("sum_value").as("sum_value"))
+      .repartition(col("day"))
+      // materialize BEFORE the write: the merged partials read from the
+      // same path the write overwrites, and Spark (rightly) refuses a
+      // plan that scans its own output. The materialized state is
+      // touched-days × event-types rows — metadata-sized.
+      .localCheckpoint()
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("compression", "zstd")
+      .partitionBy("day")
+      .parquet(path)
+  }
+
   /** Positional posting store: the persisted form of the inverted index
     * behind `log_inverted_search` / `log_phrase_search`. Postings
     * (tok, doc_id, pos) are laid out partitioned by `tok_bucket =

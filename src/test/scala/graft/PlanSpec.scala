@@ -161,6 +161,35 @@ class PlanSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("rollup-served report reads the standing rollup, never the raw log") {
+    // The materialized-view contract: log_rollup_served answers from the
+    // (day, event_type) partials. An events.parquet scan here means the
+    // query regressed to re-aggregating the corpus per report.
+    val scans = LogOps.rollupServed.build(spark, sfDir).queryExecution.sparkPlan
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    val roots = scans.map(_.relation.location.rootPaths.mkString(","))
+    assert(!roots.exists(_.contains("events.parquet")),
+      s"rollup-served report read the raw log: $roots")
+    assert(roots.exists(_.contains("daily_rollup")), s"no rollup scan in: $roots")
+  }
+
+  test("bucketed-store join runs with zero exchanges on either fact") {
+    // The registered join_bucketed serves from Stores.bucketedFacts: both
+    // scans already satisfy the join's required distribution, so the ONLY
+    // exchange in the whole plan is the one under the final few-row
+    // (l_returnflag, l_linestatus) aggregation. An Exchange on either order key means the
+    // layout stopped being honored (catalog metadata lost, bucket counts
+    // diverged) — invisible at test scale, fatal at 100 TB.
+    val plan = planOf(Relational.joinBucketed)
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning(o_orderkey") &&
+           !plan.contains("Exchange hashpartitioning(l_orderkey"), plan)
+    // both sides come off a bucketed scan, not a plain parquet read
+    val scans = Relational.joinBucketed.build(spark, sfDir).queryExecution.sparkPlan
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.length === 2 && scans.forall(_.bucketedScan), plan)
+  }
+
   test("interval overlap joins on the time bucket — equi-join, never nested-loop") {
     // The operator has NO shared equi-key; the bucket binning must be what
     // the planner joins on. A BNLJ here means the rewrite regressed to the

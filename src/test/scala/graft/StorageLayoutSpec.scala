@@ -97,6 +97,82 @@ class StorageLayoutSpec extends SparkSpecBase {
     }
   }
 
+  test("bucketed-facts store: build once, re-attach from standing files, answers equal raw join") {
+    // First call builds (or finds) the standing bucketed layout.
+    val (ordersT, lineitemT) = graft.sources.Stores.bucketedFacts(spark, sfDir)
+    val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $ordersT")
+      .filter(col("col_name") === "Location").select("data_type").head.getString(0)
+    val mtimesBefore = new java.io.File(new java.net.URI(loc))
+      .listFiles().map(f => f.getName -> f.lastModified).toMap
+    // Simulate a NEW session against standing files: catalog entry gone,
+    // parquet + _SUCCESS still on disk. The store must re-attach bucket
+    // metadata via DDL without rewriting a byte.
+    spark.sql(s"DROP TABLE $ordersT")
+    spark.sql(s"DROP TABLE $lineitemT")
+    val (o2, l2) = graft.sources.Stores.bucketedFacts(spark, sfDir)
+    assert(o2 === ordersT && l2 === lineitemT)
+    val mtimesAfter = new java.io.File(new java.net.URI(loc))
+      .listFiles().map(f => f.getName -> f.lastModified).toMap
+    assert(mtimesAfter === mtimesBefore, "re-attach rewrote the standing files")
+    // re-attached metadata still yields a bucketed scan
+    val scan = spark.table(o2).queryExecution.sparkPlan
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.head
+    assert(scan.relation.bucketSpec.exists(_.numBuckets === 8), scan.relation.bucketSpec.toString)
+    // and the registered query's answers equal the raw-table join
+    val served = graft.engine.Relational.joinBucketed.build(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    val raw = graft.engine.Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .join(graft.engine.Tables.lineitem(spark, sfDir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("l_returnflag", "l_linestatus")
+      .collect().map(_.toString).sorted.toSeq
+    assert(served === raw)
+    assert(served.nonEmpty)
+  }
+
+  test("daily rollup: incremental refresh of an append batch equals a full rebuild") {
+    import spark.implicits._
+    val events = graft.engine.Tables.events(spark, sfDir)
+    // split MID-DAY so the cutoff day exists on both sides — the refresh
+    // must MERGE standing partials with batch partials, not just add a
+    // new partition
+    val cutoff = events.selectExpr("percentile(ts_ns, 0.8)").head.getDouble(0).toLong
+    val incrDir = s"$tmp/rollup_incr"
+    graft.sources.Sinks.writeDailyRollup(events.filter(col("ts_ns") <= cutoff), incrDir)
+    assert(spark.read.parquet(incrDir).count() > 0)
+    def fileSig(dir: String) = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+        .groupBy(_.getParentFile.getName)
+        .map { case (d, fs) => d -> fs.map(f => (f.getName, f.lastModified)).sortBy(_._1) }
+    }
+    val sigBefore = fileSig(incrDir)
+    graft.sources.Sinks.refreshDailyRollup(spark, incrDir, events.filter(col("ts_ns") > cutoff))
+
+    val fullDir = s"$tmp/rollup_full"
+    graft.sources.Sinks.writeDailyRollup(events, fullDir)
+    def snap(dir: String) = spark.read.parquet(dir)
+      .select(col("day").cast("string"), col("event_type"), col("n"),
+        round(col("sum_value"), 6).as("sv"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(snap(incrDir) === snap(fullDir))
+    // dynamic overwrite rewrote ONLY the batch's day partitions: every
+    // pre-cutoff-only day directory still holds its original files
+    val batchDays = events.filter(col("ts_ns") > cutoff)
+      .select(to_date(col("ts")).cast("string")).distinct().as[String].collect()
+      .map(d => s"day=$d").toSet
+    val sigAfter = fileSig(incrDir)
+    val untouchedDays = sigBefore.keySet -- batchDays
+    assert(untouchedDays.nonEmpty, "fixture split left no untouched day — move the cutoff")
+    for (d <- untouchedDays)
+      assert(sigAfter.get(d) === sigBefore.get(d), s"refresh rewrote untouched partition $d")
+  }
+
   test("salted aggregation equals direct aggregation") {
     import spark.implicits._
     val salted = graft.engine.LogOps.saltedAgg.build(spark, sfDir)
