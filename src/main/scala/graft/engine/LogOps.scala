@@ -2347,6 +2347,82 @@ object LogOps {
       .orderBy("week", "event_type")
   }
 
+  /** Time-range report served through the ZONE-MAPPED range-clustered
+    * store ([[graft.sources.Stores.rangeClusteredEvents]]): the log was
+    * rewritten ONCE clustered on ts with a per-file (min_ts, max_ts)
+    * sidecar; this query resolves the covering files from the sidecar and
+    * opens only those — at 100 TB a 4-day window over years of history
+    * touches a few files out of ~10⁵, and the skipped files are never
+    * listed, opened, or footer-read. The oracle scans the raw log with
+    * the same predicate — the data-skipping contract is exactly that the
+    * two agree. StorageLayoutSpec pins files-opened < store files;
+    * PlanSpec pins that no raw events.parquet scan appears.
+    */
+  val zonemapScan = Q(
+    "log_zonemap_scan",
+    """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+      |  AND ts <  TIMESTAMP '2024-01-09 00:00:00'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val store = graft.sources.Stores.rangeClusteredEvents(s, dir)
+    graft.sources.Sinks.zonemapScan(s, store, "2024-01-05 00:00:00", "2024-01-09 00:00:00")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Exponentially-weighted moving average of the per-type daily volume —
+    * the classic monitoring smoother (s_1 = x_1; s_t = α·x_t + (1−α)·s_{t−1},
+    * α = 0.3). The recurrence is inherently sequential, so it runs as an
+    * `aggregate` higher-order fold over each type's day-ordered series —
+    * but ONLY after the corpus has been partial-aggregated down to
+    * (event_type, day) counts, so the collect_list and the fold touch a
+    * metadata-sized series (days × types rows) at any corpus scale; the
+    * corpus-sized work is one map-side-combined count. No closed-form
+    * (1−α)^−k prefix trick: that overflows double past ~700 days, while
+    * the fold is exact for any history length. Cross-engine FP
+    * determinism: both engines fold the same day order with the same
+    * `α·x + (1−α)·s` arithmetic (IEEE ops are commutative in the operand
+    * order used), pinned by the DuckDB recursive-CTE oracle.
+    */
+  val ewmaDaily = Q(
+    "log_ewma_daily",
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |idx AS (
+      |  SELECT event_type, day, n,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS k
+      |  FROM daily),
+      |rec AS (
+      |  SELECT event_type, day, n, k, CAST(n AS DOUBLE) AS ewma
+      |  FROM idx WHERE k = 1
+      |  UNION ALL
+      |  SELECT i.event_type, i.day, i.n, i.k, 0.3 * i.n + 0.7 * r.ewma
+      |  FROM idx i JOIN rec r ON i.event_type = r.event_type AND i.k = r.k + 1)
+      |SELECT event_type, day, n, ROUND(ewma, 4) AS ewma
+      |FROM rec ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("xs"))
+      .select(col("event_type"), expr(
+        """aggregate(xs,
+          |  cast(array() as array<struct<day:timestamp,n:bigint,ewma:double>>),
+          |  (acc, x) -> acc || array(named_struct(
+          |    'day', x.day, 'n', x.n,
+          |    'ewma', CASE WHEN size(acc) = 0 THEN cast(x.n AS double)
+          |                 ELSE 0.3 * x.n + 0.7 * element_at(acc, -1).ewma END)))
+          |""".stripMargin).as("ser"))
+      .select(col("event_type"), explode(col("ser")).as("e"))
+      .select(col("event_type"), col("e.day").as("day"), col("e.n").as("n"),
+        round(col("e.ewma"), 4).as("ewma"))
+      .orderBy("event_type", "day")
+  }
+
   val all: Seq[Q] = Seq(
     errorRateDaily, grepRegex, grepMulti, regexExtract, regexReplace, stringFuncs,
     parseFields, timeBuckets, jsonExtract, tokenize, saltedAgg,
@@ -2361,5 +2437,5 @@ object LogOps {
     invertedSearch, phraseSearch, outageWindows, proximitySearch, driftDaily,
     indexedSearch, searchRanked, outageWindowsMerged,
     indexedSearchRanked, indexedPhrase, grepContext, trendingTemplates,
-    rollupServed)
+    rollupServed, ewmaDaily, zonemapScan)
 }

@@ -70,6 +70,55 @@ object Sinks {
     writeSized(codes, s"$path/codes", codeFiles)
   }
 
+  /** Range-clustered event layout + FILE-LEVEL ZONE MAP: rewrites the log
+    * with `repartitionByRange(ts)` + an in-file sort, so each output file
+    * covers one narrow disjoint time span, then records per-file
+    * (min_ts, max_ts, n) in a metadata-sized sidecar. A time-range query
+    * consults the sidecar and opens ONLY the covering files — the same
+    * data-skipping idea as parquet row-group stats, lifted to the file
+    * level where it also saves the listing/footer-read of every skipped
+    * file. Complements [[writeEventsByDay]]: day partitioning prunes by
+    * directory at day granularity; the zone map prunes at file
+    * granularity (sub-day spans, and no directory-per-day explosion when
+    * history runs to years). At 100 TB the sidecar stays tiny: one row
+    * per file, ~10⁵ rows for 100 TB of 1 GB files.
+    */
+  def writeRangeClustered(events: DataFrame, path: String, files: Int = 32): Unit = {
+    events
+      .repartitionByRange(files, col("ts"))
+      .sortWithinPartitions("ts")
+      .write.mode("overwrite")
+      .option("compression", "zstd")
+      .parquet(s"$path/data")
+    // zone map AFTER the data write, from the files as written — min/max
+    // per file; its _SUCCESS is the store's completion marker
+    events.sparkSession.read.parquet(s"$path/data")
+      .groupBy(input_file_name().as("file"))
+      .agg(min("ts").as("min_ts"), max("ts").as("max_ts"), count(lit(1)).as("n"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/zonemap")
+  }
+
+  /** Time-range probe of a [[writeRangeClustered]] store: resolves the
+    * covering files from the zone map (a metadata-sized read — one row
+    * per file), opens only those, and applies the exact predicate to the
+    * survivors (zone spans are file-level; the residual filter still
+    * pushes down to row groups inside each opened file).
+    */
+  def zonemapScan(spark: org.apache.spark.sql.SparkSession, path: String,
+                  lo: String, hi: String): DataFrame = {
+    val loTs = to_timestamp(lit(lo))
+    val hiTs = to_timestamp(lit(hi))
+    val files = spark.read.parquet(s"$path/zonemap")
+      .filter(col("max_ts") >= loTs && col("min_ts") < hiTs)
+      .select("file")
+      .collect().map(_.getString(0)) // one row per COVERING file — metadata
+    val base =
+      if (files.isEmpty) spark.read.parquet(s"$path/data").limit(0)
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    base.filter(col("ts") >= loTs && col("ts") < hiTs)
+  }
+
   /** Materialized daily rollup: the standing (day, event_type) → (n,
     * sum_value) aggregate behind `log_rollup_served`. Day-partitioned so
     * (a) report queries over a date range prune whole directories and

@@ -87,6 +87,19 @@ object Stores {
     }
   }
 
+  /** Path of the standing range-clustered + zone-mapped event layout for
+    * `dataDir`, building it via [[Sinks.writeRangeClustered]] on first
+    * use. The registered `log_zonemap_scan` query probes it through
+    * [[Sinks.zonemapScan]], opening only the files whose zone covers the
+    * query's time range.
+    */
+  def rangeClusteredEvents(spark: SparkSession, dataDir: String): String = {
+    val path = storeRoot(dataDir, "events.parquet", "range_clustered")
+    buildOnce(path, s"$path/zonemap/_SUCCESS") {
+      Sinks.writeRangeClustered(graft.engine.Tables.events(spark, dataDir), path)
+    }
+  }
+
   /** Names of the standing BUCKETED fact tables (orders + lineitem, both
     * clustered and sorted on the order key) for `dataDir`, writing them on
     * first use via [[Sinks.writeBucketedFact]]. Bucket metadata lives in

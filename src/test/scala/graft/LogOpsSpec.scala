@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import graft.engine.LogOps
-import org.apache.spark.sql.functions.{explode, hour, lower, split}
+import org.apache.spark.sql.functions.{col, count, date_trunc, explode, hour, lit, lower, split}
 
 /** Semantics checks for the log-analytics operators on hand-computable
   * inputs, plus invariants under permutation (shuffle order must not change
@@ -385,6 +385,42 @@ class LogOpsSpec extends SparkSpecBase {
     val zeros = LogOps.driftDaily.build(spark, dir2)
       .select("kl").as[Double].collect().toSeq
     assert(zeros === Seq(0.0, 0.0))
+  }
+
+  test("ewma: fold matches an independent driver-side recurrence on the fixture") {
+    // Independent reference: pull the (type, day, n) series with plain
+    // aggregation and run the textbook recurrence in Scala; the engine's
+    // aggregate-HOF fold must match to full double precision (same op
+    // order), not just the rounded 4dp the report ships.
+    val daily = graft.engine.Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("day").cast("string"), col("n"))
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(x => (x._2, x._3))).toMap
+    val expect = daily.toSeq.flatMap { case (et, ser) =>
+      var s = 0.0
+      ser.zipWithIndex.map { case ((d, n), i) =>
+        s = if (i == 0) n.toDouble else 0.3 * n + 0.7 * s
+        // mirror Spark's round() HALF_UP (math.rint would be HALF_EVEN)
+        (et, d, n, BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }.toSet
+    val got = LogOps.ewmaDaily.build(spark, sfDir)
+      .select(col("event_type"), col("day").cast("string"), col("n"), col("ewma"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got === expect)
+    assert(got.nonEmpty)
+    // smoothing sanity: the EWMA series varies strictly less than the raw
+    // series for every type with >1 day (variance reduction is the point)
+    for ((et, ser) <- daily if ser.length > 1) {
+      val raw = ser.map(_._2.toDouble)
+      val sm = got.filter(_._1 == et).toSeq.sortBy(_._2).map(_._4)
+      def variance(xs: Seq[Double]) = {
+        val m = xs.sum / xs.length; xs.map(x => (x - m) * (x - m)).sum / xs.length
+      }
+      assert(variance(sm) <= variance(raw), s"$et: smoothed variance grew")
+    }
   }
 
   test("interval overlap: every incident overlaps at least its own session") {

@@ -173,6 +173,18 @@ class PlanSpec extends SparkSpecBase {
     assert(roots.exists(_.contains("daily_rollup")), s"no rollup scan in: $roots")
   }
 
+  test("zonemap-served range report reads the clustered store, never the raw log") {
+    val scans = LogOps.zonemapScan.build(spark, sfDir).queryExecution.sparkPlan
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    val roots = scans.map(_.relation.location.rootPaths.mkString(","))
+    assert(!roots.exists(_.contains("events.parquet")),
+      s"zonemap report read the raw log: $roots")
+    assert(roots.exists(_.contains("range_clustered")), s"no store scan in: $roots")
+    // the residual ts predicate still pushes down inside the opened files
+    val fmt = formatted(LogOps.zonemapScan)
+    assert(fmt.contains("PushedFilters: [IsNotNull(ts)") || fmt.contains("GreaterThanOrEqual(ts"), fmt)
+  }
+
   test("bucketed-store join runs with zero exchanges on either fact") {
     // The registered join_bucketed serves from Stores.bucketedFacts: both
     // scans already satisfy the join's required distribution, so the ONLY

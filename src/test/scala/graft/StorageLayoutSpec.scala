@@ -173,6 +173,34 @@ class StorageLayoutSpec extends SparkSpecBase {
       assert(sigAfter.get(d) === sigBefore.get(d), s"refresh rewrote untouched partition $d")
   }
 
+  test("zone map: a narrow time range opens a strict subset of files, equals raw scan") {
+    val store = graft.sources.Stores.rangeClusteredEvents(spark, sfDir)
+    val totalFiles = spark.read.parquet(s"$store/data").inputFiles.length
+    val (lo, hi) = ("2024-01-05 00:00:00", "2024-01-09 00:00:00")
+    val probe = graft.sources.Sinks.zonemapScan(spark, store, lo, hi)
+    // file-level skipping is the whole point: a 4-day window over a
+    // 30-day range-clustered log must open only the covering files
+    val opened = probe.inputFiles.length
+    assert(opened >= 1 && opened < totalFiles, s"opened $opened of $totalFiles files")
+    val got = probe.select("event_id").as[Long].collect().sorted.toSeq
+    val raw = graft.engine.Tables.events(spark, sfDir)
+      .filter(col("ts") >= to_timestamp(lit(lo)) && col("ts") < to_timestamp(lit(hi)))
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(got === raw)
+    assert(got.nonEmpty)
+    // zones are genuinely disjoint: the clustered write produced files
+    // whose [min, max] spans do not overlap (this is what makes skipping
+    // effective rather than merely correct)
+    val zones = spark.read.parquet(s"$store/zonemap")
+      .select(col("min_ts").cast("long"), col("max_ts").cast("long"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    for (Array((_, hi1), (lo2, _)) <- zones.sliding(2).filter(_.length == 2))
+      assert(hi1 <= lo2, "overlapping zone spans — range clustering broke")
+    // a probe entirely outside the data range is empty, not an error
+    assert(graft.sources.Sinks.zonemapScan(spark, store,
+      "2030-01-01 00:00:00", "2030-01-02 00:00:00").count() === 0)
+  }
+
   test("salted aggregation equals direct aggregation") {
     import spark.implicits._
     val salted = graft.engine.LogOps.saltedAgg.build(spark, sfDir)
