@@ -158,6 +158,39 @@ object StreamOps {
     Streaming.driftAgainstBaseline(ev, ev).orderBy("ws")
   }
 
+  /** T6 × W3 twin: hour-over-hour template momentum — the stateful LAG.
+    * The batch form here IS the oracle's window-function shape; the
+    * streaming form carries one (ws, n) pair per template across
+    * micro-batches (StreamingSpec replays the same hours through
+    * MemoryStream and pins stream ≡ batch, including the cross-batch
+    * lag). Downstream of [[graft.streaming.Streaming.templateCounts]]'s
+    * hourly rollup, so the stateful fold touches (hour × template) rows,
+    * never raw events.
+    */
+  val templateMomentumQ = Q(
+    "stream_template_momentum",
+    s"""WITH lines AS (
+      |  SELECT ts, ${LogOps.lineCaseSql} AS line FROM events),
+      |h AS (
+      |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws,
+      |    regexp_replace(line, '[0-9]+', '<*>', 'g') AS template,
+      |    COUNT(*) AS n
+      |  FROM lines GROUP BY 1, 2)
+      |SELECT ws, substr(md5(template), 1, 8) AS template_id, n,
+      |  LAG(n) OVER (PARTITION BY template ORDER BY ws) AS prev_n,
+      |  ROUND(CAST(n AS DOUBLE)
+      |    / LAG(n) OVER (PARTITION BY template ORDER BY ws), 4) AS momentum
+      |FROM h ORDER BY ws, template_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val hourly = Streaming.templateCounts(Tables.events(s, dir))
+      .as[Streaming.TemplHour]
+    Streaming.templateMomentum(hourly)
+      .toDF()
+      .select(col("ws"), substring(md5(col("template")), 1, 8).as("template_id"),
+        col("n"), col("prev_n"), round(col("momentum"), 4).as("momentum"))
+      .orderBy("ws", "template_id")
+  }
+
   val all: Seq[Q] = Seq(tumbling, sliding, sessionWindow, errorBurstsBatch, clickAttrib,
-    hllTumbling, templateTumbling, driftTumbling)
+    hllTumbling, templateTumbling, driftTumbling, templateMomentumQ)
 }

@@ -192,6 +192,50 @@ object Streaming {
       }
   }
 
+  // ---- T6 applied to trend detection: template momentum ----
+
+  final case class TemplHour(template: String, ws: java.sql.Timestamp, n: Long)
+  final case class MomState(wsMillis: Long, n: Long)
+  final case class Momentum(ws: java.sql.Timestamp, template: String, n: Long,
+                            prev_n: Option[Long], momentum: Option[Double])
+
+  /** T6: hour-over-hour template momentum — for each masked template, this
+    * hour's volume over its PREVIOUS SEEN hour's volume (the streaming
+    * form of `LAG(n) OVER (PARTITION BY template ORDER BY ws)`). Consumes
+    * the hourly rollup stream [[templateCounts]] produces, not raw events
+    * — chaining the momentum fold directly onto a streaming windowed
+    * aggregation would need two stateful operators in one query; feeding
+    * it closed windows (foreachBatch or a downstream job) keeps each query
+    * single-stateful and is how a production pipeline layers it anyway.
+    *
+    * State per template is ONE (ws, n) pair — constant no matter how long
+    * the stream runs, partitioned across executors by template. A
+    * template's first-ever hour emits null prev/momentum, exactly like
+    * LAG's first row. Within a micro-batch rows sort by ws before the
+    * fold (Spark does not order rows inside a group); across batches the
+    * state carries the last seen hour, so stream ≡ batch — spec-pinned by
+    * replaying the same hours through MemoryStream.
+    */
+  def templateMomentum(hourly: Dataset[TemplHour]): Dataset[Momentum] = {
+    import hourly.sparkSession.implicits._
+    hourly
+      .groupByKey(_.template)
+      .flatMapGroupsWithState[MomState, Momentum](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (template: String, rows: Iterator[TemplHour], state: GroupState[MomState]) =>
+          val sorted = rows.toIndexedSeq.sortBy(_.ws.getTime)
+          var prev = state.getOption
+          val out = sorted.map { r =>
+            val p = prev
+            prev = Some(MomState(r.ws.getTime, r.n))
+            Momentum(r.ws, template, r.n, p.map(_.n),
+              p.map(s => r.n.toDouble / s.n))
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
+
   // ---- T6 applied to ingestion: streaming multiline record stitching ----
 
   final case class RawLine(source: String, doc_id: Long, line_no: Int, line: String)

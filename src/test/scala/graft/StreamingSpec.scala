@@ -483,4 +483,32 @@ class StreamingSpec extends SparkSpecBase {
           Streaming.StitchedRecord("f1", 2L, 3L, "hdr B", 23L)))
     } finally q.stop()
   }
+
+  test("template momentum: cross-batch lag carries in state; stream equals batch") {
+    def th(template: String, hour: Int, n: Long) =
+      Streaming.TemplHour(template, new Timestamp(1704067200000L + hour * 3600000L), n)
+    // hours arrive one per micro-batch: the lag for hour h+1 must come
+    // from STATE (hour h closed in the previous batch), not from rows
+    // co-present in the same batch
+    val batches = Seq(
+      Seq(th("A <*>", 0, 10L), th("B <*>", 0, 4L)),
+      Seq(th("A <*>", 1, 20L), th("B <*>", 1, 2L)),
+      Seq(th("A <*>", 2, 5L))) // B silent in hour 2 — no row, no emission
+    val input = MemoryStream[Streaming.TemplHour](spark)
+    val q = Streaming.templateMomentum(input.toDS())
+      .writeStream.format("memory").queryName("mom_sink").outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      val streamed = spark.table("mom_sink").as[Streaming.Momentum].collect().toSet
+      assert(streamed === Set(
+        Streaming.Momentum(th("A <*>", 0, 0).ws, "A <*>", 10L, None, None),
+        Streaming.Momentum(th("B <*>", 0, 0).ws, "B <*>", 4L, None, None),
+        Streaming.Momentum(th("A <*>", 1, 0).ws, "A <*>", 20L, Some(10L), Some(2.0)),
+        Streaming.Momentum(th("B <*>", 1, 0).ws, "B <*>", 2L, Some(4L), Some(0.5)),
+        Streaming.Momentum(th("A <*>", 2, 0).ws, "A <*>", 5L, Some(20L), Some(0.25))))
+      // batch application of the same rows produces the identical set
+      val batch = Streaming.templateMomentum(batches.flatten.toDS()).collect().toSet
+      assert(batch === streamed)
+    } finally q.stop()
+  }
 }
