@@ -2372,6 +2372,34 @@ object LogOps {
       .orderBy("event_type")
   }
 
+  /** Per-user timeline probe through the USER-BUCKETED store
+    * ([[graft.sources.Stores.bucketedEvents]]): the log was written once
+    * bucketed on user_id, so an IN predicate on the key prunes the scan
+    * to the matching buckets before any IO — the plan shows
+    * SelectedBucketsCount < total (PlanSpec pins it). This is the
+    * point-lookup shape of a log engine ("show me this user/host/request
+    * id's history"): at 100 TB with 4096 buckets, a 3-user probe opens
+    * 3/4096 of the files; the alternative full scan is exactly what makes
+    * naive Spark-over-parquet unusable for interactive lookups. The
+    * oracle scans the raw log with the same predicate.
+    */
+  val pointLookup = Q(
+    "log_point_lookup",
+    """SELECT user_id, event_type, COUNT(*) AS n,
+      |  CAST(MIN(ts) AS TIMESTAMP) AS first_ts,
+      |  CAST(MAX(ts) AS TIMESTAMP) AS last_ts,
+      |  ROUND(SUM(value), 2) AS sum_value
+      |FROM events WHERE user_id IN (1, 2, 3)
+      |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+    val t = graft.sources.Stores.bucketedEvents(s, dir)
+    s.table(t)
+      .filter(col("user_id").isin(1L, 2L, 3L))
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"), min("ts").as("first_ts"), max("ts").as("last_ts"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("user_id", "event_type")
+  }
+
   /** Exponentially-weighted moving average of the per-type daily volume —
     * the classic monitoring smoother (s_1 = x_1; s_t = α·x_t + (1−α)·s_{t−1},
     * α = 0.3). The recurrence is inherently sequential, so it runs as an
@@ -2437,5 +2465,5 @@ object LogOps {
     invertedSearch, phraseSearch, outageWindows, proximitySearch, driftDaily,
     indexedSearch, searchRanked, outageWindowsMerged,
     indexedSearchRanked, indexedPhrase, grepContext, trendingTemplates,
-    rollupServed, ewmaDaily, zonemapScan)
+    rollupServed, ewmaDaily, zonemapScan, pointLookup)
 }

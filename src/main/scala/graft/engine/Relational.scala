@@ -168,6 +168,41 @@ object Relational {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** A-family: sampling-based approximate aggregation with a CONFIDENCE
+    * INTERVAL — the 10% sample is a deterministic hash of the row id
+    * (md5-prefix mod 10, the cross-engine-reproducible idiom this repo
+    * uses for all sampling), so the estimate is identical run-to-run and
+    * engine-to-engine: the DuckDB oracle recomputes the SAME sample and
+    * the SAME closed forms. Estimators: N̂ = n_s/p; per-type totals scale
+    * by 1/p; the half-width is the Bernoulli-sampling normal
+    * approximation 1.96·√(n_s(1−p))/p. At 100 TB the sample predicate
+    * evaluates in the scan (one cheap hash per row, no shuffle of
+    * unsampled rows) and the aggregation state shrinks 10× — the standard
+    * first answer for interactive "roughly how many" questions before a
+    * full pass is justified.
+    */
+  val aggSampleEstimate = Q(
+    "agg_sample_estimate",
+    """WITH s AS (
+      |  SELECT event_type, value FROM events
+      |  WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 10 = 0)
+      |SELECT event_type, COUNT(*) AS n_sample,
+      |  COUNT(*) * 10 AS est_n,
+      |  ROUND(SUM(value) * 10, 2) AS est_sum,
+      |  ROUND(1.96 * 10 * sqrt(COUNT(*) * 0.9), 2) AS ci_half
+      |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .filter(pmod(conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint"), lit(10)) === 0)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_sample"),
+        (count(lit(1)) * 10).as("est_n"),
+        round(sum("value") * 10, 2).as("est_sum"),
+        round(lit(1.96) * lit(10) * sqrt(count(lit(1)) * lit(0.9)), 2).as("ci_half"))
+      .orderBy("event_type")
+  }
+
   /** J3 + P5: left outer join keeping customers with zero orders; COUNT over
     * the nullable side + COALESCE on the aggregated sum.
     */
@@ -540,6 +575,6 @@ object Relational {
     selProject, filterPredicates, filterLikeNulls,
     joinBroadcastDim, joinFactFact, joinBucketed, joinOuter, joinSemi, joinAnti, joinCross,
     joinNullSafe, joinSaltedSkew, aggPricingSummary, aggDistinct, aggRollup, aggPercentile,
-    aggArgmax, aggCollectList, topkGlobal, setUnion, setIntersectExcept,
+    aggArgmax, aggCollectList, aggSampleEstimate, topkGlobal, setUnion, setIntersectExcept,
     setOpsAll, aggKeySkewProfile, metaColumnProfile)
 }

@@ -185,8 +185,15 @@ object Sinks {
     * pre-write repartition is the same small-files control as
     * [[writeEventsByDay]].
     */
+  /** The store's tokenization — ONE definition shared by build and refresh
+    * so an appended doc can never tokenize differently from the original
+    * corpus pass.
+    */
+  private def postingToks: org.apache.spark.sql.Column =
+    filter(split(lower(col("text")), " "), t => t =!= "")
+
   def writePostings(docs: DataFrame, path: String, buckets: Int = 64): Unit = {
-    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+    val toks = postingToks
     docs
       .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
       .withColumn("tok_bucket", pmod(hash(col("tok")), lit(buckets)))
@@ -207,6 +214,41 @@ object Sinks {
     // from the corpus (that would be a third full tokenize pass).
     // meta is written LAST: its _SUCCESS is the store's completion marker.
     writeSized(docs.sparkSession.read.parquet(s"$path/docstats")
+      .agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+      .withColumn("buckets", lit(buckets)),
+      s"$path/meta", 1)
+  }
+
+  /** Incremental refresh of a [[writePostings]] store for an APPEND batch
+    * of NEW documents: postings are additive in doc_id, so the batch's
+    * posting rows and docstats rows APPEND into the standing layout (the
+    * bucket modulus comes from the store's own meta, so refreshed rows
+    * hash into exactly the directories the prober prunes to), and only
+    * the metadata-sized (n_docs, avgdl) stats are recomputed — rewritten
+    * LAST, preserving the completion-marker contract. Refresh cost tracks
+    * the batch: the standing postings are never read or rewritten.
+    * StorageLayoutSpec proves refresh ≡ full rebuild for the conjunctive,
+    * ranked, and phrase probes.
+    */
+  def refreshPostings(spark: org.apache.spark.sql.SparkSession, path: String,
+                      newDocs: DataFrame): Unit = {
+    val buckets = spark.read.parquet(s"$path/meta")
+      .select("buckets").head.getInt(0)
+    val toks = postingToks
+    newDocs
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+      .withColumn("tok_bucket", pmod(hash(col("tok")), lit(buckets)))
+      .repartition(col("tok_bucket"))
+      .write.mode("append")
+      .option("compression", "zstd")
+      .partitionBy("tok_bucket")
+      .parquet(s"$path/postings")
+    newDocs.select(col("doc_id"), size(toks).cast("long").as("dl"))
+      .repartition(1)
+      .write.mode("append")
+      .option("compression", "zstd")
+      .parquet(s"$path/docstats")
+    writeSized(spark.read.parquet(s"$path/docstats")
       .agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
       .withColumn("buckets", lit(buckets)),
       s"$path/meta", 1)

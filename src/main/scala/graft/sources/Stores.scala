@@ -114,30 +114,41 @@ object Stores {
     * once into the same bucket count and every later query's scan already
     * satisfies the join's required distribution.
     */
-  def bucketedFacts(spark: SparkSession, dataDir: String): (String, String) = {
-    val specs = Seq(
-      ("orders", "o_orderkey", () => graft.engine.Tables.orders(spark, dataDir)),
-      ("lineitem", "l_orderkey", () => graft.engine.Tables.lineitem(spark, dataDir)))
-    val names = specs.map { case (tbl, key, load) =>
-      val path = storeRoot(dataDir, s"$tbl.parquet", s"bucketed_$tbl")
-      val name = "graft_bkt_" + tbl + "_" +
-        path.split('/').takeRight(2).head.takeRight(16) // the corpus fingerprint
-      buildLock.synchronized {
-        if (!spark.catalog.tableExists(name)) {
-          if (new java.io.File(s"$path/_SUCCESS").exists()) {
-            // files stand from an earlier JVM/session: re-attach catalog
-            // bucket metadata without rewriting a byte
-            val schema = load().schema.toDDL
-            spark.sql(
-              s"""CREATE TABLE $name ($schema) USING PARQUET
-                 |CLUSTERED BY ($key) SORTED BY ($key) INTO $BUCKETS BUCKETS
-                 |LOCATION '$path'""".stripMargin)
-          } else Sinks.writeBucketedFact(load(), name, path, key, BUCKETS)
-        }
+  def bucketedFacts(spark: SparkSession, dataDir: String): (String, String) = (
+    bucketedTable(spark, dataDir, "orders", "o_orderkey",
+      () => graft.engine.Tables.orders(spark, dataDir)),
+    bucketedTable(spark, dataDir, "lineitem", "l_orderkey",
+      () => graft.engine.Tables.lineitem(spark, dataDir)))
+
+  /** Name of the standing events table bucketed on `user_id` — the layout
+    * behind `log_point_lookup`: an equality/IN predicate on the bucket key
+    * prunes the scan to the matching buckets (SelectedBucketsCount in the
+    * plan), so a per-user timeline probe reads 1/N of the files no matter
+    * how large the log grows.
+    */
+  def bucketedEvents(spark: SparkSession, dataDir: String): String =
+    bucketedTable(spark, dataDir, "events", "user_id",
+      () => graft.engine.Tables.events(spark, dataDir))
+
+  private def bucketedTable(spark: SparkSession, dataDir: String, tbl: String,
+                            key: String, load: () => org.apache.spark.sql.DataFrame): String = {
+    val path = storeRoot(dataDir, s"$tbl.parquet", s"bucketed_$tbl")
+    val name = "graft_bkt_" + tbl + "_" +
+      path.split('/').takeRight(2).head.takeRight(16) // the corpus fingerprint
+    buildLock.synchronized {
+      if (!spark.catalog.tableExists(name)) {
+        if (new java.io.File(s"$path/_SUCCESS").exists()) {
+          // files stand from an earlier JVM/session: re-attach catalog
+          // bucket metadata without rewriting a byte
+          val schema = load().schema.toDDL
+          spark.sql(
+            s"""CREATE TABLE $name ($schema) USING PARQUET
+               |CLUSTERED BY ($key) SORTED BY ($key) INTO $BUCKETS BUCKETS
+               |LOCATION '$path'""".stripMargin)
+        } else Sinks.writeBucketedFact(load(), name, path, key, BUCKETS)
       }
-      name
     }
-    (names.head, names.last)
+    name
   }
 
   /** Bucket count for [[bucketedFacts]]. Sized for the test corpora; at

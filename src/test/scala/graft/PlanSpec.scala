@@ -173,6 +173,20 @@ class PlanSpec extends SparkSpecBase {
     assert(roots.exists(_.contains("daily_rollup")), s"no rollup scan in: $roots")
   }
 
+  test("point lookup prunes to the probed users' buckets") {
+    // The user-bucketed layout's contract: an IN predicate on the bucket
+    // key cuts the scan to the matching buckets BEFORE any IO. All 8
+    // buckets selected means bucket pruning silently stopped (key or
+    // layout drifted) — correct answers, 100 TB scan.
+    val df = LogOps.pointLookup.build(spark, sfDir)
+    val scan = df.queryExecution.sparkPlan
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.head
+    assert(scan.bucketedScan, "not a bucketed scan")
+    val selected = scan.optionalBucketSet
+      .getOrElse(fail("no bucket pruning set in the scan")).cardinality()
+    assert(selected >= 1 && selected <= 3, s"selected $selected of 8 buckets")
+  }
+
   test("zonemap-served range report reads the clustered store, never the raw log") {
     val scans = LogOps.zonemapScan.build(spark, sfDir).queryExecution.sparkPlan
       .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }

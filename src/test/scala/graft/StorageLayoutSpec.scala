@@ -201,6 +201,35 @@ class StorageLayoutSpec extends SparkSpecBase {
       "2030-01-01 00:00:00", "2030-01-02 00:00:00").count() === 0)
   }
 
+  test("posting store: incremental refresh of appended docs equals a full rebuild") {
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+    val cut = docs.selectExpr("percentile(doc_id, 0.7)").head.getDouble(0).toLong
+    val incrDir = s"$tmp/postings_incr"
+    graft.sources.Sinks.writePostings(docs.filter(col("doc_id") <= cut), incrDir, buckets = 16)
+    // record standing posting files: refresh must APPEND, never rewrite
+    val before = spark.read.parquet(s"$incrDir/postings").inputFiles.toSet
+    graft.sources.Sinks.refreshPostings(spark, incrDir, docs.filter(col("doc_id") > cut))
+    val after = spark.read.parquet(s"$incrDir/postings").inputFiles.toSet
+    assert(before.subsetOf(after) && after.size > before.size,
+      "refresh rewrote or dropped standing posting files")
+
+    val fullDir = s"$tmp/postings_full"
+    graft.sources.Sinks.writePostings(docs, fullDir, buckets = 16)
+    // all three probe shapes answer identically from either store
+    val terms = Seq("spark", "join", "window")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(graft.sources.Sinks.probePostings(spark, incrDir, terms)) ===
+           rows(graft.sources.Sinks.probePostings(spark, fullDir, terms)))
+    assert(rows(graft.sources.Sinks.probePostingsBm25(spark, incrDir, terms, k = 20)) ===
+           rows(graft.sources.Sinks.probePostingsBm25(spark, fullDir, terms, k = 20)))
+    assert(rows(graft.sources.Sinks.probePostingsPhrase(spark, incrDir, "slow", "join")) ===
+           rows(graft.sources.Sinks.probePostingsPhrase(spark, fullDir, "slow", "join")))
+    // corpus stats (the BM25 normalizers) recomputed over the whole store
+    assert(rows(spark.read.parquet(s"$incrDir/meta")) ===
+           rows(spark.read.parquet(s"$fullDir/meta")))
+  }
+
   test("salted aggregation equals direct aggregation") {
     import spark.implicits._
     val salted = graft.engine.LogOps.saltedAgg.build(spark, sfDir)
