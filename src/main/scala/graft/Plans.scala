@@ -55,7 +55,13 @@ object Plans {
     "log_search_ranked" -> "BM25 with zero token shuffles: per-term tf and dl via size(filter(ts)) inside the scan (no Generate node), corpus stats as a single-row broadcast, TakeOrderedAndProject top-20",
     "log_indexed_search_ranked" -> "ranked retrieval with ZERO corpus reads: pruned posting buckets -> tf/df, docstats join for dl, (N, avgdl) from store meta; same oracle as the raw-scan BM25",
     "llm_ann_ivfpq_indexed" -> "ANN served from the persisted index: ADC tables broadcast over the PERSISTED code-table scan; codebook read from parquet — no training stages in the plan",
-    "log_outage_windows_merged" -> "two-phase interval union: day-partitioned running-max sweep at corpus scale, then a single-partition sweep over the metadata-sized per-day outage rows to glue midnight-crossing pieces")
+    "log_outage_windows_merged" -> "two-phase interval union: day-partitioned running-max sweep at corpus scale, then a single-partition sweep over the metadata-sized per-day outage rows to glue midnight-crossing pieces",
+    "log_schema_infer" -> "schema discovery in one explode+hash-agg scan onto key-cardinality rows; the corpus row total joins back as a single-row broadcast (allowlisted metadata rebase)",
+    "agg_equidepth_histogram" -> "no global sort, no ntile: the quantile-cut single-row aggregate broadcasts over the bin-assignment scan; every row folds the 7 cuts map-side in an exact integer domain",
+    "meta_fk_orphans" -> "each FK edge folds its left join straight into a count-only aggregate — orphan ROWS never leave the join; dim parents broadcast, the fact edge shuffles on its join key (bucketing removes that at rest)",
+    "log_sla_burn" -> "corpus collapses to hour-cardinality rows in one partial-aggregated scan; the trailing-6h RANGE window runs over metadata-sized rows only",
+    "sql_order_priority" -> "correlated EXISTS decorrelated to a LEFT SEMI join on l_orderkey — the probe stops at an order's first late lineitem, the subquery never materializes per row",
+    "sql_customer_distribution" -> "two hash aggregates around ONE fact exchange; the zero-order bucket survives via LEFT JOIN + COUNT(o_orderkey); inner groupBy key = join key, so bucketing elides the exchange at rest")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

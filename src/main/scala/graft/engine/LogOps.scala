@@ -2451,6 +2451,202 @@ object LogOps {
       .orderBy("event_type", "day")
   }
 
+  /** Dynamic schema discovery over the semi-structured `props` JSON tail —
+    * logdb-style schema-on-read made explicit: one scan explodes each row's
+    * key set and profiles every key's presence, value typing (int / decimal
+    * / bool / null / other-string, decided by ONE regex family shared
+    * verbatim with the oracle), distinct-value count, and integer range.
+    * The corpus-sized work is a single map-side explode + hash agg onto
+    * key-cardinality groups; the row total joins back as a broadcast
+    * single-row aggregate (metadata rebase). 100 TB: output rows = |key
+    * space|, so the plan's reduce side is metadata no matter the corpus.
+    * Keys are assumed JSON-path-safe (no quotes/dots) — true of machine
+    * -emitted log props; a hostile key set would need the map-entries form.
+    */
+  val schemaInfer = Q(
+    "log_schema_infer",
+    """WITH kv AS (
+      |  SELECT unnest(json_keys(props)) AS key, props FROM events),
+      |vals AS (
+      |  SELECT key, json_extract_string(props, '$.' || key) AS v FROM kv),
+      |tot AS (SELECT COUNT(*) AS n_total FROM events)
+      |SELECT key,
+      |  COUNT(*) AS n_present,
+      |  ROUND(100.0 * COUNT(*) / MAX(n_total), 4) AS coverage_pct,
+      |  CAST(count_if(v IS NULL) AS BIGINT) AS n_null,
+      |  CAST(count_if(regexp_matches(v, '^-?[0-9]+$')) AS BIGINT) AS n_int,
+      |  CAST(count_if(regexp_matches(v, '^-?[0-9]*\.[0-9]+$')) AS BIGINT) AS n_num,
+      |  CAST(count_if(v IN ('true', 'false')) AS BIGINT) AS n_bool,
+      |  CAST(COUNT(DISTINCT v) AS BIGINT) AS n_values,
+      |  MIN(CASE WHEN regexp_matches(v, '^-?[0-9]+$') THEN CAST(v AS BIGINT) END) AS min_int,
+      |  MAX(CASE WHEN regexp_matches(v, '^-?[0-9]+$') THEN CAST(v AS BIGINT) END) AS max_int
+      |FROM vals, tot
+      |GROUP BY key ORDER BY key""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val tot = ev.agg(count(lit(1)).as("n_total"))
+    val isInt = col("v").rlike("^-?[0-9]+$")
+    ev.select(explode(expr("from_json(props, 'map<string,string>')")).as(Seq("key", "v")))
+      .groupBy("key")
+      .agg(
+        count(lit(1)).as("n_present"),
+        count_if(col("v").isNull).as("n_null"),
+        count_if(isInt).as("n_int"),
+        count_if(col("v").rlike("^-?[0-9]*\\.[0-9]+$")).as("n_num"),
+        count_if(col("v").isin("true", "false")).as("n_bool"),
+        countDistinct(col("v")).as("n_values"),
+        min(when(isInt, col("v").cast("long"))).as("min_int"),
+        max(when(isInt, col("v").cast("long"))).as("max_int"))
+      .crossJoin(broadcast(tot))
+      .select(col("key"), col("n_present"),
+        round(lit(100.0) * col("n_present") / col("n_total"), 4).as("coverage_pct"),
+        col("n_null"), col("n_int"), col("n_num"), col("n_bool"), col("n_values"),
+        col("min_int"), col("max_int"))
+      .orderBy("key")
+  }
+
+  /** Multi-window SLO burn-rate alerting (the SRE-workbook pattern): per
+    * hour, the error-budget burn at the 1 h grain and over the trailing
+    * 6 h, firing only when BOTH exceed 1.0 — the fast window gives
+    * response time, the slow window suppresses blips. Budget = 25%
+    * allowed error rate. The corpus collapses to hour-cardinality rows in
+    * one partial-aggregated scan; the trailing window is a RANGE frame
+    * over the integer hour index so missing hours genuinely widen the
+    * lookback (a ROWS frame would silently span gaps). Burn ratios are
+    * integer-count ratios → bit-identical across engines. The global
+    * hour-ordered window runs single-partition by construction — hours
+    * are metadata-cardinality at any corpus scale (100 TB ≈ 10⁵ hour
+    * rows), the same discipline as the daily EWMA/rollup sweeps.
+    */
+  val slaBurn = Q(
+    "log_sla_burn",
+    """WITH hourly AS (
+      |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+      |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hid,
+      |    COUNT(*) AS n,
+      |    CAST(count_if(event_type = 'error') AS BIGINT) AS n_err
+      |  FROM events GROUP BY 1, 2)
+      |SELECT hour, n, n_err,
+      |  ROUND((CAST(n_err AS DOUBLE) / n) / 0.25, 4) AS burn_1h,
+      |  ROUND((CAST(SUM(n_err) OVER w AS DOUBLE) / SUM(n) OVER w) / 0.25, 4) AS burn_6h,
+      |  ((CAST(n_err AS DOUBLE) / n) / 0.25 >= 1.0 AND
+      |   (CAST(SUM(n_err) OVER w AS DOUBLE) / SUM(n) OVER w) / 0.25 >= 1.0) AS firing
+      |FROM hourly
+      |WINDOW w AS (ORDER BY hid RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+      |ORDER BY hour""".stripMargin) { (s, dir) =>
+    val w = Window.orderBy("hid").rangeBetween(-5, 0)
+    Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"), count_if(col("event_type") === "error").as("n_err"))
+      .withColumn("hid", expr("cast(hour as long) div 3600"))
+      .withColumn("burn_1h", round(col("n_err").cast("double") / col("n") / lit(0.25), 4))
+      .withColumn("e6", sum("n_err").over(w))
+      .withColumn("t6", sum("n").over(w))
+      .withColumn("burn_6h", round(col("e6").cast("double") / col("t6") / lit(0.25), 4))
+      .withColumn("firing",
+        (col("n_err").cast("double") / col("n") / lit(0.25) >= 1.0) &&
+          (col("e6").cast("double") / col("t6") / lit(0.25) >= 1.0))
+      .select("hour", "n", "n_err", "burn_1h", "burn_6h", "firing")
+      .orderBy("hour")
+  }
+
+  /** CUSUM change-point detection on the daily error count — the classic
+    * sequential drift detector (Page 1954): S_t = max(0, S_{t-1} + x_t −
+    * μ − k), alert when S_t > h. The recurrence has the closed form
+    * S_t = P_t − min(0, min_{j≤t} P_j) with P the prefix sum of
+    * (x − μ − k), so it runs as two ordinary running windows — no
+    * sequential fold. Everything is computed in an INTEGER domain scaled
+    * by n_days (x integer; μ = Σx/n rational, so n·P is integer; k and h
+    * are rounded to integers from the population σ), which makes the
+    * whole detector exact and engine-order-independent — only the final
+    * display division produces a double. Corpus work is one scan to
+    * day-cardinality counts; stats come from a global window over those
+    * metadata-sized rows, not a second scan.
+    */
+  val cusumChangepoint = Q(
+    "log_cusum_changepoint",
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |    CAST(count_if(event_type = 'error') AS BIGINT) AS x
+      |  FROM events GROUP BY 1),
+      |stats AS (
+      |  SELECT day, x,
+      |    SUM(x) OVER () AS sx, SUM(x * x) OVER () AS sxx,
+      |    COUNT(*) OVER () AS nd
+      |  FROM daily),
+      |scaled AS (
+      |  SELECT day, x, nd,
+      |    CAST(ROUND(0.5 * SQRT(CAST(sxx AS DOUBLE) / nd
+      |      - (CAST(sx AS DOUBLE) / nd) * (CAST(sx AS DOUBLE) / nd)), 0) AS BIGINT) AS k,
+      |    CAST(ROUND(4.0 * SQRT(CAST(sxx AS DOUBLE) / nd
+      |      - (CAST(sx AS DOUBLE) / nd) * (CAST(sx AS DOUBLE) / nd)), 0) AS BIGINT) AS h,
+      |    sx
+      |  FROM stats),
+      |pref AS (
+      |  SELECT day, x, nd, h,
+      |    SUM(nd * x - sx - nd * k) OVER (ORDER BY day) AS p
+      |  FROM scaled)
+      |SELECT day, x,
+      |  ROUND(CAST(p - LEAST(MIN(p) OVER (ORDER BY day), 0) AS DOUBLE) / nd, 4) AS cusum,
+      |  (p - LEAST(MIN(p) OVER (ORDER BY day), 0) > nd * h) AS alert
+      |FROM pref ORDER BY day""".stripMargin) { (s, dir) =>
+    val all = Window.partitionBy()
+    val run = Window.orderBy("day")
+    val sd = sqrt(col("sxx").cast("double") / col("nd")
+      - (col("sx").cast("double") / col("nd")) * (col("sx").cast("double") / col("nd")))
+    Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count_if(col("event_type") === "error").as("x"))
+      .withColumn("sx", sum("x").over(all))
+      .withColumn("sxx", sum(col("x") * col("x")).over(all))
+      .withColumn("nd", count(lit(1)).over(all))
+      .withColumn("k", round(lit(0.5) * sd, 0).cast("long"))
+      .withColumn("h", round(lit(4.0) * sd, 0).cast("long"))
+      .withColumn("p", sum(col("nd") * col("x") - col("sx") - col("nd") * col("k")).over(run))
+      .withColumn("floor0", least(min("p").over(run), lit(0L)))
+      .select(col("day"), col("x"),
+        round((col("p") - col("floor0")).cast("double") / col("nd"), 4).as("cusum"),
+        (col("p") - col("floor0") > col("nd") * col("h")).as("alert"))
+      .orderBy("day")
+  }
+
+  /** Alerting rules as DATA: a rule table (rule_id, event_type, daily
+    * threshold) evaluated against per-day type volumes in ONE corpus
+    * scan — the way a log engine serves hundreds of saved alerts without
+    * one query per rule. The rule set broadcasts (it is human-authored,
+    * therefore tiny); the join carries the event_type equi-key so the
+    * threshold predicate rides a BroadcastHashJoin, never a nested loop.
+    * Rule 4's absurd threshold pins the no-fire path. Adding a rule at
+    * 100 TB changes the broadcast payload, not the scan count.
+    */
+  val alertRules: Q = {
+    val rules = Seq((1L, "error", 5L), (2L, "purchase", 8L), (3L, "click", 10L),
+      (4L, "signup", 1000000L))
+    Q(
+      "log_alert_rules",
+      """WITH rules(rule_id, rule_type, min_n) AS (
+        |  VALUES (CAST(1 AS BIGINT), 'error', CAST(5 AS BIGINT)),
+        |         (CAST(2 AS BIGINT), 'purchase', CAST(8 AS BIGINT)),
+        |         (CAST(3 AS BIGINT), 'click', CAST(10 AS BIGINT)),
+        |         (CAST(4 AS BIGINT), 'signup', CAST(1000000 AS BIGINT))),
+        |daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT rule_id, day, event_type, n, min_n
+        |FROM daily JOIN rules ON event_type = rule_type AND n >= min_n
+        |ORDER BY rule_id, day""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val rulesDf = rules.toDF("rule_id", "rule_type", "min_n")
+      Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .join(broadcast(rulesDf),
+          col("event_type") === col("rule_type") && col("n") >= col("min_n"))
+        .select("rule_id", "day", "event_type", "n", "min_n")
+        .orderBy("rule_id", "day")
+    }
+  }
+
   val all: Seq[Q] = Seq(
     errorRateDaily, grepRegex, grepMulti, regexExtract, regexReplace, stringFuncs,
     parseFields, timeBuckets, jsonExtract, tokenize, saltedAgg,
@@ -2465,5 +2661,6 @@ object LogOps {
     invertedSearch, phraseSearch, outageWindows, proximitySearch, driftDaily,
     indexedSearch, searchRanked, outageWindowsMerged,
     indexedSearchRanked, indexedPhrase, grepContext, trendingTemplates,
-    rollupServed, ewmaDaily, zonemapScan, pointLookup)
+    rollupServed, ewmaDaily, zonemapScan, pointLookup,
+    schemaInfer, slaBurn, cusumChangepoint, alertRules)
 }

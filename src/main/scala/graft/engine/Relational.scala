@@ -571,10 +571,98 @@ object Relational {
       .select("kv.*").orderBy("col")
   }
 
+  /** Referential-integrity audit across the star schema's five FK edges —
+    * the data-quality gate a 100 TB ingest pipeline runs before publishing
+    * a snapshot. Each edge is ONE pass over the child side: a left outer
+    * join against the parent's distinct key (Catalyst broadcasts the dim
+    * sides; the two fact edges shuffle on their join key, which bucketing
+    * co-locates at cluster scale) folded straight into a single-row count
+    * aggregate — orphan ROWS never leave the join, only counts do. A null
+    * child key counts as an orphan (it references nothing), matching the
+    * LEFT JOIN null-probe semantics on both engines.
+    */
+  val metaFkOrphans: Q = {
+    // (fk_name, child table, child key, parent table, parent key)
+    val edges = Seq(
+      ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+      ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+    val oracle = edges.map { case (nm, ct, ck, pt, pk) =>
+      s"""SELECT '$nm' AS fk_name, COUNT(*) AS n_child,
+         |  CAST(count_if($pk IS NULL) AS BIGINT) AS n_orphans,
+         |  ROUND(100.0 * count_if($pk IS NULL) / COUNT(*), 4) AS orphan_pct
+         |FROM $ct LEFT JOIN (SELECT DISTINCT $pk FROM $pt) p ON $ck = $pk""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY fk_name")
+    Q("meta_fk_orphans", oracle) { (s, dir) =>
+      edges.map { case (nm, ct, ck, pt, pk) =>
+        Tables.load(s, dir, ct).select(col(ck))
+          .join(Tables.load(s, dir, pt).select(col(pk)).distinct(),
+            col(ck) === col(pk), "left_outer")
+          .agg(count(lit(1)).as("n_child"), count_if(col(pk).isNull).as("n_orphans"))
+          .select(lit(nm).as("fk_name"), col("n_child"), col("n_orphans"),
+            round(lit(100.0) * col("n_orphans") / col("n_child"), 4).as("orphan_pct"))
+      }.reduce(_ unionAll _).orderBy("fk_name")
+    }
+  }
+
+  /** A7 at the distribution grain: EQUI-DEPTH histogram of `value` — 8
+    * bins holding ~equal row counts, the shape query optimizers and SLO
+    * dashboards actually want (equi-WIDTH bins hide the tail). Bin edges
+    * are the exact 1/8-quantiles (the proven percentile ↔ quantile_cont
+    * pair); every row is then assigned by counting edges it exceeds. The
+    * assignment runs ENTIRELY in an exact integer domain: `value` is
+    * 2-decimal money (FIXTURES.md), so cents = round(value·100) is an
+    * exact BIGINT, and with eighth quantiles the interpolation fraction
+    * is a multiple of 1/8 — cut·8 is an integer that ROUND recovers
+    * identically on both engines. (The naive double compare genuinely
+    * diverged at sf0.001: Spark interpolates lo+(hi−lo)·f, DuckDB
+    * (1−f)·lo+f·hi — one ulp apart at a cut that EQUALS a data value,
+    * which 2-decimal data makes common.) The cutpoint row is a
+    * single-row aggregate broadcast over the assignment scan (metadata
+    * rebase) — two scans total, no global sort: the ntile formulation
+    * would drag the whole corpus through one ordered partition, THE
+    * scale anti-pattern for 100 TB distributions.
+    */
+  val aggEquidepthHistogram = Q(
+    "agg_equidepth_histogram",
+    """WITH v AS (
+      |  SELECT event_id, value, CAST(ROUND(value * 100, 0) AS BIGINT) AS vc
+      |  FROM events),
+      |cuts AS (
+      |  SELECT unnest(quantile_cont(vc, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875])) AS c
+      |  FROM v),
+      |c8 AS (SELECT CAST(ROUND(c * 8, 0) AS BIGINT) AS c8 FROM cuts),
+      |assigned AS (
+      |  SELECT v.event_id, v.value,
+      |    1 + CAST(count_if(v.vc * 8 > c8.c8) AS BIGINT) AS bin
+      |  FROM v, c8
+      |  GROUP BY v.event_id, v.value)
+      |SELECT bin, COUNT(*) AS n,
+      |  ROUND(MIN(value), 2) AS lo, ROUND(MAX(value), 2) AS hi
+      |FROM assigned GROUP BY bin ORDER BY bin""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir).select(col("event_id"), col("value"),
+      round(col("value") * 100, 0).cast("long").as("vc"))
+    val cuts = ev.agg(expr(
+      "percentile(vc, array(0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875))").as("cuts"))
+    ev.crossJoin(broadcast(cuts))
+      .select(col("value"),
+        (lit(1L) + expr(
+          """aggregate(cuts, 0L, (a, c) ->
+            |  a + CASE WHEN vc * 8 > CAST(ROUND(c * 8, 0) AS LONG) THEN 1L ELSE 0L END)
+            |""".stripMargin)).as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(min("value"), 2).as("lo"), round(max("value"), 2).as("hi"))
+      .orderBy("bin")
+  }
+
   val all: Seq[Q] = Seq(
     selProject, filterPredicates, filterLikeNulls,
     joinBroadcastDim, joinFactFact, joinBucketed, joinOuter, joinSemi, joinAnti, joinCross,
     joinNullSafe, joinSaltedSkew, aggPricingSummary, aggDistinct, aggRollup, aggPercentile,
     aggArgmax, aggCollectList, aggSampleEstimate, topkGlobal, setUnion, setIntersectExcept,
-    setOpsAll, aggKeySkewProfile, metaColumnProfile)
+    setOpsAll, aggKeySkewProfile, metaColumnProfile,
+    metaFkOrphans, aggEquidepthHistogram)
 }

@@ -163,6 +163,49 @@ object SqlOps {
     sql("sql_recursive_reach", text)(text)
   }
 
+  /** TPC-H Q4-shaped order-priority check: orders with any lineitem that
+    * shipped more than 60 days after the order date, counted by priority.
+    * The EXISTS decorrelates to a LEFT SEMI join on l_orderkey with the
+    * date comparison riding the join — Catalyst never materializes the
+    * subquery per row, and the semi join stops probing an order on its
+    * first late lineitem. The fixture lacks TPC-H's commit/receipt dates,
+    * so ship-vs-order lateness stands in for the spec's predicate; the
+    * shape (correlated EXISTS over the fact-fact edge) is the point.
+    * Identical text on both engines.
+    */
+  val orderPriority: Q = {
+    val text =
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
+    sql("sql_order_priority", text)(text)
+  }
+
+  /** TPC-H Q13-shaped customer order-count distribution: orders-per-
+    * customer histogram including the zero bucket — the LEFT JOIN keeps
+    * order-less customers, COUNT(o_orderkey) (not COUNT(*)) zeroes them,
+    * and the second aggregation collapses to count-cardinality rows.
+    * Two hash aggs around one fact shuffle; the inner groupBy key is the
+    * join key, so at cluster scale bucketing customer/orders on custkey
+    * elides the exchange entirely. Identical text on both engines.
+    */
+  val customerDistribution: Q = {
+    val text =
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM (
+        |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin
+    sql("sql_customer_distribution", text)(text)
+  }
+
   val all: Seq[Q] = Seq(shippingPriority, notInNulls, localSupplierVolume, marketShare,
-    recursiveReach)
+    recursiveReach, orderPriority, customerDistribution)
 }

@@ -431,4 +431,93 @@ class LogOpsSpec extends SparkSpecBase {
     assert(out.count() === nIncidents)
     assert(out.filter(col("n_sessions") < 1).count() === 0)
   }
+
+  test("schema infer: per-key presence, typing, and integer range on a mixed-key fixture") {
+    // key a: ints 7 and -3 (one per row); key b: bool + decimal; key c: one
+    // JSON null; key d appears once as a plain string.
+    val dir = eventsDir(Seq(
+      (1L, ts(0), 0L, "view", 1.0, """{"a": 7, "b": true}"""),
+      (2L, ts(1), 0L, "view", 1.0, """{"a": -3, "b": 2.5, "c": null}"""),
+      (3L, ts(2), 0L, "view", 1.0, """{"d": "free text"}""")))
+    val got = LogOps.schemaInfer.build(spark, dir)
+      .select("key", "n_present", "n_null", "n_int", "n_num", "n_bool", "n_values")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map { case (k, a, b, c, d, e, f) => k -> ((a, b, c, d, e, f)) }.toMap
+    assert(got("a") === ((2L, 0L, 2L, 0L, 0L, 2L)))
+    assert(got("b") === ((2L, 0L, 0L, 1L, 1L, 2L)))
+    assert(got("c") === ((1L, 1L, 0L, 0L, 0L, 0L)))
+    assert(got("d") === ((1L, 0L, 0L, 0L, 0L, 1L)))
+    val ints = LogOps.schemaInfer.build(spark, dir)
+      .filter(col("key") === "a").select("min_int", "max_int")
+      .as[(Long, Long)].head()
+    assert(ints === ((-3L, 7L)))
+  }
+
+  test("sla burn: fires only when the 1h AND trailing-6h burns both exceed 1.0; " +
+    "hour gaps widen the lookback") {
+    // hour 0 (minutes 0-59): 4 events, 1 error → burn_1h = (1/4)/0.25 = 1.0
+    // hour 1: 4 events, 2 errors → burn_1h = 2.0; 6h window = hours 0-1:
+    //   (3/8)/0.25 = 1.5 → fires
+    // hour 9 (a 7-hour gap): 4 events, 0 errors → its 6h RANGE window must
+    //   NOT reach back to hour 1 (hid distance 8 > 5) → burn_6h = 0
+    def e(id: Long, min: Int, typ: String) = (id, ts(min), 0L, typ, 1.0, "{}")
+    val dir = eventsDir(Seq(
+      e(1, 0, "error"), e(2, 10, "view"), e(3, 20, "view"), e(4, 30, "view"),
+      e(5, 60, "error"), e(6, 70, "error"), e(7, 80, "view"), e(8, 90, "view"),
+      e(9, 540, "view"), e(10, 550, "view"), e(11, 555, "view"), e(12, 559, "view")))
+    val got = LogOps.slaBurn.build(spark, dir)
+      .select("burn_1h", "burn_6h", "firing")
+      .as[(Double, Double, Boolean)].collect().toSeq
+    assert(got === Seq((1.0, 1.0, true), (2.0, 1.5, true), (0.0, 0.0, false)))
+  }
+
+  test("cusum: closed-form windows match the textbook scalar recurrence; " +
+    "a level shift raises the alert") {
+    // 10 quiet days (1 error each) then 6 loud days (21 each): σ ≈ 9.68,
+    // k = round(σ/2) = 5, h = round(4σ) = 39; the recurrence
+    // S_t = max(0, S_{t-1} + x_t − μ − k) holds at 0 through the quiet run
+    // (1 − 8.5 − 5 < 0) and climbs 7.5/day after the shift, crossing h on
+    // the final day (45 > 39).
+    val counts = Seq.fill(10)(1) ++ Seq.fill(6)(21)
+    var id = 0L
+    val rows = counts.zipWithIndex.flatMap { case (n, day) =>
+      (0 until n).map { j =>
+        id += 1
+        (id, ts(day * 1440 + j), 0L, "error", 1.0, "{}")
+      } :+ { id += 1; (id, ts(day * 1440 + 100), 0L, "view", 1.0, "{}") }
+    }
+    val got = LogOps.cusumChangepoint.build(spark, eventsDir(rows))
+      .select("x", "cusum", "alert").as[(Long, Double, Boolean)].collect().toSeq
+    assert(got.map(_._1) === counts.map(_.toLong))
+    // driver-side scalar recurrence in the same integer domain
+    val n = counts.length
+    val sx = counts.sum
+    val mean = sx.toDouble / n
+    val sd = math.sqrt(counts.map(c => c * c).sum.toDouble / n - mean * mean)
+    val k = math.round(0.5 * sd)
+    val h = math.round(4.0 * sd)
+    var s = 0.0
+    val expect = counts.map { x =>
+      s = math.max(0.0, s + x - mean - k)
+      (BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, s > h)
+    }
+    got.zip(expect).foreach { case ((_, c, a), (ec, ea)) =>
+      assert(math.abs(c - ec) < 2e-4, s"cusum $c vs recurrence $ec")
+      assert(a === ea)
+    }
+    assert(!got.take(10).exists(_._3) && got.last._3, "alert must fire only after the shift")
+  }
+
+  test("alert rules: a rule fires exactly on days at or over its threshold; " +
+    "the absurd-threshold rule never fires") {
+    // day 0: 5 errors (rule 1 fires, min 5); day 1: 4 errors (no fire);
+    // day 0 also has 2 signups — rule 4 (min 1e6) must not fire.
+    def e(id: Long, min: Int, typ: String) = (id, ts(min), 0L, typ, 1.0, "{}")
+    val rows = (1 to 5).map(i => e(i, i, "error")) ++
+      (6 to 9).map(i => e(i, 1440 + i, "error")) ++
+      Seq(e(10, 20, "signup"), e(11, 21, "signup"))
+    val got = LogOps.alertRules.build(spark, eventsDir(rows))
+      .select("rule_id", "n").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 5L)))
+  }
 }

@@ -386,7 +386,11 @@ class PlanSpec extends SparkSpecBase {
     "sql_not_in_nulls"      -> ("null-aware anti join is Spark's only NOT IN implementation — " +
                                 "the query exists to pin NOT IN's NULL semantics; the scale " +
                                 "rewrite is NOT EXISTS (covered by join_anti), and the outer " +
-                                "cross join is two single-row aggregates"))
+                                "cross join is two single-row aggregates"),
+    "log_schema_infer"      -> ("single-row corpus-total aggregate cross-joined into the " +
+                                "coverage percentage — metadata rebase over key-cardinality rows"),
+    "agg_equidepth_histogram" -> ("single-row quantile-cutpoint aggregate broadcast into the " +
+                                "bin-assignment scan — metadata rebase"))
 
   test("no query in the registry plans an unbounded cartesian or nested-loop join") {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

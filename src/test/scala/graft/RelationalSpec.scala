@@ -73,4 +73,46 @@ class RelationalSpec extends SparkSpecBase {
     assert(got("source") === ((3L, 0L, 2L, "src0", "src1")))
     assert(got("n_chars") === ((3L, 0L, 2L, "0", "2")))
   }
+
+  test("fk orphans: dangling and null child keys count as orphans, valid keys don't") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fk").toString
+    def put(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    put("region", Seq(0L).toDF("r_regionkey"))
+    put("nation", Seq((0L, 0L), (1L, 9L)).toDF("n_nationkey", "n_regionkey")) // 9 dangles
+    put("customer",
+      Seq[(Long, java.lang.Long)]((10L, 0L), (11L, 1L), (12L, null))
+        .toDF("c_custkey", "c_nationkey")) // null FK = orphan
+    put("supplier", Seq((20L, 0L)).toDF("s_suppkey", "s_nationkey"))
+    put("orders", Seq((30L, 10L), (31L, 99L)).toDF("o_orderkey", "o_custkey")) // 99 dangles
+    put("lineitem", Seq((30L, 1L), (30L, 2L), (31L, 1L)).toDF("l_orderkey", "l_linenumber"))
+    val got = Relational.metaFkOrphans.build(spark, dir)
+      .select("fk_name", "n_child", "n_orphans")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("customer.c_nationkey->nation") === ((3L, 1L)))
+    assert(got("lineitem.l_orderkey->orders") === ((3L, 0L)))
+    assert(got("nation.n_regionkey->region") === ((2L, 1L)))
+    assert(got("orders.o_custkey->customer") === ((2L, 1L)))
+    assert(got("supplier.s_nationkey->nation") === ((1L, 0L)))
+  }
+
+  test("equi-depth histogram: bins partition every row, depths are balanced, " +
+    "and bin ranges are ordered and disjoint") {
+    val out = Relational.aggEquidepthHistogram.build(spark, sfDir)
+      .select("bin", "n", "lo", "hi").as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    val total = spark.read.parquet(s"$sfDir/events.parquet").count()
+    assert(out.map(_._1).toSeq === (1L to 8L))
+    assert(out.map(_._2).sum === total)
+    // equal depth up to quantile ties: no bin strays past ±25% of the ideal
+    val ideal = total.toDouble / 8
+    out.foreach { case (b, n, _, _) =>
+      assert(math.abs(n - ideal) <= 0.25 * ideal, s"bin $b depth $n vs ideal $ideal")
+    }
+    // ranges ordered: each bin's hi is at most the next bin's lo
+    out.sliding(2).foreach {
+      case Array((_, _, _, hi1), (_, _, lo2, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
+    out.foreach { case (_, _, lo, hi) => assert(lo <= hi) }
+  }
 }
