@@ -61,7 +61,8 @@ object Plans {
     "meta_fk_orphans" -> "each FK edge folds its left join straight into a count-only aggregate — orphan ROWS never leave the join; dim parents broadcast, the fact edge shuffles on its join key (bucketing removes that at rest)",
     "log_sla_burn" -> "corpus collapses to hour-cardinality rows in one partial-aggregated scan; the trailing-6h RANGE window runs over metadata-sized rows only",
     "sql_order_priority" -> "correlated EXISTS decorrelated to a LEFT SEMI join on l_orderkey — the probe stops at an order's first late lineitem, the subquery never materializes per row",
-    "sql_customer_distribution" -> "two hash aggregates around ONE fact exchange; the zero-order bucket survives via LEFT JOIN + COUNT(o_orderkey); inner groupBy key = join key, so bucketing elides the exchange at rest")
+    "sql_customer_distribution" -> "two hash aggregates around ONE fact exchange; the zero-order bucket survives via LEFT JOIN + COUNT(o_orderkey); inner groupBy key = join key, so bucketing elides the exchange at rest",
+    "stream_alert_rules" -> "streaming-legal alerting: the rule table broadcast-joins the RAW stream (map-side, stateless) BEFORE the day-window count, so state per key is one bounded count; the threshold is a stateless post-agg filter")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -2618,25 +2618,36 @@ object LogOps {
     * Rule 4's absurd threshold pins the no-fire path. Adding a rule at
     * 100 TB changes the broadcast payload, not the scan count.
     */
-  val alertRules: Q = {
-    val rules = Seq((1L, "error", 5L), (2L, "purchase", 8L), (3L, "click", 10L),
+  /** The canonical saved-alert fixture, shared with the streaming twin
+    * (`stream_alert_rules`) so both engines evaluate the SAME rule table.
+    * Rule 4's absurd threshold pins the no-fire path.
+    */
+  private[engine] val alertRuleRows: Seq[(Long, String, Long)] =
+    Seq((1L, "error", 5L), (2L, "purchase", 8L), (3L, "click", 10L),
       (4L, "signup", 1000000L))
-    Q(
-      "log_alert_rules",
-      """WITH rules(rule_id, rule_type, min_n) AS (
-        |  VALUES (CAST(1 AS BIGINT), 'error', CAST(5 AS BIGINT)),
-        |         (CAST(2 AS BIGINT), 'purchase', CAST(8 AS BIGINT)),
-        |         (CAST(3 AS BIGINT), 'click', CAST(10 AS BIGINT)),
-        |         (CAST(4 AS BIGINT), 'signup', CAST(1000000 AS BIGINT))),
-        |daily AS (
-        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
-        |    COUNT(*) AS n
-        |  FROM events GROUP BY 1, 2)
-        |SELECT rule_id, day, event_type, n, min_n
-        |FROM daily JOIN rules ON event_type = rule_type AND n >= min_n
-        |ORDER BY rule_id, day""".stripMargin) { (s, dir) =>
+
+  /** One oracle for both the batch and streaming formulations: alert
+    * firings are (rule, day) facts, independent of whether the day volume
+    * was counted in one pass or folded incrementally.
+    */
+  private[engine] val alertRulesSql: String =
+    """WITH rules(rule_id, rule_type, min_n) AS (
+      |  VALUES (CAST(1 AS BIGINT), 'error', CAST(5 AS BIGINT)),
+      |         (CAST(2 AS BIGINT), 'purchase', CAST(8 AS BIGINT)),
+      |         (CAST(3 AS BIGINT), 'click', CAST(10 AS BIGINT)),
+      |         (CAST(4 AS BIGINT), 'signup', CAST(1000000 AS BIGINT))),
+      |daily AS (
+      |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT rule_id, day, event_type, n, min_n
+      |FROM daily JOIN rules ON event_type = rule_type AND n >= min_n
+      |ORDER BY rule_id, day""".stripMargin
+
+  val alertRules: Q = {
+    Q("log_alert_rules", alertRulesSql) { (s, dir) =>
       import s.implicits._
-      val rulesDf = rules.toDF("rule_id", "rule_type", "min_n")
+      val rulesDf = alertRuleRows.toDF("rule_id", "rule_type", "min_n")
       Tables.events(s, dir)
         .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
         .agg(count(lit(1)).as("n"))
@@ -2645,6 +2656,44 @@ object LogOps {
         .select("rule_id", "day", "event_type", "n", "min_n")
         .orderBy("rule_id", "day")
     }
+  }
+
+  /** Emerging log shapes: per day, how many TEMPLATES appeared for the
+    * first time — the "is the system speaking a new language today"
+    * monitor that catches a deploy introducing novel error classes even
+    * when total volume is flat (volume monitors like
+    * `log_trending_templates` miss a brand-new shape with modest count).
+    * One corpus scan collapses to (template, first_day) — template
+    * cardinality is dozens — and the per-day rollup then runs on those
+    * metadata-sized rows; `first_ids` carries a deterministic sample of
+    * the day's debut templates for the on-call reader. At 100 TB the
+    * incremental form is the same plan over the ingest batch anti-joined
+    * against the standing template registry (the `llm_incremental_dedup`
+    * pattern); the batch query here IS the registry build.
+    */
+  val newTemplates = Q(
+    "log_new_templates",
+    raw"""WITH lines AS (
+      |  SELECT ts, $lineCaseSql AS line FROM events),
+      |firsts AS (
+      |  SELECT regexp_replace(line, '[0-9]+', '<*>', 'g') AS template,
+      |    MIN(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS first_day
+      |  FROM lines GROUP BY 1)
+      |SELECT first_day AS day, COUNT(*) AS n_new,
+      |  string_agg(substr(md5(template), 1, 8), ',' ORDER BY template) AS first_ids
+      |FROM firsts GROUP BY first_day ORDER BY first_day""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("ts"), syntheticLine.as("line"))
+      .select(date_trunc("day", col("ts")).as("day"),
+        regexp_replace(col("line"), "[0-9]+", "<*>").as("template"))
+      .groupBy("template")
+      .agg(min("day").as("day"))
+      .withColumn("tid", substring(md5(col("template")), 1, 8))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_new"),
+        array_join(array_sort(collect_list(struct(col("template"), col("tid"))))
+          .getField("tid"), ",").as("first_ids"))
+      .orderBy("day")
   }
 
   val all: Seq[Q] = Seq(
@@ -2662,5 +2711,5 @@ object LogOps {
     indexedSearch, searchRanked, outageWindowsMerged,
     indexedSearchRanked, indexedPhrase, grepContext, trendingTemplates,
     rollupServed, ewmaDaily, zonemapScan, pointLookup,
-    schemaInfer, slaBurn, cusumChangepoint, alertRules)
+    schemaInfer, slaBurn, cusumChangepoint, alertRules, newTemplates)
 }

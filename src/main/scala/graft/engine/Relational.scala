@@ -658,11 +658,61 @@ object Relational {
       .orderBy("bin")
   }
 
+  /** Benford first-digit audit of `l_extendedprice` — the fraud/corruption
+    * smoke test a data-quality gate runs on any organically-grown money
+    * column: first significant digits of natural data follow
+    * P(d) = log10(1 + 1/d), and a synthesized or truncated feed shows up
+    * as a skewed digit histogram long before row-level checks fire. The
+    * digit extracts in an exact domain (prices are 2-dp: cents =
+    * round(p·100) is a lossless BIGINT whose decimal leading digit both
+    * engines read off the same string). The expected shares are inlined
+    * as IDENTICAL literals on both engines — computed once here with
+    * Java's log10 — because "the same formula" is not "the same double"
+    * across engines, and the chi-square contribution would otherwise
+    * ride a 1-ulp split through the 4-dp rounding. One scan, partial agg
+    * onto 9 digit keys, single-row total broadcast (metadata rebase).
+    */
+  val metaBenfordDigits: Q = {
+    val expPct = (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d) * 100.0).toMap
+    val expCaseSql = (1 to 9)
+      .map(d => s"WHEN $d THEN ${expPct(d)}").mkString("CASE digit ", " ", " END")
+    Q(
+      "meta_benford_digits",
+      s"""WITH digits AS (
+        |  SELECT CAST(substr(CAST(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM lineitem),
+        |counts AS (SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit),
+        |tot AS (SELECT SUM(n) AS total FROM counts)
+        |SELECT digit, n,
+        |  ROUND(100.0 * n / total, 4) AS obs_pct,
+        |  ROUND($expCaseSql, 4) AS exp_pct,
+        |  ROUND(power(100.0 * n / total - ($expCaseSql), 2) / ($expCaseSql), 4)
+        |    AS chi2_term
+        |FROM counts, tot ORDER BY digit""".stripMargin) { (s, dir) =>
+      val expCol = (1 to 9).foldLeft(lit(null).cast("double")) { (acc, d) =>
+        when(col("digit") === d, lit(expPct(d))).otherwise(acc)
+      }
+      val counts = Tables.load(s, dir, "lineitem")
+        .select(substring(round(col("l_extendedprice") * 100, 0).cast("long")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum("n").as("total"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          round(lit(100.0) * col("n") / col("total"), 4).as("obs_pct"),
+          round(expCol, 4).as("exp_pct"),
+          round(pow(lit(100.0) * col("n") / col("total") - expCol, 2) / expCol, 4)
+            .as("chi2_term"))
+        .orderBy("digit")
+    }
+  }
+
   val all: Seq[Q] = Seq(
     selProject, filterPredicates, filterLikeNulls,
     joinBroadcastDim, joinFactFact, joinBucketed, joinOuter, joinSemi, joinAnti, joinCross,
     joinNullSafe, joinSaltedSkew, aggPricingSummary, aggDistinct, aggRollup, aggPercentile,
     aggArgmax, aggCollectList, aggSampleEstimate, topkGlobal, setUnion, setIntersectExcept,
     setOpsAll, aggKeySkewProfile, metaColumnProfile,
-    metaFkOrphans, aggEquidepthHistogram)
+    metaFkOrphans, aggEquidepthHistogram, metaBenfordDigits)
 }

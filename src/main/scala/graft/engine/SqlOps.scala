@@ -206,6 +206,119 @@ object SqlOps {
     sql("sql_customer_distribution", text)(text)
   }
 
+  /** TPC-H Q15-shaped top supplier: quarterly revenue per supplier, then
+    * the supplier(s) AT the maximum via a scalar subquery over the same
+    * derived view — Catalyst plans the max as a single-row broadcast
+    * against the re-used revenue aggregate, never a per-row re-scan.
+    * Revenue folds in an EXACT integer domain (price and discount are
+    * 2-dp, so price×(1−disc) is 4-dp: ×10⁴ per row is a lossless BIGINT)
+    * because the revenue = MAX(revenue) equality is the query's whole
+    * point — double sums fold in engine-specific order, and a 1-ulp split
+    * between engines at a near-tie would silently change WHICH supplier
+    * wins. The per-row arithmetic is IEEE-identical on both engines; only
+    * the fold order differs, and BIGINT addition is order-free.
+    */
+  val topSupplier: Q = {
+    val text =
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS rev4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, ROUND(rev4 / 1e4, 2) AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE rev4 = (SELECT MAX(rev4) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin
+    sql("sql_top_supplier", text)(text)
+  }
+
+  /** TPC-H Q18-shaped large-volume orders: the HAVING-filtered quantity
+    * rollup drives a semi-join back onto the order/customer detail — the
+    * classic "aggregate once, then enrich the survivors" shape. The
+    * filtered key set is tiny (top ~1% of orders), so at cluster scale
+    * the enrichment join broadcasts the survivors while the corpus-sized
+    * quantity rollup partial-aggregates map-side. Quantities are
+    * integer-valued doubles in the fixture; the BIGINT cast makes the
+    * sum and the 250 threshold exact on both engines.
+    */
+  val largeOrders: Q = {
+    val text =
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 250)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+        |  ROUND(o_totalprice, 2) AS o_totalprice, CAST(sum_qty AS BIGINT) AS sum_qty
+        |FROM big
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY o_orderkey""".stripMargin
+    sql("sql_large_orders", text)(text)
+  }
+
+  /** TPC-H Q22-shaped dormant high-balance customers: above-average
+    * account balance AND no order since 1999 — scalar aggregate subquery
+    * + NOT EXISTS, which Catalyst decorrelates to a single-row broadcast
+    * and a LEFT ANTI join on the date-filtered order side. The
+    * above-average comparison is cross-multiplied into integers
+    * (bal_cents × n_pos > total_cents) because AVG is a fold-order-
+    * dependent double: a customer sitting 1 ulp from the engine's mean
+    * would otherwise flip membership between engines. The fixture lacks
+    * Q22's phone column, so nationkey stands in for the country prefix;
+    * the shape (scalar subquery + anti join + final rollup) is the point.
+    */
+  val dormantCustomers: Q = {
+    val text =
+      """WITH stats AS (
+        |  SELECT COUNT(*) AS np,
+        |    SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS tot
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+        |  ROUND(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) / 1e2, 2) AS totacctbal
+        |FROM customer, stats
+        |WHERE CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) * np > tot
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin
+    sql("sql_dormant_customers", text)(text)
+  }
+
+  /** TPC-H Q10-shaped returned-item report: revenue lost to returns per
+    * customer in a quarter, top 20. The ORDER BY ... LIMIT rides the
+    * exact BIGINT revenue (ties broken by custkey), so the top-20 CUT
+    * line is deterministic across engines — with double sums, two
+    * customers straddling rank 20 by an ulp would make the page
+    * contents engine-dependent. Catalyst plans the limit as
+    * TakeOrderedAndProject (per-partition top-k, no global sort), and
+    * the nation dim broadcasts.
+    */
+  val returnedItems: Q = {
+    val text =
+      """SELECT c_custkey, c_name, n_name,
+        |  ROUND(rev4 / 1e4, 2) AS revenue, ROUND(c_acctbal, 2) AS c_acctbal
+        |FROM (
+        |  SELECT c_custkey, c_name, c_acctbal, c_nationkey,
+        |    SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS rev4
+        |  FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  GROUP BY c_custkey, c_name, c_acctbal, c_nationkey) t
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY rev4 DESC, c_custkey
+        |LIMIT 20""".stripMargin
+    sql("sql_returned_items", text)(text)
+  }
+
   val all: Seq[Q] = Seq(shippingPriority, notInNulls, localSupplierVolume, marketShare,
-    recursiveReach, orderPriority, customerDistribution)
+    recursiveReach, orderPriority, customerDistribution,
+    topSupplier, largeOrders, dormantCustomers, returnedItems)
 }

@@ -191,6 +191,22 @@ object StreamOps {
       .orderBy("ws", "template_id")
   }
 
+  /** T1 × alerting twin: the saved-alert rule table evaluated by the
+    * streaming transform over the batch corpus — same rule fixture, same
+    * oracle SQL as `log_alert_rules`, proving the continuous formulation
+    * (rules joined BEFORE the windowed count, threshold as a post-agg
+    * filter) fires on exactly the (rule, day) facts the batch scan finds.
+    * StreamingSpec replays the same transform through MemoryStream with a
+    * watermark and pins the incremental path, including the
+    * crosses-a-micro-batch-boundary count and the never-fires rule.
+    */
+  val alertRulesStream = Q("stream_alert_rules", LogOps.alertRulesSql) { (s, dir) =>
+    import s.implicits._
+    val rules = LogOps.alertRuleRows.toDF("rule_id", "rule_type", "min_n")
+    Streaming.alertFirings(Tables.events(s, dir), rules)
+      .orderBy("rule_id", "day")
+  }
+
   val all: Seq[Q] = Seq(tumbling, sliding, sessionWindow, errorBurstsBatch, clickAttrib,
-    hllTumbling, templateTumbling, driftTumbling, templateMomentumQ)
+    hllTumbling, templateTumbling, driftTumbling, templateMomentumQ, alertRulesStream)
 }

@@ -128,6 +128,34 @@ object Streaming {
         unseenTerms.reduce(_ + _).as("n_unseen"))
   }
 
+  /** Saved alerts evaluated CONTINUOUSLY: the streaming face of
+    * `LogOps.alertRules`. The rule table joins the raw stream BEFORE the
+    * windowed aggregation — Structured Streaming forbids a join downstream
+    * of a streaming aggregation, and the pre-agg shape is also the right
+    * plan at scale: the stream-static join is a map-side
+    * BroadcastHashJoin (no state, no shuffle), the day-window count then
+    * keys on (window, rule), and the threshold is a stateless post-agg
+    * filter. A rule whose threshold is never met (rule 4) costs only its
+    * share of the broadcast; events matching no rule drop at the map
+    * side and never enter state. State per key is one count — bounded by
+    * (days in flight × rules), not ingest volume.
+    *
+    * Incremental-correctness argument (pinned by StreamingSpec): COUNT is
+    * a decomposable aggregate, so the per-window count after any number of
+    * micro-batches equals the batch count; the threshold filter is a pure
+    * function of the finalized count, so append-mode emissions (after the
+    * watermark closes a day) equal the batch firings exactly.
+    */
+  def alertFirings(events: DataFrame, rules: DataFrame): DataFrame =
+    events
+      .join(broadcast(rules), col("event_type") === col("rule_type"))
+      .groupBy(window(col("ts"), "1 day").as("w"),
+        col("rule_id"), col("event_type"), col("min_n"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= col("min_n"))
+      .select(col("rule_id"), col("w.start").as("day"), col("event_type"),
+        col("n"), col("min_n"))
+
   /** T2: sliding 1-hour window, 15-minute slide. */
   def slidingCounts(events: DataFrame): DataFrame =
     events

@@ -520,4 +520,25 @@ class LogOpsSpec extends SparkSpecBase {
       .select("rule_id", "n").as[(Long, Long)].collect().toSeq
     assert(got === Seq((1L, 5L)))
   }
+
+  test("new templates: a shape debuting on day 2 lands in day 2's row; " +
+    "recurring shapes count only at first sight") {
+    // Day 1: views and errors (two templates debut). Day 2: more views
+    // (no debut) plus the corpus's first purchases (one debut). The
+    // fixture corpus never exercises this split — every template debuts
+    // on day 1 there — so the multi-day semantics are pinned here.
+    // props must carry k: the error/view line shapes embed $.k, and a
+    // missing key nulls the whole synthetic line (concat null-propagates)
+    def e(id: Long, min: Int, typ: String) = (id, ts(min), 0L, typ, 1.0, """{"k":3}""")
+    val rows = Seq(e(1, 0, "view"), e(2, 5, "error"), e(3, 10, "view"),
+      e(4, 1440, "view"), e(5, 1450, "purchase"), e(6, 1460, "purchase"))
+    val got = LogOps.newTemplates.build(spark, eventsDir(rows))
+      .select("day", "n_new").as[(Timestamp, Long)].collect().toSeq
+    assert(got.map(_._2) === Seq(2L, 1L))
+    assert(got.map(_._1.getTime) === Seq(1704067200000L, 1704067200000L + 86400000L))
+    // first_ids is sorted by template text and comma-joined 8-char md5 prefixes
+    val ids = LogOps.newTemplates.build(spark, eventsDir(rows))
+      .select("first_ids").as[String].collect()
+    assert(ids.forall(_.split(",").forall(_.length === 8)))
+  }
 }

@@ -186,6 +186,34 @@ class StreamingSpec extends SparkSpecBase {
     assert(w0.toSeq === Seq(1L))
   }
 
+  test("alert rules: incremental count crosses micro-batches; firings equal batch; no-fire rule silent") {
+    // Rule 1 fires at >= 3 errors/day; rule 2's threshold is unreachable.
+    val rules = Seq((1L, "error", 3L), (2L, "view", 1000L))
+      .toDF("rule_id", "rule_type", "min_n")
+    val day = 1440 // minutes
+    val batches = Seq(
+      // day 1: two errors arrive in one micro-batch...
+      Seq(Streaming.Ev(1L, ts(0), 0L, "error", 1.0),
+        Streaming.Ev(2L, ts(10), 0L, "error", 1.0),
+        Streaming.Ev(3L, ts(20), 0L, "view", 1.0)),
+      // ...the THIRD error (the one that crosses the threshold) in the
+      // next — the count must fold across batches. The day-2 event
+      // advances the watermark past day 1's window end.
+      Seq(Streaming.Ev(4L, ts(30), 0L, "error", 1.0),
+        Streaming.Ev(5L, ts(day + 60), 1L, "view", 1.0)),
+      // day-3 event: advances the watermark past day 2, forcing both
+      // closed windows to emit.
+      Seq(Streaming.Ev(6L, ts(2 * day + 120), 1L, "view", 1.0)))
+    val streamed = runStream(
+      df => Streaming.alertFirings(df.withWatermark("ts", "1 hour"), rules),
+      "append", batches)
+    // Only rule 1/day 1 fires: 3 errors >= 3. Day 2's lone view is far
+    // under rule 2's threshold; rule 2 stays silent everywhere.
+    val batch = Streaming.alertFirings(toDf(batches.flatten), rules)
+    assert(streamed === batch.collect().map(_.toString).sorted.toSeq)
+    assert(streamed.size === 1 && streamed.head.contains("1,"))
+  }
+
   test("dropDuplicatesWithinWatermark removes in-horizon duplicate event_ids") {
     val input = MemoryStream[Streaming.Ev](spark)
     val q = Streaming.dedupWithinWatermark(input.toDF().withColumn("props", lit("{}")))
