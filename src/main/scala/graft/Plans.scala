@@ -62,7 +62,16 @@ object Plans {
     "log_sla_burn" -> "corpus collapses to hour-cardinality rows in one partial-aggregated scan; the trailing-6h RANGE window runs over metadata-sized rows only",
     "sql_order_priority" -> "correlated EXISTS decorrelated to a LEFT SEMI join on l_orderkey — the probe stops at an order's first late lineitem, the subquery never materializes per row",
     "sql_customer_distribution" -> "two hash aggregates around ONE fact exchange; the zero-order bucket survives via LEFT JOIN + COUNT(o_orderkey); inner groupBy key = join key, so bucketing elides the exchange at rest",
-    "stream_alert_rules" -> "streaming-legal alerting: the rule table broadcast-joins the RAW stream (map-side, stateless) BEFORE the day-window count, so state per key is one bounded count; the threshold is a stateless post-agg filter")
+    "stream_alert_rules" -> "streaming-legal alerting: the rule table broadcast-joins the RAW stream (map-side, stateless) BEFORE the day-window count, so state per key is one bounded count; the threshold is a stateless post-agg filter",
+    "log_new_templates" -> "one corpus scan collapses to (template, min day) — template-cardinality rows; the per-day debut rollup runs on metadata",
+    "log_corr_matrix" -> "ONE corpus scan partial-aggregates to (hour, type) counts; zero-fill grid, pair self-join, and the 10-key exact-co-moment agg all run on metadata-sized rows; Pearson is ONE double expression over exact BIGINTs",
+    "llm_seq_length_buckets" -> "map-side 6-arm CASE bucket over an exact BIGINT token count; partial agg onto ≤6 keys — the shuffle carries six rows per partition",
+    "llm_embed_pca_cov" -> "in-row d(d+1)/2 pair expansion (no posexplode self-join) — corpus never shuffles; partial agg collapses the fanout to partitions × 2080 rows before the exchange; co-moments are exact BIGINTs on 1e-5-quantized values",
+    "llm_embed_pca" -> "corpus touched once (the co-moment scan); 16 power-iteration rounds run on the 64-row matrix × 1-row broadcast vector — metadata, with defined-order array folds for run-to-run identity",
+    "join_asof_forward" -> "forward merge mirror of join_asof_events: one user_id exchange, first_value over a following frame — no pair fanout join",
+    "agg_mode" -> "mode as count→rank: the fact scan partial-aggregates onto (nation × priority); the tie-pinned rank window runs over ≤125 metadata rows",
+    "log_boolean_search" -> "boolean query algebra on the probe discipline: only the 4 query terms survive the scan filter, the shuffle carries probe-sized rows, AND/OR/NOT evaluates on per-doc flags after the rollup",
+    "log_search_facets" -> "map-side array-lens hit test (no shuffle to find hits); each hit emits its (facet, value) structs in-row and ONE aggregation rolls every facet dimension in a single facet-cardinality exchange")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -415,8 +415,58 @@ object CurationOps {
       .orderBy("source")
   }
 
+  /** Padding-efficiency report: assign each doc to the power-of-two token
+    * bucket a fixed-shape trainer would pad it into (floor 64, ceiling
+    * [[packBudget]]; longer docs are truncated at the ceiling), and price
+    * the waste — padded tokens per bucket and the bucket's pad share.
+    * This is the report that decides between fixed-shape batching and
+    * sequence packing ([[packSequences]] is the alternative it prices
+    * against). The bucket map is a 6-arm CASE on an exact BIGINT token
+    * count — no float log2, whose libm rounding at exact powers of two
+    * differs across engines. One scan, partial agg onto ≤6 keys; the only
+    * double (pad_pct) is one division of exact BIGINTs, rounded 4dp.
+    */
+  val seqLengthBuckets: Q = {
+    val edges = Seq(64L, 128L, 256L, 512L, 1024L)
+    val bucketSql = edges.map(e => s"WHEN tok <= $e THEN $e")
+      .mkString("CASE ", " ", s" ELSE $packBudget END")
+    Q(
+      "llm_seq_length_buckets",
+      s"""WITH toks AS (
+        |  SELECT CAST(ceil(length(text) / 4.0) AS BIGINT) AS tok FROM documents),
+        |b AS (
+        |  SELECT tok, CAST($bucketSql AS BIGINT) AS bucket FROM toks)
+        |SELECT bucket, COUNT(*) AS n_docs,
+        |  CAST(SUM(LEAST(tok, bucket)) AS BIGINT) AS kept_tokens,
+        |  CAST(SUM(bucket - LEAST(tok, bucket)) AS BIGINT) AS pad_tokens,
+        |  ROUND(100.0 * SUM(bucket - LEAST(tok, bucket)) / SUM(bucket), 4) AS pad_pct,
+        |  CAST(SUM(CASE WHEN tok > bucket THEN tok - bucket ELSE 0 END) AS BIGINT)
+        |    AS trunc_tokens,
+        |  CAST(SUM(CASE WHEN tok > bucket THEN 1 ELSE 0 END) AS BIGINT) AS n_trunc
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val bucket = edges.foldRight(lit(packBudget.toLong)) { (e, acc) =>
+        when(col("tok") <= e, lit(e)).otherwise(acc)
+      }
+      val kept = least(col("tok"), col("bucket"))
+      Tables.documents(s, dir)
+        .select(ceil(length(col("text")) / 4.0).cast("long").as("tok"))
+        .withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(kept).as("kept_tokens"),
+          sum(col("bucket") - kept).as("pad_tokens"),
+          round(lit(100.0) * sum(col("bucket") - kept) / sum(col("bucket")), 4)
+            .as("pad_pct"),
+          sum(when(col("tok") > col("bucket"), col("tok") - col("bucket"))
+            .otherwise(0L)).as("trunc_tokens"),
+          sum(when(col("tok") > col("bucket"), 1L).otherwise(0L)).as("n_trunc"))
+        .orderBy("bucket")
+    }
+  }
+
   val all: Seq[Q] = Seq(
     trainTestSplit, stratifiedSample, dedupCanonical, packSequences,
     bigramVocab, histogramChars, domainMix, curationPipeline, quotaSample,
-    weightedSample, chunkText, datasetCard)
+    weightedSample, chunkText, datasetCard, seqLengthBuckets)
 }

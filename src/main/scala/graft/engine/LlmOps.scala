@@ -1932,6 +1932,142 @@ object LlmOps {
     }
   }
 
+  /** Exact integer co-moments of the 1e-5-quantized embedding dimensions,
+    * upper triangle (d_i ≤ d_j): n, Σqᵢ, Σqⱼ, Σqᵢqⱼ over
+    * q = ROUND(x·10⁵) — all BIGINT, so every sum is fold-order-free and
+    * both engines hold the IDENTICAL integers before the one double
+    * division that forms the covariance. Expansion is in-row (the
+    * [[embedCorrPairs]] shape): each vector emits its own d(d+1)/2 structs
+    * map-side and the partial aggregate collapses the fanout before the
+    * exchange — the shuffle carries partitions × 2080 rows, never vectors.
+    * Overflow bound: |q| ≤ 5.3e4 ⇒ n·Σqᵢqⱼ ≤ 7e16 at sf0.1's 5k vectors,
+    * well inside BIGINT; the 100 TB form swaps the co-moments to
+    * DECIMAL(38,0), same plan.
+    */
+  private def pcaComoments(s: SparkSession, dir: String): DataFrame = {
+    val e = col("embedding")
+    val pairStructs = flatten(transform(
+      sequence(lit(0), size(e) - 1),
+      i => transform(
+        sequence(i, size(e) - 1),
+        j => {
+          val qi = round(e(i).cast("double") * 1e5, 0).cast("long")
+          val qj = round(e(j).cast("double") * 1e5, 0).cast("long")
+          struct(i.cast("long").as("d_i"), j.cast("long").as("d_j"),
+            qi.as("qi"), qj.as("qj"))
+        })))
+    Tables.embeddings(s, dir)
+      .select(explode(pairStructs).as("p"))
+      .select(col("p.d_i"), col("p.d_j"), col("p.qi"), col("p.qj"))
+      .groupBy("d_i", "d_j")
+      .agg(count(lit(1)).as("n"), sum("qi").as("si"), sum("qj").as("sj"),
+        sum(col("qi") * col("qj")).as("sij"))
+  }
+
+  /** Unrounded covariance from [[pcaComoments]]: population covariance of
+    * the quantized values, (n·Σqᵢqⱼ − Σqᵢ·Σqⱼ)/n²/10¹⁰ — ONE double
+    * expression over exact BIGINTs, so the value is a deterministic
+    * function of the corpus (no fold-order jitter to amplify through the
+    * power iteration downstream).
+    */
+  private def pcaCov(co: DataFrame): DataFrame =
+    co.select(col("d_i"), col("d_j"),
+      ((col("n") * col("sij") - col("si") * col("sj")).cast("double")
+        / (col("n").cast("double") * col("n")) / lit(1e10)).as("cov"))
+
+  /** D4 (dimensionality reduction, step 1): the 64×64 covariance matrix of
+    * the embedding corpus — the distributed half of PCA, and the only part
+    * that touches the corpus. Hash-green by construction: covariance is
+    * defined ON the quantized values (an exact integer computation both
+    * engines reproduce bit-for-bit), not a float approximation of the
+    * unquantized one; at 10⁻⁵ quantization the two differ in the 9th
+    * decimal, far under the 6dp dump. One corpus scan, no shuffle of
+    * vectors, 2080-row output.
+    */
+  val embedPcaCov = Q(
+    "llm_embed_pca_cov",
+    """WITH px AS (
+      |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+      |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 100000, 0) AS BIGINT) AS q
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT a.dim AS d_i, b.dim AS d_j, COUNT(*) AS n,
+      |    SUM(a.q) AS si, SUM(b.q) AS sj, SUM(a.q * b.q) AS sij
+      |  FROM px a JOIN px b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+      |  GROUP BY 1, 2)
+      |SELECT d_i, d_j,
+      |  ROUND(CAST(n * sij - si * sj AS DOUBLE) / (CAST(n AS DOUBLE) * n) / 1e10, 6)
+      |    + 0 AS cov_v
+      |FROM p ORDER BY d_i, d_j""".stripMargin) { (s, dir) =>
+    pcaCov(pcaComoments(s, dir))
+      .select(col("d_i"), col("d_j"),
+        (round(col("cov"), 6) + lit(0.0)).as("cov_v"))
+      .orderBy("d_i", "d_j")
+  }
+
+  /** D4 (dimensionality reduction, step 2): top principal component by
+    * power iteration — 16 rounds of v ← Cv/‖Cv‖ on the covariance matrix
+    * from [[pcaCov]], plus the Rayleigh quotient λ = vᵀCv. The corpus is
+    * touched exactly once (the co-moment scan); every round runs on the
+    * 64-row matrix × 1-row vector — metadata, like k-means centroids.
+    * The round count is a knob: convergence runs at (λ₂/λ₁)^k, and the
+    * synthetic fixture's spectrum is flat (λ₂/λ₁ ≈ 0.97), so the spec pins
+    * the eigen-residual at 5% of λ rather than a tighter bound a clustered
+    * production corpus would reach in fewer rounds.
+    *
+    * Determinism (why this is dump-stable without an oracle): the
+    * covariance entries are exact-integer-derived doubles; every matvec
+    * sum folds a SORTED array left-to-right (`aggregate` over
+    * `array_sort(collect_list(...))`), never a shuffle-ordered SUM; the
+    * iteration count is fixed; the sign convention (component of largest
+    * |loading|, first index on ties, made positive) pins the eigenvector's
+    * orientation. No SQL oracle: DuckDB's SUM folds in its own order, and
+    * power iteration over 4096 cells is not expressible without the same
+    * defined-order list machinery — LlmOpsSpec instead pins the
+    * eigen-residual ‖Cv − λv‖∞, λ ≥ max diagonal variance, unit norm, and
+    * run-to-run identity.
+    */
+  val embedPca = Q.noOracle("llm_embed_pca") { (s, dir) =>
+    val matvec = expr(
+      "aggregate(zip_with(rowvec, v, (a, b) -> a * b), 0D, (acc, x) -> acc + x)")
+    val cov = pcaCov(pcaComoments(s, dir))
+    val sym = cov.unionByName(
+      cov.filter(col("d_i") =!= col("d_j"))
+        .select(col("d_j").as("d_i"), col("d_i").as("d_j"), col("cov")))
+    val rows = sym.groupBy("d_i")
+      .agg(array_sort(collect_list(struct(col("d_j"), col("cov")))).as("rs"))
+      .select(col("d_i"), expr("transform(rs, r -> r.cov)").as("rowvec"))
+      .localCheckpoint()
+    // v₀ = 1/8·𝟙 (unit norm in 64-d); never orthogonal to the dominant
+    // eigenvector of a covariance matrix with non-degenerate loadings.
+    var v = s.range(1).select(expr("array_repeat(1.0D / 8.0D, 64)").as("v"))
+    for (_ <- 1 to 16) {
+      v = rows.crossJoin(broadcast(v))
+        .select(col("d_i"), matvec.as("y"))
+        .agg(array_sort(collect_list(struct(col("d_i"), col("y")))).as("ys"))
+        .select(expr("transform(ys, s -> s.y)").as("yarr"))
+        .select(expr("transform(yarr, e -> e / " +
+          "sqrt(aggregate(yarr, 0D, (acc, x) -> acc + x * x)))").as("v"))
+        .localCheckpoint()
+    }
+    val lam = rows.crossJoin(broadcast(v))
+      .select(col("d_i"), (matvec * expr("element_at(v, CAST(d_i AS INT) + 1)")).as("p"))
+      .agg(array_sort(collect_list(struct(col("d_i"), col("p")))).as("ps"))
+      .select(expr("aggregate(transform(ps, s -> s.p), 0D, (acc, x) -> acc + x)")
+        .as("lambda"))
+    v.crossJoin(broadcast(lam))
+      .select(col("lambda"), expr(
+        """CASE WHEN element_at(v, CAST(array_position(
+          |  transform(v, x -> abs(x)),
+          |  array_max(transform(v, x -> abs(x)))) AS INT)) < 0
+          |THEN transform(v, x -> -x) ELSE v END""".stripMargin).as("v"))
+      .select(col("lambda"), posexplode(col("v")))
+      .select(col("pos").cast("long").as("dim"),
+        (round(col("col"), 6) + lit(0.0)).as("loading"),
+        (round(col("lambda"), 6) + lit(0.0)).as("lambda"))
+      .orderBy("dim")
+  }
+
   val all: Seq[Q] = Seq(
     dedupExact, dedupHash, jaccardPairs, shingleJaccard, knnCosine, annLsh,
     annIvf, nearDupCosine, embedNorm, minhashPairs, tfidf, approxDistinct,
@@ -1939,5 +2075,5 @@ object LlmOps {
     embedDimStats, embedNormalize, dupSpanFraction, dupSpanRemoval, centroidAssign,
     embedOutliers, semDedup, embedCorrPairs, nearDupFilter, kmeansEmbed,
     bloomDecontaminate, annIvfPq, hardNegatives, incrementalDedup,
-    annIvfPqIndexed)
+    annIvfPqIndexed, embedPcaCov, embedPca)
 }

@@ -843,6 +843,61 @@ object LogOps {
       .orderBy("event_id")
   }
 
+  /** J7 forward variant: for each error event, the user's NEXT purchase
+    * strictly after it, plus the wait in seconds — the "did the user come
+    * back after the failure" join. Same single-pass merge discipline as
+    * [[joinAsofEvents]] (one user_id shuffle, no pair fanout), mirrored:
+    * `first_value(..., ignoreNulls)` over a current-to-following frame.
+    * At equal ts, purchases sort BEFORE errors, which both makes the
+    * backward bound inclusive and this forward bound STRICT (a same-ts
+    * purchase falls outside the error's following frame); equal-ts future
+    * purchases resolve to the min event_id — deterministic on both
+    * engines. wait_s subtracts exact µs BIGINTs, no float time math.
+    */
+  val joinAsofForward = Q(
+    "join_asof_forward",
+    """WITH merged AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN event_type = 'purchase' THEN event_id END AS purchase_marker,
+      |    CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END AS pts_marker
+      |  FROM events WHERE event_type IN ('error', 'purchase')),
+      |filled AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ets,
+      |    first_value(purchase_marker IGNORE NULLS) OVER (
+      |      PARTITION BY user_id
+      |      ORDER BY ts, CASE WHEN event_type = 'error' THEN 1 ELSE 0 END, event_id
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase_id,
+      |    first_value(pts_marker IGNORE NULLS) OVER (
+      |      PARTITION BY user_id
+      |      ORDER BY ts, CASE WHEN event_type = 'error' THEN 1 ELSE 0 END, event_id
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS pts
+      |  FROM merged)
+      |SELECT event_id, user_id, next_purchase_id,
+      |  CAST(FLOOR((pts - ets) / 1000000.0) AS BIGINT) AS wait_s
+      |FROM filled
+      |WHERE event_type = 'error' AND next_purchase_id IS NOT NULL
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val merged = ev.filter(col("event_type").isin("error", "purchase"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        when(col("event_type") === "purchase", col("event_id")).as("purchase_marker"),
+        when(col("event_type") === "purchase", unix_micros(col("ts"))).as("pts_marker"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), (col("event_type") === "error").cast("int"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    merged
+      .withColumn("next_purchase_id", first(col("purchase_marker"), ignoreNulls = true).over(w))
+      .withColumn("pts", first(col("pts_marker"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error" && col("next_purchase_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("next_purchase_id"),
+        // both engines: exact-µs BIGINT diff, ONE double division, floor —
+        // Spark's long-cast truncates where DuckDB's rounds, so the floor
+        // must be explicit on both sides
+        floor((col("pts") - unix_micros(col("ts"))) / lit(1000000.0)).cast("long")
+          .as("wait_s"))
+      .orderBy("event_id")
+  }
+
   /** S3 round-trip: synthesize `src [lang] text…` log lines, then recover
     * the fields with the LogSource parse pattern — proves the
     * schema-on-read projection (the ingest path for raw log files, see
@@ -2671,8 +2726,11 @@ object LogOps {
     * against the standing template registry (the `llm_incremental_dedup`
     * pattern); the batch query here IS the registry build.
     */
-  val newTemplates = Q(
-    "log_new_templates",
+  /** One oracle for both the batch and streaming formulations: a debut is a
+    * (template, first_day) fact, independent of whether first sight was
+    * found by a corpus-wide MIN or a stateful first-sighting fold.
+    */
+  private[engine] val newTemplatesSql: String =
     raw"""WITH lines AS (
       |  SELECT ts, $lineCaseSql AS line FROM events),
       |firsts AS (
@@ -2681,7 +2739,9 @@ object LogOps {
       |  FROM lines GROUP BY 1)
       |SELECT first_day AS day, COUNT(*) AS n_new,
       |  string_agg(substr(md5(template), 1, 8), ',' ORDER BY template) AS first_ids
-      |FROM firsts GROUP BY first_day ORDER BY first_day""".stripMargin) { (s, dir) =>
+      |FROM firsts GROUP BY first_day ORDER BY first_day""".stripMargin
+
+  val newTemplates = Q("log_new_templates", newTemplatesSql) { (s, dir) =>
     Tables.events(s, dir)
       .select(col("ts"), syntheticLine.as("line"))
       .select(date_trunc("day", col("ts")).as("day"),
@@ -2696,12 +2756,165 @@ object LogOps {
       .orderBy("day")
   }
 
+  /** Co-failure / co-movement matrix: Pearson correlation between every
+    * pair of event types' hourly volume series — the incident-review
+    * question "when errors spike, what else moves with them". The series
+    * are zero-filled over the (hours-with-traffic × types) grid, because
+    * a type silent in a busy hour is a real 0, not a missing point —
+    * without the fill, correlations bias toward hours where both types
+    * fired.
+    *
+    * Determinism: Pearson is assembled from EXACT integer co-moments
+    * (n, Σx, Σy, Σxy, Σx², Σy² — all BIGINT over integer counts), then
+    * ONE double expression per pair, rounded 4dp — a double `corr()`
+    * aggregate would fold in engine-specific order and split at the ulp.
+    * The BIGINT intermediates stay below 2⁵³ through sf0.1 (≈3.6e11), so
+    * the final double conversion is itself exact; the 100 TB form swaps
+    * the co-moments to DECIMAL(38,0).
+    *
+    * Plan: ONE corpus scan partial-aggregates to (hour, type) counts;
+    * everything downstream (spine × ≤5-type dim, pair self-join, 10-key
+    * agg) runs on metadata-sized rows.
+    */
+  val corrMatrix = Q(
+    "log_corr_matrix",
+    """WITH c AS (
+      |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT hs.h, t.event_type, COALESCE(c.n, 0) AS n
+      |  FROM (SELECT DISTINCT h FROM c) hs
+      |  CROSS JOIN (SELECT DISTINCT event_type FROM c) t
+      |  LEFT JOIN c ON c.h = hs.h AND c.event_type = t.event_type),
+      |p AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    COUNT(*) AS n_hours, SUM(a.n) AS sx, SUM(b.n) AS sy,
+      |    SUM(a.n * b.n) AS sxy, SUM(a.n * a.n) AS sxx, SUM(b.n * b.n) AS syy
+      |  FROM grid a JOIN grid b ON a.h = b.h AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, CAST(n_hours AS BIGINT) AS n_hours,
+      |  CASE WHEN n_hours * sxx - sx * sx > 0 AND n_hours * syy - sy * sy > 0
+      |    THEN ROUND(CAST(n_hours * sxy - sx * sy AS DOUBLE)
+      |      / sqrt(CAST(n_hours * sxx - sx * sx AS DOUBLE)
+      |        * CAST(n_hours * syy - sy * sy AS DOUBLE)), 4) + 0
+      |  END AS corr_v
+      |FROM p ORDER BY type_a, type_b""".stripMargin) { (s, dir) =>
+    val c = Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val grid = c.select("h").distinct()
+      .crossJoin(broadcast(c.select("event_type").distinct()))
+      .join(c, Seq("h", "event_type"), "left")
+      .select(col("h"), col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+    val a = grid.select(col("h"), col("event_type").as("type_a"), col("n").as("xa"))
+    val b = grid.select(col("h"), col("event_type").as("type_b"), col("n").as("xb"))
+    val num = (col("n_hours") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val dx = col("n_hours") * col("sxx") - col("sx") * col("sx")
+    val dy = col("n_hours") * col("syy") - col("sy") * col("sy")
+    a.join(b, Seq("h")).filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_hours"), sum("xa").as("sx"), sum("xb").as("sy"),
+        sum(col("xa") * col("xb")).as("sxy"),
+        sum(col("xa") * col("xa")).as("sxx"),
+        sum(col("xb") * col("xb")).as("syy"))
+      .select(col("type_a"), col("type_b"), col("n_hours"),
+        when(dx > 0 && dy > 0,
+          round(num / sqrt(dx.cast("double") * dy.cast("double")), 4) + lit(0.0))
+          .as("corr_v"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** P6+: boolean search — `spark AND (join OR window) AND NOT shuffle`,
+    * the full query algebra a search box needs beyond conjunction
+    * ([[invertedSearch]]) and phrases. Same probe discipline: only the
+    * four query terms survive the scan filter, so the shuffle carries
+    * probe-sized rows; the boolean evaluates on per-doc term flags after
+    * the intersection-style rollup. NOT is the subtle clause: a doc
+    * matching only the negative term never reaches the rollup (no
+    * positive-term row), and one that also matches positives arrives with
+    * its flag set and is filtered — either way excluded, with no second
+    * corpus pass. Served from the standing posting store, the same flags
+    * come from the pruned term buckets ([[graft.sources.Sinks.probePostings]]).
+    */
+  val booleanSearch = Q(
+    "log_boolean_search",
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(ts, t -> t = 'spark')) AS BIGINT) AS tf_spark,
+      |    CAST(len(list_filter(ts, t -> t = 'join')) AS BIGINT) AS tf_join,
+      |    CAST(len(list_filter(ts, t -> t = 'window')) AS BIGINT) AS tf_window,
+      |    CAST(len(list_filter(ts, t -> t = 'shuffle')) AS BIGINT) AS tf_shuffle
+      |  FROM toks)
+      |SELECT doc_id, tf_spark, tf_join, tf_window
+      |FROM tf
+      |WHERE tf_spark > 0 AND (tf_join > 0 OR tf_window > 0) AND tf_shuffle = 0
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val terms = Seq("spark", "join", "window", "shuffle")
+    val postings = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+    postings.groupBy("doc_id")
+      .agg(
+        coalesce(max(when(col("tok") === "spark", col("tf"))), lit(0L)).as("tf_spark"),
+        coalesce(max(when(col("tok") === "join", col("tf"))), lit(0L)).as("tf_join"),
+        coalesce(max(when(col("tok") === "window", col("tf"))), lit(0L)).as("tf_window"),
+        coalesce(max(when(col("tok") === "shuffle", col("tf"))), lit(0L)).as("tf_shuffle"))
+      .filter(col("tf_spark") > 0 &&
+        (col("tf_join") > 0 || col("tf_window") > 0) && col("tf_shuffle") === 0)
+      .select("doc_id", "tf_spark", "tf_join", "tf_window")
+      .orderBy("doc_id")
+  }
+
+  /** P6+: search-page facets — for the conjunctive query `spark AND join`,
+    * hit counts by language and by source (the sidebar next to the result
+    * list). The hit test is the map-side array lens (no explode, no
+    * shuffle to FIND hits); each hit row then emits its two
+    * (facet, value) structs in-row and ONE aggregation rolls both facet
+    * dimensions up in a single exchange of facet-cardinality rows — not
+    * one scan or shuffle per facet. (The oracle spells the same rollup as
+    * UNION ALL of two GROUP BYs; only the values must match.)
+    */
+  val searchFacets = Q(
+    "log_search_facets",
+    """WITH toks AS (
+      |  SELECT doc_id, lang, source,
+      |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+      |  FROM documents),
+      |hits AS (
+      |  SELECT doc_id, lang, source FROM toks
+      |  WHERE len(list_filter(ts, t -> t = 'spark')) > 0
+      |    AND len(list_filter(ts, t -> t = 'join')) > 0)
+      |SELECT 'lang' AS facet, lang AS value, COUNT(*) AS n_docs
+      |FROM hits GROUP BY 2
+      |UNION ALL
+      |SELECT 'source' AS facet, source AS value, COUNT(*) AS n_docs
+      |FROM hits GROUP BY 2
+      |ORDER BY facet, value""".stripMargin) { (s, dir) =>
+    val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+    def has(term: String) = size(filter(toks, t => t === term)) > 0
+    Tables.documents(s, dir)
+      .filter(has("spark") && has("join"))
+      .select(explode(array(
+        struct(lit("lang").as("facet"), col("lang").as("value")),
+        struct(lit("source").as("facet"), col("source").as("value")))).as("f"))
+      .groupBy(col("f.facet").as("facet"), col("f.value").as("value"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("facet", "value")
+  }
+
   val all: Seq[Q] = Seq(
     errorRateDaily, grepRegex, grepMulti, regexExtract, regexReplace, stringFuncs,
     parseFields, timeBuckets, jsonExtract, tokenize, saltedAgg,
     winTopk, winRankNtile, winPctRank, winLagGap, winRunningSum, winMovingAvg,
     winFirstLast, winSessionize,
-    joinRangeEvents, joinAsofEvents, parseLines, funnel, retention, topPaths,
+    joinRangeEvents, joinAsofEvents, joinAsofForward, parseLines, funnel, retention, topPaths,
     anomalyZscore, winTimeRange, csvRoundtrip, retentionPolicy, resampleFill,
     orcRoundtrip, compactLatest, peakConcurrency, valueHistogram,
     cumulativeUsers, jsonRoundtrip, regression, eventRuns, multilineStitch,
@@ -2711,5 +2924,6 @@ object LogOps {
     indexedSearch, searchRanked, outageWindowsMerged,
     indexedSearchRanked, indexedPhrase, grepContext, trendingTemplates,
     rollupServed, ewmaDaily, zonemapScan, pointLookup,
-    schemaInfer, slaBurn, cusumChangepoint, alertRules, newTemplates)
+    schemaInfer, slaBurn, cusumChangepoint, alertRules, newTemplates, corrMatrix,
+    booleanSearch, searchFacets)
 }

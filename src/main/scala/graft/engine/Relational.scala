@@ -1,5 +1,6 @@
 package graft.engine
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational core (SURVEY.md §2.2–§2.4, §2.6): projection, predicates,
@@ -708,11 +709,46 @@ object Relational {
     }
   }
 
+  /** A2+: per-group MODE — the most frequent order priority per customer
+    * nation. Spelled as count → row_number rather than a native `mode()`
+    * aggregate because mode's tiebreak is engine-defined; the explicit
+    * (n DESC, value ASC) rank pins the winner identically on both engines.
+    * Scale: the count partial-aggregates the fact scan onto
+    * (nation × priority) keys; the rank window then runs over
+    * group-cardinality rows (≤ 125 here), never the fact table.
+    */
+  val aggMode = Q(
+    "agg_mode",
+    """WITH c AS (
+      |  SELECT c_nationkey, o_orderpriority, COUNT(*) AS n
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT c_nationkey, o_orderpriority, n,
+      |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+      |      ORDER BY n DESC, o_orderpriority) AS rn
+      |  FROM c)
+      |SELECT c_nationkey, o_orderpriority AS modal_priority, CAST(n AS BIGINT) AS n
+      |FROM r WHERE rn = 1 ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
+    val counts = Tables.load(s, dir, "orders")
+      .join(Tables.load(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("n").desc, col("o_orderpriority"))
+    counts
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("c_nationkey"), col("o_orderpriority").as("modal_priority"), col("n"))
+      .orderBy("c_nationkey")
+  }
+
   val all: Seq[Q] = Seq(
     selProject, filterPredicates, filterLikeNulls,
     joinBroadcastDim, joinFactFact, joinBucketed, joinOuter, joinSemi, joinAnti, joinCross,
     joinNullSafe, joinSaltedSkew, aggPricingSummary, aggDistinct, aggRollup, aggPercentile,
     aggArgmax, aggCollectList, aggSampleEstimate, topkGlobal, setUnion, setIntersectExcept,
     setOpsAll, aggKeySkewProfile, metaColumnProfile,
-    metaFkOrphans, aggEquidepthHistogram, metaBenfordDigits)
+    metaFkOrphans, aggEquidepthHistogram, metaBenfordDigits, aggMode)
 }

@@ -207,6 +207,32 @@ object StreamOps {
       .orderBy("rule_id", "day")
   }
 
+  /** T6 × registry twin: template debut detection by the STATEFUL
+    * first-sighting fold — same oracle as `log_new_templates`, proving the
+    * continuous formulation (one registry-sized state flag per template,
+    * dedup-capped group iterators) reports exactly the (day, n_new,
+    * first_ids) rows the batch corpus-wide MIN finds. StreamingSpec
+    * replays the debut fold through MemoryStream and pins the cross-batch
+    * guarantee: a template sighted in batch 1 never re-emits, and an
+    * in-batch repeat reports its earliest day.
+    */
+  val newTemplatesStream = Q("stream_new_templates", LogOps.newTemplatesSql) { (s, dir) =>
+    import s.implicits._
+    val lines = Tables.events(s, dir)
+      .select(date_trunc("day", col("ts")).as("day"),
+        regexp_replace(LogOps.syntheticLine, "[0-9]+", "<*>").as("template"))
+      .as[Streaming.DayTemplate]
+    Streaming.templateDebuts(lines)
+      .toDF()
+      .withColumn("tid", substring(md5(col("template")), 1, 8))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_new"),
+        array_join(array_sort(collect_list(struct(col("template"), col("tid"))))
+          .getField("tid"), ",").as("first_ids"))
+      .orderBy("day")
+  }
+
   val all: Seq[Q] = Seq(tumbling, sliding, sessionWindow, errorBurstsBatch, clickAttrib,
-    hllTumbling, templateTumbling, driftTumbling, templateMomentumQ, alertRulesStream)
+    hllTumbling, templateTumbling, driftTumbling, templateMomentumQ, alertRulesStream,
+    newTemplatesStream)
 }

@@ -264,6 +264,42 @@ object Streaming {
       }
   }
 
+  final case class DayTemplate(day: java.sql.Timestamp, template: String)
+  final case class Debut(day: java.sql.Timestamp, template: String)
+
+  /** T6 × template-registry twin: first-sighting detection — the stateful
+    * face of [[graft.engine.LogOps.newTemplates]]. State per template is
+    * ONE flag (its debut day), so the state store is registry-sized
+    * (template cardinality, dozens), never ingest-sized; the upstream
+    * dropDuplicates caps each group's per-batch iterator at distinct
+    * (day, template) rows, so the in-group sort touches days, not raw
+    * events — at 100 TB the stateful fold runs over metadata.
+    *
+    * Debut day is exact (MIN over event time) within a micro-batch; across
+    * batches it is first-sighting in arrival order, which equals the batch
+    * MIN whenever days arrive in event-time order — the log-ingest norm,
+    * and the only claim the batch twin needs (one batch ⇒ exact MIN).
+    * StreamingSpec pins both: a template seen in batch 1 stays silent in
+    * batch 2, and a template debuting twice WITHIN a batch reports its
+    * earliest day.
+    */
+  def templateDebuts(lines: Dataset[DayTemplate]): Dataset[Debut] = {
+    import lines.sparkSession.implicits._
+    lines
+      .dropDuplicates("template", "day")
+      .groupByKey(_.template)
+      .flatMapGroupsWithState[Long, Debut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (template: String, rows: Iterator[DayTemplate], state: GroupState[Long]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val first = rows.minBy(_.day.getTime)
+            state.update(first.day.getTime)
+            Iterator.single(Debut(first.day, template))
+          }
+      }
+  }
+
   // ---- T6 applied to ingestion: streaming multiline record stitching ----
 
   final case class RawLine(source: String, doc_id: Long, line_no: Int, line: String)

@@ -162,4 +162,21 @@ class CurationOpsSpec extends SparkSpecBase {
       assert(r.getAs[Long]("n_langs") >= 1L)
     }
   }
+
+  test("length buckets: boundary doc pads zero, over-budget doc truncates into the top bucket") {
+    // tok = ceil(chars/4): 40→10 (bucket 64, pad 54), 256→64 (bucket 64,
+    // pad 0 — the boundary), 400→100 (bucket 128, pad 28),
+    // 12000→3000 (bucket 2048, kept 2048, trunc 952)
+    val dir = docsDir(Seq(
+      (1L, "x" * 40, "en"), (2L, "y" * 256, "en"),
+      (3L, "z" * 400, "en"), (4L, "w" * 12000, "en")))
+    val got = CurationOps.seqLengthBuckets.build(spark, dir)
+      .select("bucket", "n_docs", "kept_tokens", "pad_tokens", "pad_pct",
+        "trunc_tokens", "n_trunc")
+      .as[(Long, Long, Long, Long, Double, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (64L, 2L, 74L, 54L, 42.1875, 0L, 0L),
+      (128L, 1L, 100L, 28L, 21.875, 0L, 0L),
+      (2048L, 1L, 2048L, 0L, 0.0, 952L, 1L)))
+  }
 }

@@ -752,4 +752,55 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(got(6L) === ((0L, 0L, 0.0, "")))
     assert(got(7L) === ((0L, 0L, 0.0, "")))
   }
+
+  test("PCA: unit norm, positive sign convention, eigen-residual, lambda dominates " +
+    "every single-dim variance, and the dump is run-to-run identical") {
+    val out = LlmOps.embedPca.build(spark, sfDir).collect()
+    assert(out.length === 64)
+    val v = out.sortBy(_.getLong(0)).map(_.getDouble(1))
+    val lambda = out.head.getDouble(2)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-3, "loadings not unit-norm")
+    assert(v.maxBy(math.abs) > 0, "sign convention: dominant loading must be positive")
+    // Residual against the ORACLE-CHECKED covariance: after 16 rounds the
+    // iterate must satisfy Cv ≈ λv far beyond any non-eigenvector direction
+    // (power iteration converges at (λ2/λ1)^k; this fixture's spectrum is
+    // flat, λ2/λ1 ≈ 0.97, so the bound is 5% of λ — measured ~1.2%). The
+    // floor from the 6dp rounding of the dumped C and v is ≤ ~4e-6, far
+    // under the asserted bound.
+    val covRows = LlmOps.embedPcaCov.build(spark, sfDir).collect()
+    val c = Array.ofDim[Double](64, 64)
+    covRows.foreach { r =>
+      val (i, j, x) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2))
+      c(i)(j) = x; c(j)(i) = x
+    }
+    val cv = (0 until 64).map(i => (0 until 64).map(j => c(i)(j) * v(j)).sum)
+    val resid = (0 until 64).map(i => math.abs(cv(i) - lambda * v(i))).max
+    assert(resid < 0.05 * lambda, s"eigen-residual $resid vs lambda $lambda")
+    assert((0 until 64).map(i => c(i)(i)).max <= lambda * 1.001,
+      "dominant eigenvalue must be >= every diagonal variance")
+    val again = LlmOps.embedPca.build(spark, sfDir).collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq,
+      "power iteration dump must be deterministic across runs")
+  }
+
+  test("PCA quantization guard: no embedding value in any fixture corpus lands " +
+    "within 1e-9 of a 1e-5 rounding midpoint (oracle ROUND agreement)") {
+    // Mirrors the BPE-corpora glob precedent: every sf dir present is swept,
+    // so a regenerated fixture that breaks the exact-quantization premise
+    // fails loudly here instead of as an opaque hash mismatch. Both engines
+    // round the IDENTICAL double (float→double is exact, ×1e5 is one shared
+    // IEEE op), so only an exactly-representable k+0.5 tie could ever
+    // split — the guard flags anything within 1e-9 of one.
+    import org.apache.spark.sql.functions.{abs => sabs, col, explode, min => smin}
+    val dirs = new java.io.File("/root/testdata").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("sf")).map(_.getPath)
+    assert(dirs.nonEmpty)
+    dirs.foreach { dir =>
+      val minDist = graft.engine.Tables.embeddings(spark, dir)
+        .select(explode(col("embedding")).as("x"))
+        .select(sabs(sabs(col("x").cast("double") * 1e5) % 1.0 - 0.5).as("d"))
+        .agg(smin("d")).head.getDouble(0)
+      assert(minDist > 1e-9, s"$dir: value too close to a rounding midpoint ($minDist)")
+    }
+  }
 }

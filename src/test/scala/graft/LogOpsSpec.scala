@@ -541,4 +541,40 @@ class LogOpsSpec extends SparkSpecBase {
       .select("first_ids").as[String].collect()
     assert(ids.forall(_.split(",").forall(_.length === 8)))
   }
+
+  test("corr matrix: perfectly co-moving types hit 1.0, and a type silent in " +
+    "later hours correlates through its zero-filled series") {
+    // hourly counts — a: (1,2,3); b: (2,4,6) ⇒ corr(a,b)=1; c fires only in
+    // hour 0 (3 events) ⇒ series (3,0,0), which exists ONLY via the
+    // zero-fill: corr(a,c) = −9/√(6·18) = −0.8660, corr(b,c) likewise
+    def e(id: Long, min: Int, typ: String) = (id, ts(min), 0L, typ, 1.0, "{}")
+    var id = 0L
+    def burst(hour: Int, typ: String, n: Int) = (1 to n).map { _ =>
+      id += 1; e(id, hour * 60, typ)
+    }
+    val rows = burst(0, "a", 1) ++ burst(0, "b", 2) ++ burst(0, "c", 3) ++
+      burst(1, "a", 2) ++ burst(1, "b", 4) ++ burst(2, "a", 3) ++ burst(2, "b", 6)
+    val got = LogOps.corrMatrix.build(spark, eventsDir(rows))
+      .select("type_a", "type_b", "n_hours", "corr_v")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      ("a", "b", 3L, 1.0),
+      ("a", "c", 3L, -0.866),
+      ("b", "c", 3L, -0.866)))
+  }
+
+  test("forward as-of: same-ts purchase excluded (strict bound), equal-ts future " +
+    "tie resolves to min event_id, trailing error unmatched") {
+    def e(id: Long, min: Int, user: Long, typ: String) = (id, ts(min), user, typ, 1.0, "{}")
+    val rows = Seq(
+      // user 0: purchase at the error's OWN ts must not match; the next one does
+      e(1, 10, 0, "error"), e(2, 10, 0, "purchase"), e(3, 20, 0, "purchase"),
+      e(4, 30, 0, "error"), // no following purchase → dropped
+      // user 1: two purchases at the same future ts → min event_id wins
+      e(5, 0, 1, "error"), e(7, 5, 1, "purchase"), e(6, 5, 1, "purchase"))
+    val got = LogOps.joinAsofForward.build(spark, eventsDir(rows))
+      .select("event_id", "next_purchase_id", "wait_s")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 3L, 600L), (5L, 6L, 300L)))
+  }
 }

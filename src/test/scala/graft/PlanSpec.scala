@@ -285,6 +285,13 @@ class PlanSpec extends SparkSpecBase {
     assert(!plan.contains("Join"), plan)  // the fanout formulation is gone
   }
 
+  test("forward as-of keeps the same merge discipline: one exchange, no pair join") {
+    val plan = planOf(LogOps.joinAsofForward)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected 1 hash exchange, got $shuffles\n$plan")
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("event runs: both windows and the island groupBy share one user_id exchange") {
     val plan = planOf(LogOps.eventRuns)
     // hashpartitioning(user_id) satisfies the finer (user_id, event_type)
@@ -390,7 +397,11 @@ class PlanSpec extends SparkSpecBase {
     "log_schema_infer"      -> ("single-row corpus-total aggregate cross-joined into the " +
                                 "coverage percentage — metadata rebase over key-cardinality rows"),
     "agg_equidepth_histogram" -> ("single-row quantile-cutpoint aggregate broadcast into the " +
-                                "bin-assignment scan — metadata rebase"))
+                                "bin-assignment scan — metadata rebase"),
+    "log_corr_matrix"       -> ("hour spine × ≤5-row distinct type dim, both post-aggregation " +
+                                "metadata-sized (the log_resample_fill zero-fill-grid shape)"),
+    "llm_embed_pca"         -> ("per-round 1-row eigenvector-candidate broadcast onto the " +
+                                "64-row covariance matrix — metadata × metadata power iteration"))
 
   test("no query in the registry plans an unbounded cartesian or nested-loop join") {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -539,4 +539,29 @@ class StreamingSpec extends SparkSpecBase {
       assert(batch === streamed)
     } finally q.stop()
   }
+
+  test("template debuts: batch-1 sighting silences batch 2; in-batch repeat reports earliest day") {
+    def dt(day: Int, template: String) =
+      Streaming.DayTemplate(new Timestamp(1704067200000L + day * 86400000L), template)
+    val batches = Seq(
+      // A debuts on day 2 AND recurs on day 3 within the same batch — the
+      // emission must carry day 2; B debuts on day 2.
+      Seq(dt(3, "A <*>"), dt(2, "A <*>"), dt(2, "B <*>")),
+      // A and B recur (silent); C is the only debut.
+      Seq(dt(4, "A <*>"), dt(4, "B <*>"), dt(4, "C <*>")))
+    val input = MemoryStream[Streaming.DayTemplate](spark)
+    val q = Streaming.templateDebuts(input.toDS())
+      .writeStream.format("memory").queryName("debut_sink").outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      val streamed = spark.table("debut_sink").as[Streaming.Debut].collect().toSet
+      assert(streamed === Set(
+        Streaming.Debut(dt(2, "").day, "A <*>"),
+        Streaming.Debut(dt(2, "").day, "B <*>"),
+        Streaming.Debut(dt(4, "").day, "C <*>")))
+      // batch application (one "batch", empty state) = corpus-wide MIN
+      val batch = Streaming.templateDebuts(batches.flatten.toDS()).collect().toSet
+      assert(batch === streamed)
+    } finally q.stop()
+  }
 }
