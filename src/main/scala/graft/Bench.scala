@@ -97,9 +97,21 @@ object Bench {
       .mkString("[", ",", "]")
     val valid = results.flatMap(_._2)
     val total = valid.sum
+    // Machine-load context: two consecutive rounds burned a post-mortem on
+    // load-noise-inflated timings (r5 neardup-cosine, r6 headline suite).
+    // /proc/loadavg gives "1m 5m 15m running/total lastpid"; recording it
+    // alongside the numbers lets a reviewer separate plan drift from a
+    // busy box without re-running anything.
+    val loadCtx = try {
+      val parts = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).trim.split("\\s+")
+      val rt = parts(3).split("/")
+      s""""loadavg":[${parts(0)},${parts(1)},${parts(2)}],""" +
+        s""""procs_running":${rt(0)},"procs_total":${rt(1)}"""
+    } catch { case _: Throwable => """"loadavg":null""" }
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""errors":$errs,"flaky":$flaky,"valid":${valid.size},"invalid":${results.size - valid.size},"sf":"$sfDir"}"""
+        s""""errors":$errs,"flaky":$flaky,"valid":${valid.size},"invalid":${results.size - valid.size},$loadCtx,"sf":"$sfDir"}"""
     println(line)
     // sbt prefixes stdout with [info], which breaks machine parsing of the
     // JSON line. Emit it through two prefix-free channels as well: a file

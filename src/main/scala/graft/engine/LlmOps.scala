@@ -1176,14 +1176,20 @@ object LlmOps {
     * GraphX `connectedComponents` (the spec cross-checks against it).
     */
   def clusterPairs(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    // Materialize the edge list ONCE before iterating: every round joins
-    // against it, and without this the whole upstream pair-generation
-    // pipeline (e.g. the shingle-Jaccard postings expansion) re-executes
-    // per iteration — measured 87 s → 29 s at sf0.1 for the cluster query.
-    // On a real cluster this is persist-to-disk/checkpoint; localCheckpoint
-    // is the single-JVM equivalent.
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // Materialize the PAIR list once before anything else: the
+    // symmetrization union below reads `pairs` twice, and an
+    // un-materialized input would execute the whole upstream
+    // pair-generation pipeline (e.g. the shingle-Jaccard postings
+    // expansion) once PER BRANCH — profiled r7 at sf0.1: 7.8 s → 4.1 s
+    // for the cluster query just by hoisting this checkpoint above the
+    // union. It also keeps every loop round from re-running the pipeline
+    // (the original r4 motivation — 87 s → 29 s before the edge
+    // checkpoint existed). On a real cluster this is
+    // persist-to-disk/checkpoint; localCheckpoint is the single-JVM
+    // equivalent.
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
@@ -1936,32 +1942,43 @@ object LlmOps {
     * upper triangle (d_i ≤ d_j): n, Σqᵢ, Σqⱼ, Σqᵢqⱼ over
     * q = ROUND(x·10⁵) — all BIGINT, so every sum is fold-order-free and
     * both engines hold the IDENTICAL integers before the one double
-    * division that forms the covariance. Expansion is in-row (the
-    * [[embedCorrPairs]] shape): each vector emits its own d(d+1)/2 structs
-    * map-side and the partial aggregate collapses the fanout before the
-    * exchange — the shuffle carries partitions × 2080 rows, never vectors.
+    * division that forms the covariance. Accumulation is a typed
+    * [[graft.functions.PcaComomentAgg]] aggregator: each vector folds its
+    * d(d+1)/2 products into a flat per-partition Array[Long] buffer
+    * in-place (no row fanout at all — r6's exploded formulation pushed
+    * 10M+ pair rows through the hash aggregate at sf0.1), and the shuffle
+    * carries ONE 2145-long array per partition to the single reduce group.
     * Overflow bound: |q| ≤ 5.3e4 ⇒ n·Σqᵢqⱼ ≤ 7e16 at sf0.1's 5k vectors,
     * well inside BIGINT; the 100 TB form swaps the co-moments to
     * DECIMAL(38,0), same plan.
     */
   private def pcaComoments(s: SparkSession, dir: String): DataFrame = {
-    val e = col("embedding")
-    val pairStructs = flatten(transform(
-      sequence(lit(0), size(e) - 1),
-      i => transform(
-        sequence(i, size(e) - 1),
-        j => {
-          val qi = round(e(i).cast("double") * 1e5, 0).cast("long")
-          val qj = round(e(j).cast("double") * 1e5, 0).cast("long")
-          struct(i.cast("long").as("d_i"), j.cast("long").as("d_j"),
-            qi.as("qi"), qj.as("qj"))
-        })))
-    Tables.embeddings(s, dir)
-      .select(explode(pairStructs).as("p"))
-      .select(col("p.d_i"), col("p.d_j"), col("p.qi"), col("p.qj"))
-      .groupBy("d_i", "d_j")
-      .agg(count(lit(1)).as("n"), sum("qi").as("si"), sum("qj").as("sj"),
-        sum(col("qi") * col("qj")).as("sij"))
+    val d = 64
+    // Quantization stays a Catalyst expression (same round/cast as before),
+    // so the integers the aggregator folds are bit-identical to the ones
+    // the old exploded formulation summed; the UDAF merely removes the
+    // d(d+1)/2-per-vector row fanout. A regenerated fixture with a
+    // different dimension fails loudly in PcaComomentAgg.reduce's require.
+    val q = expr(
+      "transform(embedding, x -> cast(round(cast(x as double) * 100000.0, 0) as bigint))")
+    val one = Tables.embeddings(s, dir)
+      .select(q.as("q"))
+      .agg(graft.functions.PcaComomentAgg.udaf(d)(col("q")).as("m"))
+    // Unroll the flat buffer (ONE metadata row) back into the 2080
+    // (d_i, d_j) co-moment rows pcaCov expects. element_at is 1-based;
+    // the upper-triangle flat index of (i, j) is i·d − i(i−1)/2 + (j − i).
+    one.select(explode(expr(
+      s"""flatten(transform(sequence(0, ${d - 1}), i ->
+         |  transform(sequence(i, ${d - 1}), j -> struct(
+         |    cast(i as bigint) as d_i, cast(j as bigint) as d_j,
+         |    element_at(m, 1) as n,
+         |    element_at(m, 2 + i) as si,
+         |    element_at(m, 2 + j) as sj,
+         |    element_at(m, cast(
+         |      2 + $d + i * $d - ((i * (i - 1)) div 2) + (j - i) as int))
+         |      as sij))))""".stripMargin)).as("p"))
+      .select(col("p.d_i"), col("p.d_j"), col("p.n"), col("p.si"),
+        col("p.sj"), col("p.sij"))
   }
 
   /** Unrounded covariance from [[pcaComoments]]: population covariance of
@@ -2008,63 +2025,79 @@ object LlmOps {
   /** D4 (dimensionality reduction, step 2): top principal component by
     * power iteration — 16 rounds of v ← Cv/‖Cv‖ on the covariance matrix
     * from [[pcaCov]], plus the Rayleigh quotient λ = vᵀCv. The corpus is
-    * touched exactly once (the co-moment scan); every round runs on the
-    * 64-row matrix × 1-row vector — metadata, like k-means centroids.
-    * The round count is a knob: convergence runs at (λ₂/λ₁)^k, and the
-    * synthetic fixture's spectrum is flat (λ₂/λ₁ ≈ 0.97), so the spec pins
-    * the eigen-residual at 5% of λ rather than a tighter bound a clustered
-    * production corpus would reach in fewer rounds.
+    * touched exactly once (the distributed co-moment scan); the 2080
+    * covariance cells are then COLLECTED and the iteration runs
+    * driver-side — they are metadata in the k-means-centroid sense, and
+    * r6's bench showed 85% of the old 16-Spark-jobs formulation was pure
+    * job-launch overhead on 64-row data. The round count is a knob:
+    * convergence runs at (λ₂/λ₁)^k, and the synthetic fixture's spectrum
+    * is flat (λ₂/λ₁ ≈ 0.97), so the spec pins the eigen-residual at 5% of
+    * λ rather than a tighter bound a clustered production corpus would
+    * reach in fewer rounds.
     *
     * Determinism (why this is dump-stable without an oracle): the
     * covariance entries are exact-integer-derived doubles; every matvec
-    * sum folds a SORTED array left-to-right (`aggregate` over
-    * `array_sort(collect_list(...))`), never a shuffle-ordered SUM; the
-    * iteration count is fixed; the sign convention (component of largest
-    * |loading|, first index on ties, made positive) pins the eigenvector's
-    * orientation. No SQL oracle: DuckDB's SUM folds in its own order, and
-    * power iteration over 4096 cells is not expressible without the same
+    * sum folds ascending-index left-to-right in single-threaded Scala;
+    * the iteration count is fixed; the sign convention (component of
+    * largest |loading|, first index on ties, made positive) pins the
+    * eigenvector's orientation. No SQL oracle: DuckDB's SUM folds in its
+    * own order and power iteration is not SQL-expressible without
     * defined-order list machinery — LlmOpsSpec instead pins the
     * eigen-residual ‖Cv − λv‖∞, λ ≥ max diagonal variance, unit norm, and
     * run-to-run identity.
     */
   val embedPca = Q.noOracle("llm_embed_pca") { (s, dir) =>
-    val matvec = expr(
-      "aggregate(zip_with(rowvec, v, (a, b) -> a * b), 0D, (acc, x) -> acc + x)")
-    val cov = pcaCov(pcaComoments(s, dir))
-    val sym = cov.unionByName(
-      cov.filter(col("d_i") =!= col("d_j"))
-        .select(col("d_j").as("d_i"), col("d_i").as("d_j"), col("cov")))
-    val rows = sym.groupBy("d_i")
-      .agg(array_sort(collect_list(struct(col("d_j"), col("cov")))).as("rs"))
-      .select(col("d_i"), expr("transform(rs, r -> r.cov)").as("rowvec"))
-      .localCheckpoint()
+    val d = 64
+    // The 2080 co-moment cells ARE metadata: one collect, then the 16
+    // matvec rounds run driver-side in Scala — microseconds, versus 16
+    // sequential Spark jobs (each a localCheckpoint) whose cost was pure
+    // job-launch overhead on 64-row data. The corpus-side scan (the only
+    // part that grows at 100 TB) is untouched: pcaComoments still touches
+    // the corpus exactly once, distributed.
+    val c = Array.ofDim[Double](d, d)
+    pcaCov(pcaComoments(s, dir)).collect().foreach { r =>
+      val (i, j, x) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2))
+      c(i)(j) = x; c(j)(i) = x
+    }
+    def matvec(w: Array[Double]): Array[Double] =
+      Array.tabulate(d) { i =>
+        var acc = 0.0; var j = 0
+        while (j < d) { acc += c(i)(j) * w(j); j += 1 }
+        acc
+      }
     // v₀ = 1/8·𝟙 (unit norm in 64-d); never orthogonal to the dominant
     // eigenvector of a covariance matrix with non-degenerate loadings.
-    var v = s.range(1).select(expr("array_repeat(1.0D / 8.0D, 64)").as("v"))
+    // Every fold below runs ascending-index left-to-right — the same
+    // defined order the old sorted-list SQL formulation used — and the
+    // covariance entries are exact-integer-derived doubles, so the dump
+    // is a deterministic function of the corpus, run to run and JVM to JVM.
+    var v = Array.fill(d)(1.0 / 8.0)
     for (_ <- 1 to 16) {
-      v = rows.crossJoin(broadcast(v))
-        .select(col("d_i"), matvec.as("y"))
-        .agg(array_sort(collect_list(struct(col("d_i"), col("y")))).as("ys"))
-        .select(expr("transform(ys, s -> s.y)").as("yarr"))
-        .select(expr("transform(yarr, e -> e / " +
-          "sqrt(aggregate(yarr, 0D, (acc, x) -> acc + x * x)))").as("v"))
-        .localCheckpoint()
+      val y = matvec(v)
+      var n2 = 0.0
+      var i = 0
+      while (i < d) { n2 += y(i) * y(i); i += 1 }
+      val norm = math.sqrt(n2)
+      v = y.map(_ / norm)
     }
-    val lam = rows.crossJoin(broadcast(v))
-      .select(col("d_i"), (matvec * expr("element_at(v, CAST(d_i AS INT) + 1)")).as("p"))
-      .agg(array_sort(collect_list(struct(col("d_i"), col("p")))).as("ps"))
-      .select(expr("aggregate(transform(ps, s -> s.p), 0D, (acc, x) -> acc + x)")
-        .as("lambda"))
-    v.crossJoin(broadcast(lam))
-      .select(col("lambda"), expr(
-        """CASE WHEN element_at(v, CAST(array_position(
-          |  transform(v, x -> abs(x)),
-          |  array_max(transform(v, x -> abs(x)))) AS INT)) < 0
-          |THEN transform(v, x -> -x) ELSE v END""".stripMargin).as("v"))
-      .select(col("lambda"), posexplode(col("v")))
-      .select(col("pos").cast("long").as("dim"),
-        (round(col("col"), 6) + lit(0.0)).as("loading"),
-        (round(col("lambda"), 6) + lit(0.0)).as("lambda"))
+    val cv = matvec(v)
+    var lambda = 0.0
+    var i = 0
+    while (i < d) { lambda += cv(i) * v(i); i += 1 }
+    // Sign convention: component of largest |loading| (first index on
+    // ties) made positive — pins the eigenvector's orientation.
+    val absv = v.map(math.abs)
+    val pos = absv.indexOf(absv.max)
+    val vv = if (v(pos) < 0) v.map(x => -x) else v
+    // Spark's round() is BigDecimal HALF_UP on the double; replicate it
+    // exactly so the dump format is unchanged (+0.0 normalizes -0.0).
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue + 0.0
+    import s.implicits._
+    vv.toSeq.zipWithIndex
+      .map { case (x, k) => (k.toLong, r6(x), r6(lambda)) }
+      .toDF("dim", "loading", "lambda")
       .orderBy("dim")
   }
 

@@ -400,8 +400,11 @@ class PlanSpec extends SparkSpecBase {
                                 "bin-assignment scan — metadata rebase"),
     "log_corr_matrix"       -> ("hour spine × ≤5-row distinct type dim, both post-aggregation " +
                                 "metadata-sized (the log_resample_fill zero-fill-grid shape)"),
-    "llm_embed_pca"         -> ("per-round 1-row eigenvector-candidate broadcast onto the " +
-                                "64-row covariance matrix — metadata × metadata power iteration"))
+    "meta_benford_digits"   -> ("single-row digit-count total cross-joined into the observed " +
+                                "percentage — metadata rebase over ≤9 digit rows"),
+    "sql_dormant_customers" -> ("single-row balance-stats scalar aggregate cross-joined as " +
+                                "the above-average bound (TPC-H Q22 shape) — metadata rebase; " +
+                                "the order probe itself is a hashed LEFT ANTI join"))
 
   test("no query in the registry plans an unbounded cartesian or nested-loop join") {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
