@@ -2838,8 +2838,12 @@ object LogOps {
     * corpus pass. Served from the standing posting store, the same flags
     * come from the pruned term buckets ([[graft.sources.Sinks.probePostings]]).
     */
-  val booleanSearch = Q(
-    "log_boolean_search",
+  /** The boolean-search oracle SQL, shared by the raw-scan
+    * [[booleanSearch]] and the store-served [[booleanSearchIndexed]] —
+    * the two formulations must be answer-identical, so they share one
+    * source of truth (the [[searchRankedSql]] pattern).
+    */
+  private val booleanSearchSql =
     """WITH toks AS (
       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
       |  FROM documents),
@@ -2853,7 +2857,9 @@ object LogOps {
       |SELECT doc_id, tf_spark, tf_join, tf_window
       |FROM tf
       |WHERE tf_spark > 0 AND (tf_join > 0 OR tf_window > 0) AND tf_shuffle = 0
-      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      |ORDER BY doc_id""".stripMargin
+
+  val booleanSearch = Q("log_boolean_search", booleanSearchSql) { (s, dir) =>
     val terms = Seq("spark", "join", "window", "shuffle")
     val postings = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
@@ -2881,8 +2887,10 @@ object LogOps {
     * one scan or shuffle per facet. (The oracle spells the same rollup as
     * UNION ALL of two GROUP BYs; only the values must match.)
     */
-  val searchFacets = Q(
-    "log_search_facets",
+  /** The facet-rollup oracle SQL, shared by the raw-scan [[searchFacets]]
+    * and the store-served [[searchFacetsIndexed]].
+    */
+  private val searchFacetsSql =
     """WITH toks AS (
       |  SELECT doc_id, lang, source,
       |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
@@ -2896,11 +2904,62 @@ object LogOps {
       |UNION ALL
       |SELECT 'source' AS facet, source AS value, COUNT(*) AS n_docs
       |FROM hits GROUP BY 2
-      |ORDER BY facet, value""".stripMargin) { (s, dir) =>
+      |ORDER BY facet, value""".stripMargin
+
+  val searchFacets = Q("log_search_facets", searchFacetsSql) { (s, dir) =>
     val toks = filter(split(lower(col("text")), " "), t => t =!= "")
     def has(term: String) = size(filter(toks, t => t === term)) > 0
     Tables.documents(s, dir)
       .filter(has("spark") && has("join"))
+      .select(explode(array(
+        struct(lit("lang").as("facet"), col("lang").as("value")),
+        struct(lit("source").as("facet"), col("source").as("value")))).as("f"))
+      .groupBy(col("f.facet").as("facet"), col("f.value").as("value"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("facet", "value")
+  }
+
+  /** P6+: [[booleanSearch]] served from the standing posting store — the
+    * four term flags come from the pruned `tok_bucket` directories
+    * ([[graft.sources.Sinks.probePostingsTfAny]]: no intersection filter,
+    * the boolean predicate decides membership from the pivoted flags) and
+    * the corpus text is never read. SHARED oracle with the raw-scan
+    * formulation, so the driver proves scan ≡ index; PlanSpec pins the
+    * no-corpus-scan plan. At 100 TB the cost is the four terms' posting
+    * sizes, not a corpus tokenize.
+    */
+  val booleanSearchIndexed = Q("log_boolean_search_indexed", booleanSearchSql) { (s, dir) =>
+    val pos = Seq("spark", "join", "window")
+    val negTerm = "shuffle"
+    val terms = pos :+ negTerm
+    val store = graft.sources.Stores.postingStore(s, dir)
+    // pivot columns derive from `terms` (the indexedSearch discipline)
+    val pivots = terms.map(t =>
+      coalesce(max(when(col("tok") === t, col("tf"))), lit(0L)).as(s"tf_$t"))
+    graft.sources.Sinks.probePostingsTfAny(s, store, terms)
+      .groupBy("doc_id")
+      .agg(pivots.head, pivots.tail: _*)
+      .filter(col("tf_spark") > 0 &&
+        (col("tf_join") > 0 || col("tf_window") > 0) && col("tf_shuffle") === 0)
+      .select("doc_id", "tf_spark", "tf_join", "tf_window")
+      .orderBy("doc_id")
+  }
+
+  /** P6+: [[searchFacets]] served from the standing posting store: hit
+    * doc_ids come from the pruned-bucket conjunctive probe and the facet
+    * dimensions from the store's (doc_id, dl, lang, source) docstats side
+    * table — zero corpus reads (the reason docstats carries the facet
+    * columns at all; they are written in the same index-time pass as dl).
+    * SHARED oracle with the raw-scan formulation. The hits→docstats join
+    * broadcasts the probe-sized hit list over the per-doc metadata table;
+    * at 100 TB both sides are index artifacts that scale with docs, not
+    * bytes of text.
+    */
+  val searchFacetsIndexed = Q("log_search_facets_indexed", searchFacetsSql) { (s, dir) =>
+    val store = graft.sources.Stores.postingStore(s, dir)
+    val hits = graft.sources.Sinks.probePostings(s, store, Seq("spark", "join"))
+    val facets = s.read.parquet(s"$store/docstats").select("doc_id", "lang", "source")
+    hits.join(facets, "doc_id")
       .select(explode(array(
         struct(lit("lang").as("facet"), col("lang").as("value")),
         struct(lit("source").as("facet"), col("source").as("value")))).as("f"))
@@ -2925,5 +2984,5 @@ object LogOps {
     indexedSearchRanked, indexedPhrase, grepContext, trendingTemplates,
     rollupServed, ewmaDaily, zonemapScan, pointLookup,
     schemaInfer, slaBurn, cusumChangepoint, alertRules, newTemplates, corrMatrix,
-    booleanSearch, searchFacets)
+    booleanSearch, searchFacets, booleanSearchIndexed, searchFacetsIndexed)
 }

@@ -202,9 +202,12 @@ object Sinks {
       .option("compression", "zstd")
       .partitionBy("tok_bucket")
       .parquet(s"$path/postings")
-    // per-doc token counts: the BM25 length normalizer — built in the same
-    // corpus pass family at index time, so ranked queries never touch text
-    writeSized(docs.select(col("doc_id"), size(toks).cast("long").as("dl")),
+    // per-doc side table: the BM25 length normalizer PLUS the doc-level
+    // facet dimensions (lang, source) — built in the same corpus pass
+    // family at index time, so ranked queries AND facet rollups never
+    // touch text: hits join this metadata-per-doc table, not the corpus
+    writeSized(docs.select(col("doc_id"), size(toks).cast("long").as("dl"),
+      col("lang"), col("source")),
       s"$path/docstats", 8)
     // the bucket count is part of the store, not a caller convention: a
     // prober hashing into a DIFFERENT modulus than the writer would prune
@@ -243,7 +246,8 @@ object Sinks {
       .option("compression", "zstd")
       .partitionBy("tok_bucket")
       .parquet(s"$path/postings")
-    newDocs.select(col("doc_id"), size(toks).cast("long").as("dl"))
+    newDocs.select(col("doc_id"), size(toks).cast("long").as("dl"),
+        col("lang"), col("source"))
       .repartition(1)
       .write.mode("append")
       .option("compression", "zstd")
@@ -289,6 +293,21 @@ object Sinks {
       .select("doc_id")
     tf.join(hits, "doc_id")
   }
+
+  /** Per-(doc, term) term frequencies for docs matching ANY of the query
+    * terms, from the pruned term buckets — the flag-rollup probe boolean
+    * queries consume: unlike [[probePostingsTf]] there is no all-terms
+    * intersection filter, because a boolean expression (`a AND (b OR c)
+    * AND NOT d`) decides membership itself from the pivoted flags. A doc
+    * matching only the NOT term still surfaces here (with its flag set)
+    * and the caller's predicate excludes it; one matching no term at all
+    * has no posting row in these buckets and is excluded by construction.
+    */
+  def probePostingsTfAny(spark: org.apache.spark.sql.SparkSession, path: String,
+                         terms: Seq[String]): DataFrame =
+    prunedPostings(spark, path, normalizeTerms(terms))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
 
   /** BM25 ranked retrieval served ENTIRELY from a [[writePostings]] store:
     * per-(doc, term) tfs from the pruned term buckets, per-term dfs from

@@ -27,7 +27,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Stores {
 
-  private val VERSION = "v2" // v2: posting store gained docstats + (n_docs, avgdl) meta
+  private val VERSION = "v3" // v3: posting docstats gained (lang, source) facet columns
   private val memo = scala.collection.concurrent.TrieMap.empty[String, String]
   private val buildLock = new Object
 

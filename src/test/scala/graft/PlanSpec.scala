@@ -137,10 +137,12 @@ class PlanSpec extends SparkSpecBase {
       store.partitionFilters.mkString("; "))
   }
 
-  test("store-served BM25 and phrase search never read the corpus") {
-    // The whole point of the standing index: ranked retrieval and phrase
-    // matching answer from posting buckets + docstats + meta only.
-    for (q <- Seq(LogOps.indexedSearchRanked, LogOps.indexedPhrase)) {
+  test("store-served BM25, phrase, boolean, and facet search never read the corpus") {
+    // The whole point of the standing index: ranked retrieval, phrase
+    // matching, boolean algebra, and facet rollups answer from posting
+    // buckets + docstats + meta only.
+    for (q <- Seq(LogOps.indexedSearchRanked, LogOps.indexedPhrase,
+                  LogOps.booleanSearchIndexed, LogOps.searchFacetsIndexed)) {
       val roots = q.build(spark, sfDir).queryExecution.sparkPlan
         .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
         .map(_.relation.location.rootPaths.mkString(","))

@@ -225,6 +225,11 @@ class StorageLayoutSpec extends SparkSpecBase {
            rows(graft.sources.Sinks.probePostingsBm25(spark, fullDir, terms, k = 20)))
     assert(rows(graft.sources.Sinks.probePostingsPhrase(spark, incrDir, "slow", "join")) ===
            rows(graft.sources.Sinks.probePostingsPhrase(spark, fullDir, "slow", "join")))
+    assert(rows(graft.sources.Sinks.probePostingsTfAny(spark, incrDir, terms)) ===
+           rows(graft.sources.Sinks.probePostingsTfAny(spark, fullDir, terms)))
+    // facet side table: refresh-appended docstats equals a full rebuild's
+    assert(rows(spark.read.parquet(s"$incrDir/docstats")) ===
+           rows(spark.read.parquet(s"$fullDir/docstats")))
     // corpus stats (the BM25 normalizers) recomputed over the whole store
     assert(rows(spark.read.parquet(s"$incrDir/meta")) ===
            rows(spark.read.parquet(s"$fullDir/meta")))
