@@ -593,7 +593,7 @@ object Relational {
     val oracle = edges.map { case (nm, ct, ck, pt, pk) =>
       s"""SELECT '$nm' AS fk_name, COUNT(*) AS n_child,
          |  CAST(count_if($pk IS NULL) AS BIGINT) AS n_orphans,
-         |  ROUND(100.0 * count_if($pk IS NULL) / COUNT(*), 4) AS orphan_pct
+         |  ROUND(100.0 * count_if($pk IS NULL) / nullif(COUNT(*), 0), 4) AS orphan_pct
          |FROM $ct LEFT JOIN (SELECT DISTINCT $pk FROM $pt) p ON $ck = $pk""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY fk_name")
     Q("meta_fk_orphans", oracle) { (s, dir) =>
@@ -602,8 +602,11 @@ object Relational {
           .join(Tables.load(s, dir, pt).select(col(pk)).distinct(),
             col(ck) === col(pk), "left_outer")
           .agg(count(lit(1)).as("n_child"), count_if(col(pk).isNull).as("n_orphans"))
+          // nullif guard on BOTH sides: an empty child table must audit as
+          // NULL pct, not as an engine-dependent division-by-zero result
           .select(lit(nm).as("fk_name"), col("n_child"), col("n_orphans"),
-            round(lit(100.0) * col("n_orphans") / col("n_child"), 4).as("orphan_pct"))
+            round(lit(100.0) * col("n_orphans") / nullif(col("n_child"), lit(0)), 4)
+              .as("orphan_pct"))
       }.reduce(_ unionAll _).orderBy("fk_name")
     }
   }

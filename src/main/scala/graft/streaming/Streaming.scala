@@ -281,7 +281,11 @@ object Streaming {
     * and the only claim the batch twin needs (one batch ⇒ exact MIN).
     * StreamingSpec pins both: a template seen in batch 1 stays silent in
     * batch 2, and a template debuting twice WITHIN a batch reports its
-    * earliest day.
+    * earliest day. Under LATE data the divergence is one-sided and
+    * unfixable in Append mode (an emitted debut cannot be retracted):
+    * an earlier day arriving after the debut emission is silently
+    * ignored, while the batch backfill reports the true MIN —
+    * StreamingSpec pins that delta explicitly.
     */
   def templateDebuts(lines: Dataset[DayTemplate]): Dataset[Debut] = {
     import lines.sparkSession.implicits._

@@ -453,6 +453,36 @@ class LogOpsSpec extends SparkSpecBase {
     assert(ints === ((-3L, 7L)))
   }
 
+  test("schema infer guard: no fixture props object has duplicate or non-path-safe keys " +
+    "(oracle json_keys/'$.'||key agreement)") {
+    // Mirrors the PCA quantization-guard pattern: every sf dir is swept, so
+    // a regenerated fixture that breaks the oracle-agreement premise fails
+    // loudly here, not as an opaque hash mismatch. Two premises:
+    // (1) no duplicate keys within one object — Spark's from_json
+    //     map<string,string> dedupes (last wins) while DuckDB's
+    //     json_keys/unnest emits each occurrence, splitting n_present;
+    // (2) keys are JSON-path-safe (no '.', quotes, brackets) — the oracle
+    //     addresses values as '$.' || key, which breaks only on its side.
+    import org.apache.spark.sql.functions.{col, expr}
+    val dirs = new java.io.File("/root/testdata").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("sf")).map(_.getPath)
+    assert(dirs.nonEmpty)
+    dirs.foreach { dir =>
+      val props = graft.engine.Tables.events(spark, dir).select("props")
+      // json_object_keys preserves duplicate occurrences; the map dedupes —
+      // equal sizes on every row means no object carries a duplicate key
+      val dups = props.filter(expr(
+        "size(json_object_keys(props)) != size(map_keys(from_json(props, 'map<string,string>')))"))
+        .count()
+      assert(dups === 0L, s"$dir: $dups props rows with duplicate JSON keys")
+      val unsafe = props
+        .select(expr("explode(json_object_keys(props))").as("key"))
+        .filter(col("key").rlike("""[.'"\[\]]"""))
+        .count()
+      assert(unsafe === 0L, s"$dir: $unsafe non-path-safe props keys")
+    }
+  }
+
   test("sla burn: fires only when the 1h AND trailing-6h burns both exceed 1.0; " +
     "hour gaps widen the lookback") {
     // hour 0 (minutes 0-59): 4 events, 1 error → burn_1h = (1/4)/0.25 = 1.0

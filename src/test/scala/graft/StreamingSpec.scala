@@ -564,4 +564,31 @@ class StreamingSpec extends SparkSpecBase {
       assert(batch === streamed)
     } finally q.stop()
   }
+
+  test("template debuts under LATE data: an earlier event-time day arriving in a later " +
+    "batch is NOT revised — first-sighting is arrival-order (documented divergence)") {
+    // The scaladoc's in-order precondition, pinned as behavior: once a
+    // template's debut is emitted, Append mode cannot retract it, so a
+    // late-arriving EARLIER day leaves the recorded debut at the
+    // arrival-order first. A one-shot batch run over the same rows (empty
+    // state, corpus-wide MIN) reports the true earlier day — the exact
+    // delta an operator sees between the stream and its batch backfill.
+    def dt(day: Int, template: String) =
+      Streaming.DayTemplate(new Timestamp(1704067200000L + day * 86400000L), template)
+    val batches = Seq(
+      Seq(dt(5, "A <*>")),  // A first SEEN with day 5
+      Seq(dt(2, "A <*>")))  // day 2 arrives late — silent, no revision
+    val input = MemoryStream[Streaming.DayTemplate](spark)
+    val q = Streaming.templateDebuts(input.toDS())
+      .writeStream.format("memory").queryName("debut_late_sink").outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      val streamed = spark.table("debut_late_sink").as[Streaming.Debut].collect().toSet
+      assert(streamed === Set(Streaming.Debut(dt(5, "").day, "A <*>")),
+        "late data must neither re-emit nor revise an already-emitted debut")
+      val batch = Streaming.templateDebuts(batches.flatten.toDS()).collect().toSet
+      assert(batch === Set(Streaming.Debut(dt(2, "").day, "A <*>")),
+        "the batch backfill sees the true event-time MIN")
+    } finally q.stop()
+  }
 }
