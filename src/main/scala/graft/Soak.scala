@@ -182,7 +182,11 @@ object Soak {
       "log_proximity_search", "log_outage_windows", "log_drift_daily",
       // round 5d: span removal — verbatim replication makes EVERY gram
       // df ≥ factor, so every doc cleans to "": the all-covered worst case
-      "llm_dup_span_removal")
+      "llm_dup_span_removal",
+      // round 7: the alerting family — window-over-reduce shapes whose
+      // claim is that the reduce side stays hour/day-cardinality under
+      // volume (×10 events grows the SCAN, never the windowed spine)
+      "log_sla_burn", "log_cusum_changepoint", "log_corr_matrix")
     // the listener bus is asynchronous: stage-completed events can trail
     // the action that produced them, so snapshots around each query must
     // let the bus drain or warm-run bytes leak into the timed delta (and
