@@ -66,12 +66,20 @@ object Plans {
     "log_new_templates" -> "one corpus scan collapses to (template, min day) — template-cardinality rows; the per-day debut rollup runs on metadata",
     "log_corr_matrix" -> "ONE corpus scan partial-aggregates to (hour, type) counts; zero-fill grid, pair self-join, and the 10-key exact-co-moment agg all run on metadata-sized rows; Pearson is ONE double expression over exact BIGINTs",
     "llm_seq_length_buckets" -> "map-side 6-arm CASE bucket over an exact BIGINT token count; partial agg onto ≤6 keys — the shuffle carries six rows per partition",
-    "llm_embed_pca_cov" -> "in-row d(d+1)/2 pair expansion (no posexplode self-join) — corpus never shuffles; partial agg collapses the fanout to partitions × 2080 rows before the exchange; co-moments are exact BIGINTs on 1e-5-quantized values",
-    "llm_embed_pca" -> "corpus touched once (the co-moment scan); 16 power-iteration rounds run on the 64-row matrix × 1-row broadcast vector — metadata, with defined-order array folds for run-to-run identity",
+    "llm_embed_pca_cov" -> "typed co-moment aggregator: each vector folds its 2080 products into a flat per-partition Array[Long] (no row fanout at all); the shuffle carries ONE 2145-long array per partition; co-moments are exact BIGINTs on 1e-5-quantized values",
+    "llm_embed_pca" -> "corpus touched once (the distributed co-moment scan, same aggregator as _cov); the 2080 covariance cells are metadata and the 16 power-iteration rounds run driver-side — the dumped plan is the co-moment job's LocalTableScan result",
     "join_asof_forward" -> "forward merge mirror of join_asof_events: one user_id exchange, first_value over a following frame — no pair fanout join",
     "agg_mode" -> "mode as count→rank: the fact scan partial-aggregates onto (nation × priority); the tie-pinned rank window runs over ≤125 metadata rows",
     "log_boolean_search" -> "boolean query algebra on the probe discipline: only the 4 query terms survive the scan filter, the shuffle carries probe-sized rows, AND/OR/NOT evaluates on per-doc flags after the rollup",
-    "log_search_facets" -> "map-side array-lens hit test (no shuffle to find hits); each hit emits its (facet, value) structs in-row and ONE aggregation rolls every facet dimension in a single facet-cardinality exchange")
+    "log_search_facets" -> "map-side array-lens hit test (no shuffle to find hits); each hit emits its (facet, value) structs in-row and ONE aggregation rolls every facet dimension in a single facet-cardinality exchange",
+    "log_boolean_search_indexed" -> "the boolean flags served from the standing index: partition-pruned posting-bucket scan (4 terms' hash buckets), no intersection filter — the predicate decides membership from the pivoted flags; documents.parquet appears nowhere",
+    "log_search_facets_indexed" -> "facet rollup with ZERO corpus reads: pruned-bucket conjunctive probe for hits, (doc_id, lang, source) from the store's docstats side table; shared oracle with the raw-scan formulation",
+    "meta_benford_digits" -> "digit histogram partial-aggregates the fact scan onto ≤9 keys; the single-row total cross-joins back as an allowlisted metadata rebase; chi² terms are one double expression per digit row",
+    "log_cusum_changepoint" -> "corpus collapses to (day, type) counts in one partial-aggregated scan; the CUSUM fold is a sorted-array aggregate over ≤days rows per type — the change-point never sees raw events",
+    "sql_returned_items" -> "TPC-H Q10 shape: returned-lineitem scan joins orders + broadcast nation dims; top-20 is TakeOrderedAndProject on the exact BIGINT revenue with custkey tiebreak, never a global sort",
+    "sql_top_supplier" -> "TPC-H Q15 shape: revenue partial-aggregates onto supplier keys before the max-revenue single-row broadcast rebase; supplier dim broadcasts",
+    "sql_large_orders" -> "TPC-H Q18 shape: the quantity-sum HAVING filter runs as a partial-aggregated groupBy on l_orderkey BEFORE joining customer/orders — the big fact collapses first",
+    "sql_dormant_customers" -> "TPC-H Q22 shape: single-row balance-stats scalar aggregate cross-joined as the above-average bound (allowlisted metadata rebase); the no-recent-order probe is a hashed LEFT ANTI join, never a correlated re-scan")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
