@@ -318,7 +318,136 @@ object SqlOps {
     sql("sql_returned_items", text)(text)
   }
 
+  /** TPC-H Q6-shaped forecasting-revenue change: one map-only
+    * filter + global sum over the fact table — the canonical "does the
+    * predicate reach the scan" probe (all three filters are scan-pushable;
+    * PLANS.md shows PushedFilters carrying every one). Revenue is summed
+    * as exact 1e-4-quantized BIGINTs (fold-order-free) with ONE double
+    * division at the end. The discount bounds compare the parquet doubles
+    * both engines read identically — the fixture's discounts are 11
+    * discrete values, so no boundary ulp exists to split on. 100 TB: no
+    * shuffle at all beyond the single-row final combine.
+    */
+  val forecastRevenue: Q = {
+    val text =
+      """SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000, 0)
+        |  AS BIGINT)) / 1e4, 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin
+    sql("sql_forecast_revenue", text)(text)
+  }
+
+  /** TPC-H Q7-shaped volume shipping: bidirectional trade between two
+    * nation groups by ship year (groups rather than Q7's single pair so
+    * the tiny sf0.001 smoke fixture still populates every group key).
+    * The nation dim joins twice under DIFFERENT aliases
+    * (supplier's and customer's side); the pair predicate is an OR of the
+    * two directions, evaluated after both broadcasts — the facts shuffle
+    * only on their join keys, never on the nation filter. Revenue rides
+    * the exact-BIGINT quantization; group keys (two names + year) are
+    * discrete, so the whole row is deterministic.
+    */
+  val volumeShipping: Q = {
+    val text =
+      """SELECT supp_nation, cust_nation, l_year, ROUND(rev4 / 1e4, 2) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |    SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0)
+        |      AS BIGINT)) AS rev4
+        |  FROM supplier
+        |  JOIN lineitem ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name IN ('NATION_20', 'NATION_21')
+        |          AND n2.n_name IN ('NATION_11', 'NATION_19'))
+        |      OR (n1.n_name IN ('NATION_11', 'NATION_19')
+        |          AND n2.n_name IN ('NATION_20', 'NATION_21')))
+        |    AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY 1, 2, 3) t
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+    sql("sql_volume_shipping", text)(text)
+  }
+
+  /** TPC-H Q14-shaped promotion-revenue share: the month's revenue from
+    * PROMO-type parts as a percentage of all revenue — a conditional
+    * aggregate over ONE fact⋈dim join (part broadcasts; the date filter
+    * prunes the fact scan first). Both numerator and denominator are
+    * exact-BIGINT sums co-grouped in one pass (no second scan, no
+    * self-join); the share is ONE double division rounded to 4 dp.
+    */
+  val promoRevenue: Q = {
+    val text =
+      """SELECT ROUND(1e2 * SUM(CASE WHEN p_type = 'PROMO' THEN r4 ELSE 0 END)
+        |  / SUM(r4), 4) AS promo_revenue
+        |FROM (
+        |  SELECT l_partkey,
+        |    CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT) AS r4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00') l
+        |JOIN part ON l_partkey = p_partkey""".stripMargin
+    sql("sql_promo_revenue", text)(text)
+  }
+
+  /** TPC-H Q17-shaped small-quantity-order revenue: lineitems of one
+    * brand whose quantity is below 20% of that part's average quantity.
+    * The correlated scalar subquery is spelled as a per-part (count, sum)
+    * aggregate joined back — Catalyst's decorrelation target — and the
+    * "below 20% of avg" test runs ENTIRELY in integers
+    * (5·qty·n < Σqty, using the fixture's integer-valued quantities), so
+    * no row can flip membership on a double-average ulp between engines.
+    * Scale: the per-part aggregate partial-aggregates the fact scan onto
+    * part keys before the join; the brand filter broadcasts through part.
+    */
+  val smallQuantityRevenue: Q = {
+    val text =
+      """WITH pq AS (
+        |  SELECT l_partkey AS a_partkey, COUNT(*) AS n_li,
+        |    SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS sum_q
+        |  FROM lineitem GROUP BY 1)
+        |SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * 10000, 0) AS BIGINT))
+        |  / 7.0 / 1e4, 2) AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN pq ON a_partkey = l_partkey
+        |WHERE p_brand = 'Brand#23'
+        |  AND CAST(ROUND(l_quantity, 0) AS BIGINT) * 5 * n_li < sum_q""".stripMargin
+    sql("sql_small_quantity_revenue", text)(text)
+  }
+
+  /** TPC-H Q19-shaped discounted revenue: an OR-of-ANDs predicate mixing
+    * part attributes (brand, size) with lineitem attributes (quantity) —
+    * the disjunction cannot prune either scan alone, so the plan's shape
+    * is the point: ONE part⋈lineitem hash join with the residual
+    * disjunction evaluated post-join, never three unioned scans and never
+    * a nested loop. Quantity bounds are integers; revenue is the exact
+    * quantized sum.
+    */
+  val discountedRevenue: Q = {
+    val text =
+      """SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0)
+        |  AS BIGINT)) / 1e4, 2) AS revenue
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity >= 1 AND l_quantity <= 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity >= 10 AND l_quantity <= 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin
+    sql("sql_discounted_revenue", text)(text)
+  }
+
   val all: Seq[Q] = Seq(shippingPriority, notInNulls, localSupplierVolume, marketShare,
     recursiveReach, orderPriority, customerDistribution,
-    topSupplier, largeOrders, dormantCustomers, returnedItems)
+    topSupplier, largeOrders, dormantCustomers, returnedItems,
+    forecastRevenue, volumeShipping, promoRevenue, smallQuantityRevenue,
+    discountedRevenue)
 }
