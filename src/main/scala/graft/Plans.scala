@@ -79,7 +79,9 @@ object Plans {
     "sql_returned_items" -> "TPC-H Q10 shape: returned-lineitem scan joins orders + broadcast nation dims; top-20 is TakeOrderedAndProject on the exact BIGINT revenue with custkey tiebreak, never a global sort",
     "sql_top_supplier" -> "TPC-H Q15 shape: revenue partial-aggregates onto supplier keys before the max-revenue single-row broadcast rebase; supplier dim broadcasts",
     "sql_large_orders" -> "TPC-H Q18 shape: the quantity-sum HAVING filter runs as a partial-aggregated groupBy on l_orderkey BEFORE joining customer/orders — the big fact collapses first",
-    "sql_dormant_customers" -> "TPC-H Q22 shape: single-row balance-stats scalar aggregate cross-joined as the above-average bound (allowlisted metadata rebase); the no-recent-order probe is a hashed LEFT ANTI join, never a correlated re-scan")
+    "sql_dormant_customers" -> "TPC-H Q22 shape: single-row balance-stats scalar aggregate cross-joined as the above-average bound (allowlisted metadata rebase); the no-recent-order probe is a hashed LEFT ANTI join, never a correlated re-scan",
+    "log_latency_sketch_range" -> "DDSketch-style quantile store: ONE corpus scan partial-aggregates to (type, day, log-bucket) counts; the range merge and rank walk run over metadata-sized bucket rows — range percentiles without rescanning events",
+    "sql_discounted_revenue" -> "TPC-H Q19 shape: ONE part⋈lineitem hash join with the OR-of-ANDs evaluated as a residual post-join disjunction — never three unioned scans, never a nested loop")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

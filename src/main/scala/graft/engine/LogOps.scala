@@ -2919,6 +2919,90 @@ object LogOps {
       .orderBy("facet", "value")
   }
 
+  /** A4 at the PERSISTED-QUANTILE grain — "p95 latency over any date
+    * range" served from standing daily sketches, the percentile twin of
+    * `agg_hll_union_daily`'s distinct-count story. The sketch is the
+    * DDSketch design (Masson, Lee & Rhodes, VLDB 2019): log-γ value
+    * buckets (γ = 1.02 ⇒ ≤ (γ−1)/(γ+1) ≈ 0.99% relative error), one
+    * (event_type, day, bucket, n) count row per bucket — and UNLIKE a
+    * KLL/GK sketch the merge is plain count ADDITION: associative,
+    * commutative, and fully deterministic (Datasketches KLL compaction
+    * flips a shared java.util.Random coin, which would break both the
+    * registry determinism gate and cross-run dump identity — measured,
+    * not assumed). A range query SUMs the pruned days' bucket rows and
+    * walks the cumulative rank — raw events are never rescanned, cost is
+    * O(days × buckets) ≈ metadata at any corpus scale.
+    *
+    * Exactness across engines: the bucket index ceil(ln v/ln γ) is the
+    * one float hazard — LogOpsSpec sweeps every fixture and asserts no
+    * value's log-ratio sits within 1e-9 of an integer (the two exact
+    * hits, v = 1.0 (ln 1 = 0) and v = 1.02 (x/x = 1), are identical by
+    * IEEE construction on both engines; the nearest other value is
+    * 4.1e-5 away, 8 orders above cross-libm ulp drift). Rank selection is
+    * integer arithmetic (100·cum ≥ p·total); the midpoint estimate
+    * 2γᵇ/(γ+1) is ≥ 9.9e-8 from every 4dp rounding boundary over the
+    * reachable bucket range. Zero values live in a sentinel bucket below
+    * all positives (the DDSketch zero counter), so quantiles rank over
+    * ALL values.
+    */
+  val latencySketchRange = Q(
+    "log_latency_sketch_range",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |    CASE WHEN value <= 0 THEN -1000000
+      |         ELSE CAST(CEILING(ln(value) / ln(1.02)) AS BIGINT) END AS bucket,
+      |    COUNT(*) AS n
+      |  FROM events
+      |  GROUP BY 1, 2, 3),
+      |merged AS (
+      |  SELECT event_type, bucket, CAST(SUM(n) AS BIGINT) AS n FROM daily
+      |  WHERE day >= TIMESTAMP '2024-01-08 00:00:00'
+      |    AND day < TIMESTAMP '2024-01-22 00:00:00'
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT event_type, bucket, n,
+      |    CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY bucket) AS BIGINT) AS cum,
+      |    CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+      |    CASE WHEN bucket = -1000000 THEN 0.0
+      |         ELSE 2 * power(1.02, bucket) / 2.02 END AS est
+      |  FROM merged)
+      |SELECT event_type, MAX(total) AS n_events,
+      |  ROUND(MIN(CASE WHEN cum * 100 >= total * 50 THEN est END), 4) + 0 AS p50_est,
+      |  ROUND(MIN(CASE WHEN cum * 100 >= total * 95 THEN est END), 4) + 0 AS p95_est,
+      |  ROUND(MIN(CASE WHEN cum * 100 >= total * 99 THEN est END), 4) + 0 AS p99_est
+      |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val zeroB = -1000000L
+    val bucket = when(col("value") <= 0, lit(zeroB))
+      .otherwise(ceil(log(col("value")) / log(lit(1.02))).cast("long"))
+    // the persisted grain: one count row per (event_type, day, bucket) —
+    // what a deployment writes once per day (the writeDailyRollup shape)
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        bucket.as("bucket"))
+      .groupBy("event_type", "day", "bucket")
+      .agg(count(lit(1)).as("n"))
+    // the range query: merge = SUM over the pruned days' rows
+    val merged = daily
+      .filter(col("day") >= lit("2024-01-08") && col("day") < lit("2024-01-22"))
+      .groupBy("event_type", "bucket")
+      .agg(sum("n").as("n"))
+    val byBucket = Window.partitionBy("event_type").orderBy("bucket")
+    val whole = Window.partitionBy("event_type")
+    val est = when(col("bucket") === zeroB, lit(0.0))
+      .otherwise(lit(2.0) * pow(lit(1.02), col("bucket")) / lit(2.02))
+    val ranked = merged
+      .withColumn("cum", sum("n").over(byBucket))
+      .withColumn("total", sum("n").over(whole))
+      .withColumn("est", est)
+    def qEst(p: Int, nm: String) =
+      (round(min(when(col("cum") * 100 >= col("total") * p, col("est"))), 4)
+        + lit(0.0)).as(nm)
+    ranked.groupBy("event_type")
+      .agg(max("total").as("n_events"),
+        qEst(50, "p50_est"), qEst(95, "p95_est"), qEst(99, "p99_est"))
+      .orderBy("event_type")
+  }
+
   /** P6+: [[booleanSearch]] served from the standing posting store — the
     * four term flags come from the pruned `tok_bucket` directories
     * ([[graft.sources.Sinks.probePostingsTfAny]]: no intersection filter,
@@ -2984,5 +3068,6 @@ object LogOps {
     indexedSearchRanked, indexedPhrase, grepContext, trendingTemplates,
     rollupServed, ewmaDaily, zonemapScan, pointLookup,
     schemaInfer, slaBurn, cusumChangepoint, alertRules, newTemplates, corrMatrix,
-    booleanSearch, searchFacets, booleanSearchIndexed, searchFacetsIndexed)
+    booleanSearch, searchFacets, booleanSearchIndexed, searchFacetsIndexed,
+    latencySketchRange)
 }

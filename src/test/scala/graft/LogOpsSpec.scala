@@ -483,6 +483,72 @@ class LogOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("latency sketch: every estimate within the DDSketch relative-error bound " +
+    "of the exact range percentile") {
+    // γ = 1.02 guarantees |est/v − 1| ≤ (γ−1)/(γ+1) ≈ 0.0099 for the value
+    // at the selected rank; 0.011 adds headroom for the 4dp output rounding.
+    val out = LogOps.latencySketchRange.build(spark, sfDir)
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(out.nonEmpty)
+    val exact = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("ts") >= lit("2024-01-08") && col("ts") < lit("2024-01-22"))
+      .select("event_type", "value").as[(String, Double)].collect()
+      .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sorted }
+    for ((t, n, p50, p95, p99) <- out) {
+      val vs = exact(t)
+      assert(n === vs.length.toLong, s"$t: range row count")
+      for ((p, est) <- Seq(50 -> p50, 95 -> p95, 99 -> p99)) {
+        // rank semantics mirror the query: smallest value with
+        // 100·rank ≥ p·n (1-based) — the INCLUSIVE discrete percentile
+        val v = vs(math.ceil(p * vs.length / 100.0).toInt - 1)
+        assert(math.abs(est / v - 1.0) <= 0.011,
+          s"$t p$p: est=$est exact=$v rel=${est / v - 1.0}")
+      }
+    }
+  }
+
+  test("latency sketch: merging persisted daily bucket rows equals sketching the " +
+    "whole range in one pass (count addition is the merge)") {
+    import org.apache.spark.sql.functions.{ceil => sceil, log => slog, sum, when}
+    val zeroB = -1000000L
+    val bucket = when(col("value") <= 0, lit(zeroB))
+      .otherwise(sceil(slog(col("value")) / slog(lit(1.02))).cast("long"))
+    val whole = graft.engine.Tables.events(spark, sfDir)
+      .filter(col("ts") >= lit("2024-01-08") && col("ts") < lit("2024-01-22"))
+      .select(col("event_type"), bucket.as("bucket"))
+      .groupBy("event_type", "bucket").agg(count(lit(1)).as("n"))
+      .collect().map(_.toString).sorted.toSeq
+    val daily = graft.engine.Tables.events(spark, sfDir)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        bucket.as("bucket"))
+      .groupBy("event_type", "day", "bucket").agg(count(lit(1)).as("n"))
+      .filter(col("day") >= lit("2024-01-08") && col("day") < lit("2024-01-22"))
+      .groupBy("event_type", "bucket").agg(sum("n").as("n"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(daily === whole)
+  }
+
+  test("latency sketch guard: no fixture value's log-ratio sits within 1e-9 of a " +
+    "bucket boundary (cross-libm ceiling agreement)") {
+    // The PCA-quantization-guard pattern: Spark's Math.log and DuckDB's
+    // libm ln can differ in the last ulp, so a value whose ln(v)/ln(γ)
+    // is EXTREMELY close to an integer could bucket differently between
+    // engines. The two exact hits are identical by IEEE construction:
+    // v = 1.0 (ln 1 = 0 exactly) and v = γ itself (x/x = 1 exactly).
+    import org.apache.spark.sql.functions.{abs => sabs, log => slog, round => sround}
+    val dirs = new java.io.File("/root/testdata").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("sf")).map(_.getPath)
+    assert(dirs.nonEmpty)
+    dirs.foreach { dir =>
+      val ratio = slog(col("value")) / slog(lit(1.02))
+      val bad = graft.engine.Tables.events(spark, dir)
+        .filter(col("value") > 0 && col("value") =!= 1.0 && col("value") =!= 1.02)
+        .filter(sabs(ratio - sround(ratio, 0)) < 1e-9)
+        .count()
+      assert(bad === 0L, s"$dir: $bad values within 1e-9 of a log-bucket boundary")
+    }
+  }
+
   test("sla burn: fires only when the 1h AND trailing-6h burns both exceed 1.0; " +
     "hour gaps widen the lookback") {
     // hour 0 (minutes 0-59): 4 events, 1 error → burn_1h = (1/4)/0.25 = 1.0
