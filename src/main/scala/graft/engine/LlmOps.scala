@@ -735,9 +735,17 @@ object LlmOps {
   /** (vec_id, sub, sv): unit-normalized subvector rows — the shared input
     * of PQ training, encode, and the query-side ADC tables.
     */
-  private def pqNormSubvectors(s: SparkSession, dir: String): DataFrame = {
+  private def pqNormSubvectors(s: SparkSession, dir: String): DataFrame =
+    pqNormSubvectorsOf(Tables.embeddings(s, dir))
+
+  /** [[pqNormSubvectors]] over an arbitrary (vec_id, embedding) frame —
+    * the append-batch entry point [[graft.sources.Sinks.refreshPqIndex]]
+    * encodes through, so a refreshed batch can never normalize or slice
+    * differently from the original build pass.
+    */
+  private[graft] def pqNormSubvectorsOf(emb: DataFrame): DataFrame = {
     val norm = vectors.l2Norm(col("embedding"))
-    Tables.embeddings(s, dir)
+    emb
       .filter(norm > 0)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double") / norm).as("nv"))
@@ -785,15 +793,26 @@ object LlmOps {
         .localCheckpoint()
     }
     // Encode: the corpus as pqM-int code arrays — the persisted PQ index.
-    val codes = sv.join(broadcast(cb), Seq("sub"))
+    (cb, pqEncode(sv, cb))
+  }
+
+  /** The ENCODE half of the PQ build, against a GIVEN codebook: nearest
+    * centroid per (vector, subspace), rolled into the pqM-int code array.
+    * Split out so [[graft.sources.Sinks.refreshPqIndex]] can encode an
+    * append batch with the STANDING codebook — the production refresh
+    * never retrains (codebook drift is a scheduled-rebuild concern);
+    * encoding is embarrassingly parallel and deterministic (min(struct)
+    * argmin with code tiebreak), so refresh ≡ rebuild-encode given the
+    * same codebook, which StorageLayoutSpec pins file-for-row.
+    */
+  private[graft] def pqEncode(sv: DataFrame, cb: DataFrame): DataFrame =
+    sv.join(broadcast(cb), Seq("sub"))
       .withColumn("d2", l2sqCol(col("sv"), col("c")))
       .groupBy("vec_id", "sub")
       .agg(min(struct(col("d2"), col("code"))).as("best"))
       .groupBy("vec_id")
       .agg(transform(array_sort(collect_list(struct(col("sub"), col("best.code").as("code")))),
         x => x.getField("code")).as("codes"))
-    (cb, codes)
-  }
 
   /** The PQ QUERY PATH over a (possibly persisted) index: ADC tables from
     * the codebook, compressed-domain shortlist over the code table, exact

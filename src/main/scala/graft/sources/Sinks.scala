@@ -70,6 +70,26 @@ object Sinks {
     writeSized(codes, s"$path/codes", codeFiles)
   }
 
+  /** Incremental refresh of a [[writePqIndex]] store for an APPEND batch
+    * of new vectors: the batch is encoded against the STANDING codebook
+    * (read from the store — refresh never retrains; codebook drift is a
+    * scheduled-rebuild concern) and its code rows APPEND into the code
+    * table. The standing code files are never read or rewritten, so
+    * refresh cost tracks the batch. Because encoding is a deterministic
+    * pure function of (vector, codebook), the refreshed store is
+    * row-identical to re-encoding the whole corpus with that codebook —
+    * StorageLayoutSpec proves it, plus the append-only file contract.
+    */
+  def refreshPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                     newVectors: DataFrame): Unit = {
+    val cb = spark.read.parquet(s"$path/codebook")
+    graft.engine.LlmOps.pqEncode(graft.engine.LlmOps.pqNormSubvectorsOf(newVectors), cb)
+      .repartition(1)
+      .write.mode("append")
+      .option("compression", "zstd")
+      .parquet(s"$path/codes")
+  }
+
   /** Range-clustered event layout + FILE-LEVEL ZONE MAP: rewrites the log
     * with `repartitionByRange(ts)` + an in-file sort, so each output file
     * covers one narrow disjoint time span, then records per-file

@@ -235,6 +235,37 @@ class StorageLayoutSpec extends SparkSpecBase {
            rows(spark.read.parquet(s"$fullDir/meta")))
   }
 
+  test("pq index: incremental refresh encodes the batch with the standing codebook " +
+    "and equals a whole-corpus re-encode; standing code files never rewritten") {
+    import org.apache.spark.sql.functions.{col => c}
+    val emb = graft.engine.Tables.embeddings(spark, sfDir)
+    val cut = emb.selectExpr("percentile(vec_id, 0.7)").head.getDouble(0).toLong
+    val dir = s"$tmp/pq_incr"
+    // a standing codebook (the invariant holds for ANY given codebook —
+    // refresh never retrains, so which corpus trained it is immaterial);
+    // initial store holds codes for the first 70% of vectors only
+    val cb = spark.read
+      .parquet(s"${graft.sources.Stores.pqIndex(spark, sfDir)}/codebook")
+    graft.sources.Sinks.writePqIndex(
+      cb,
+      graft.engine.LlmOps.pqEncode(
+        graft.engine.LlmOps.pqNormSubvectorsOf(emb.filter(c("vec_id") <= cut)), cb),
+      dir)
+    val before = spark.read.parquet(s"$dir/codes").inputFiles.toSet
+    graft.sources.Sinks.refreshPqIndex(spark, dir, emb.filter(c("vec_id") > cut))
+    val after = spark.read.parquet(s"$dir/codes").inputFiles.toSet
+    assert(before.subsetOf(after) && after.size > before.size,
+      "refresh rewrote or dropped standing code files")
+    // refresh == re-encoding the WHOLE corpus against the same codebook
+    val standingCb = spark.read.parquet(s"$dir/codebook")
+    val whole = graft.engine.LlmOps.pqEncode(
+        graft.engine.LlmOps.pqNormSubvectorsOf(emb), standingCb)
+      .collect().map(_.toString).sorted.toSeq
+    val refreshed = spark.read.parquet(s"$dir/codes")
+      .collect().map(_.toString).sorted.toSeq
+    assert(refreshed === whole)
+  }
+
   test("salted aggregation equals direct aggregation") {
     import spark.implicits._
     val salted = graft.engine.LogOps.saltedAgg.build(spark, sfDir)
