@@ -2559,6 +2559,90 @@ object LogOps {
       .orderBy("key")
   }
 
+  /** P6+: search-box AUTOCOMPLETE — top-k completions of a prefix by
+    * document frequency, served from the standing token-SORTED term
+    * dictionary ([[graft.sources.Sinks.writeTermDict]] via the build-once
+    * Stores registry). This is the one search shape the hash-bucketed
+    * posting store cannot serve (hashing destroys prefix locality — a
+    * prefix probe there would open every bucket); the dict's string zone
+    * map prunes to the files whose [min_tok, max_tok] span intersects the
+    * prefix interval, which StorageLayoutSpec measures and PlanSpec pins
+    * corpus-scan-free. The oracle IS the raw-scan formulation, so the
+    * driver proves dict ≡ scan. Ties in df break by token — the top-k cut
+    * line is deterministic cross-engine.
+    */
+  val termSuggest = Q(
+    "log_term_suggest",
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS tok
+      |  FROM documents)
+      |SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+      |  CAST(COUNT(*) AS BIGINT) AS cf
+      |FROM toks WHERE tok LIKE 's%'
+      |GROUP BY tok ORDER BY df DESC, tok LIMIT 10""".stripMargin) { (s, dir) =>
+    val store = graft.sources.Stores.termDict(s, dir)
+    graft.sources.Sinks.probeTermDict(s, store, "s", 10)
+  }
+
+  /** Schema DRIFT between two corpus periods — the monitoring face of
+    * [[schemaInfer]]: per props key, presence counts and coverage in the
+    * first vs second half of the month, the coverage delta, and a status
+    * flag (`new` = absent early, `gone` = absent late, else `stable`).
+    * This is the check a schema-on-read pipeline runs per release: a key
+    * that vanishes or appears signals an upstream emitter change before
+    * any consumer breaks. ONE corpus scan: the period flag rides the key
+    * explode and a single hash agg produces both sides as conditional
+    * counts (no self-join of two profiles); the two period totals are a
+    * single-row aggregate broadcast back (metadata rebase, allowlisted).
+    * nullif guards make an empty period audit as NULL coverage, not a
+    * division error. 100 TB: reduce side = |key space| rows.
+    */
+  val schemaDrift = Q(
+    "meta_schema_drift",
+    """WITH kv AS (
+      |  SELECT CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+      |              THEN 'a' ELSE 'b' END AS period,
+      |    unnest(json_keys(props)) AS key
+      |  FROM events),
+      |tot AS (
+      |  SELECT CAST(count_if(ts < TIMESTAMP '2024-01-16 00:00:00') AS BIGINT) AS tot_a,
+      |         CAST(count_if(ts >= TIMESTAMP '2024-01-16 00:00:00') AS BIGINT) AS tot_b
+      |  FROM events),
+      |prof AS (
+      |  SELECT key,
+      |    CAST(count_if(period = 'a') AS BIGINT) AS n_a,
+      |    CAST(count_if(period = 'b') AS BIGINT) AS n_b
+      |  FROM kv GROUP BY key)
+      |SELECT key, n_a, n_b,
+      |  ROUND(1e2 * n_a / nullif(tot_a, 0), 4) AS cov_a_pct,
+      |  ROUND(1e2 * n_b / nullif(tot_b, 0), 4) AS cov_b_pct,
+      |  ROUND(1e2 * n_b / nullif(tot_b, 0) - 1e2 * n_a / nullif(tot_a, 0), 4)
+      |    AS delta_pct,
+      |  CASE WHEN n_a = 0 THEN 'new' WHEN n_b = 0 THEN 'gone'
+      |       ELSE 'stable' END AS status
+      |FROM prof, tot ORDER BY key""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val isA = col("ts") < lit("2024-01-16")
+    val tot = ev.agg(count_if(isA).as("tot_a"), count_if(!isA).as("tot_b"))
+    val covA = lit(100.0) * col("n_a") / nullif(col("tot_a"), lit(0L))
+    val covB = lit(100.0) * col("n_b") / nullif(col("tot_b"), lit(0L))
+    ev.select(when(isA, lit("a")).otherwise(lit("b")).as("period"),
+        explode(map_keys(expr("from_json(props, 'map<string,string>')"))).as("key"))
+      .groupBy("key")
+      .agg(count_if(col("period") === "a").as("n_a"),
+        count_if(col("period") === "b").as("n_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("key"), col("n_a"), col("n_b"),
+        round(covA, 4).as("cov_a_pct"),
+        round(covB, 4).as("cov_b_pct"),
+        round(covB - covA, 4).as("delta_pct"),
+        when(col("n_a") === 0, lit("new"))
+          .when(col("n_b") === 0, lit("gone"))
+          .otherwise(lit("stable")).as("status"))
+      .orderBy("key")
+  }
+
   /** Multi-window SLO burn-rate alerting (the SRE-workbook pattern): per
     * hour, the error-budget burn at the 1 h grain and over the trailing
     * 6 h, firing only when BOTH exceed 1.0 — the fast window gives
@@ -3069,5 +3153,5 @@ object LogOps {
     rollupServed, ewmaDaily, zonemapScan, pointLookup,
     schemaInfer, slaBurn, cusumChangepoint, alertRules, newTemplates, corrMatrix,
     booleanSearch, searchFacets, booleanSearchIndexed, searchFacetsIndexed,
-    latencySketchRange)
+    latencySketchRange, schemaDrift, termSuggest)
 }

@@ -400,6 +400,63 @@ object Sinks {
       .filter(col("tok").isin(normTerms: _*))
   }
 
+  /** Token-SORTED term dictionary + string zone map — the layout a PREFIX
+    * query (search-box autocomplete, `tok LIKE 'spar%'`) needs and the
+    * hash-bucketed posting store structurally cannot provide: hashing
+    * destroys prefix locality, so a prefix probe of the posting store
+    * would open every bucket. The dict is one (tok, df, cf) row per
+    * vocabulary term, range-clustered BY TOKEN with an in-file sort and a
+    * per-file (min_tok, max_tok, n) sidecar — [[writeRangeClustered]]'s
+    * zone-map idea lifted from timestamps to strings. Built with the
+    * store tokenization ([[postingToks]]) so dict terms can never
+    * disagree with posting terms. At 100 TB the dict is vocabulary-sized
+    * (≪ corpus) and the sidecar is one row per file.
+    */
+  def writeTermDict(docs: DataFrame, path: String, files: Int = 8): Unit = {
+    docs
+      .select(col("doc_id"), explode(postingToks).as("tok"))
+      .groupBy("tok")
+      .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("cf"))
+      .repartitionByRange(files, col("tok"))
+      .sortWithinPartitions("tok")
+      .write.mode("overwrite")
+      .option("compression", "zstd")
+      .parquet(s"$path/dict")
+    // sidecar AFTER the data write, from the files as written; its
+    // _SUCCESS is the store's completion marker
+    docs.sparkSession.read.parquet(s"$path/dict")
+      .groupBy(input_file_name().as("file"))
+      .agg(min("tok").as("min_tok"), max("tok").as("max_tok"),
+        count(lit(1)).as("n"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/zonemap")
+  }
+
+  /** Prefix probe of a [[writeTermDict]] store: top-`k` completions of
+    * `prefix` by document frequency (ties broken by token so the cut is
+    * deterministic). File pruning is exact and complete: a file can hold
+    * a `prefix`-led token iff `max_tok >= prefix` (its last token is not
+    * before the prefix interval) AND the first `len(prefix)` chars of
+    * `min_tok` are <= `prefix` (its first token is not after it) —
+    * lexicographic interval logic, no residual false negatives. The
+    * residual startsWith filter runs inside the opened files only.
+    */
+  def probeTermDict(spark: org.apache.spark.sql.SparkSession, path: String,
+                    prefix: String, k: Int): DataFrame = {
+    val p = prefix.toLowerCase
+    val files = spark.read.parquet(s"$path/zonemap")
+      .filter(col("max_tok") >= p &&
+        substring(col("min_tok"), 1, p.length) <= p)
+      .select("file")
+      .collect().map(_.getString(0)) // one row per COVERING file — metadata
+    val base =
+      if (files.isEmpty) spark.read.parquet(s"$path/dict").limit(0)
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    base.filter(col("tok").startsWith(p))
+      .orderBy(col("df").desc, col("tok"))
+      .limit(k)
+  }
+
   /** HLL sketch store: persist (key…, day, sk: binary) daily Datasketches
     * HLL sketches, day-partitioned so a date-range union prunes whole
     * directories. This is the production range-query lifecycle behind

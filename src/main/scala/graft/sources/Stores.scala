@@ -161,6 +161,19 @@ object Stores {
     * `dataDir`'s embeddings table, training + encoding on first use via
     * the same `pqTrainEncode` the self-contained query runs.
     */
+  /** Path of the standing token-sorted term dictionary for `dataDir`'s
+    * documents table, building it via [[Sinks.writeTermDict]] on first
+    * use. The registered `log_term_suggest` query answers prefix
+    * completions from this store's pruned files and never scans the
+    * corpus.
+    */
+  def termDict(spark: SparkSession, dataDir: String): String = {
+    val path = storeRoot(dataDir, "documents.parquet", "term_dict")
+    buildOnce(path, s"$path/zonemap/_SUCCESS") {
+      Sinks.writeTermDict(graft.engine.Tables.documents(spark, dataDir), path)
+    }
+  }
+
   def pqIndex(spark: SparkSession, dataDir: String): String = {
     val path = storeRoot(dataDir, "embeddings.parquet", "pq_index")
     // codes is written after codebook (writePqIndex order) → marker

@@ -483,6 +483,24 @@ class LogOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("schema drift: new/gone/stable statuses and coverage deltas on a two-period fixture") {
+    // period a = before 2024-01-16, period b = after. Key `old` exists only
+    // early (gone), `fresh` only late (new), `k` both sides with coverage
+    // 100% -> 50% (delta -50).
+    def t(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+    val dir = eventsDir(Seq(
+      (1L, t(2), 0L, "view", 1.0, """{"k": 1, "old": true}"""),
+      (2L, t(3), 0L, "view", 1.0, """{"k": 2}"""),
+      (3L, t(20), 0L, "view", 1.0, """{"k": 3, "fresh": "x"}"""),
+      (4L, t(21), 0L, "view", 1.0, """{"fresh": "y"}""")))
+    val got = LogOps.schemaDrift.build(spark, dir)
+      .as[(String, Long, Long, Double, Double, Double, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("old") === (("old", 1L, 0L, 50.0, 0.0, -50.0, "gone")))
+    assert(got("fresh") === (("fresh", 0L, 2L, 0.0, 100.0, 100.0, "new")))
+    assert(got("k") === (("k", 2L, 1L, 100.0, 50.0, -50.0, "stable")))
+  }
+
   test("latency sketch: every estimate within the DDSketch relative-error bound " +
     "of the exact range percentile") {
     // γ = 1.02 guarantees |est/v − 1| ≤ (γ−1)/(γ+1) ≈ 0.0099 for the value

@@ -139,16 +139,19 @@ class PlanSpec extends SparkSpecBase {
 
   test("store-served BM25, phrase, boolean, and facet search never read the corpus") {
     // The whole point of the standing index: ranked retrieval, phrase
-    // matching, boolean algebra, and facet rollups answer from posting
-    // buckets + docstats + meta only.
+    // matching, boolean algebra, facet rollups, and prefix completion
+    // answer from their store artifacts (posting buckets + docstats +
+    // meta, or the token-sorted term dict) only.
     for (q <- Seq(LogOps.indexedSearchRanked, LogOps.indexedPhrase,
-                  LogOps.booleanSearchIndexed, LogOps.searchFacetsIndexed)) {
+                  LogOps.booleanSearchIndexed, LogOps.searchFacetsIndexed,
+                  LogOps.termSuggest)) {
       val roots = q.build(spark, sfDir).queryExecution.sparkPlan
         .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
         .map(_.relation.location.rootPaths.mkString(","))
       assert(!roots.exists(_.contains("documents.parquet")),
         s"${q.name} read the corpus: $roots")
-      assert(roots.exists(_.contains("postings")), s"${q.name}: no posting scan in $roots")
+      assert(roots.exists(r => r.contains("postings") || r.contains("term_dict")),
+        s"${q.name}: no store scan in $roots")
     }
   }
 
@@ -404,6 +407,8 @@ class PlanSpec extends SparkSpecBase {
                                 "metadata-sized (the log_resample_fill zero-fill-grid shape)"),
     "meta_benford_digits"   -> ("single-row digit-count total cross-joined into the observed " +
                                 "percentage — metadata rebase over ≤9 digit rows"),
+    "meta_schema_drift"     -> ("single-row two-period totals aggregate cross-joined into the " +
+                                "coverage percentages — metadata rebase over key-cardinality rows"),
     "sql_dormant_customers" -> ("single-row balance-stats scalar aggregate cross-joined as " +
                                 "the above-average bound (TPC-H Q22 shape) — metadata rebase; " +
                                 "the order probe itself is a hashed LEFT ANTI join"))

@@ -235,6 +235,31 @@ class StorageLayoutSpec extends SparkSpecBase {
            rows(spark.read.parquet(s"$fullDir/meta")))
   }
 
+  test("term dict: prefix probe prunes to covering files and equals the raw scan") {
+    import org.apache.spark.sql.functions.{countDistinct, desc, explode, lower, split}
+    val dir = s"$tmp/term_dict"
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+    graft.sources.Sinks.writeTermDict(docs, dir)
+    // the probe must open fewer dict files than the store holds
+    val zm = spark.read.parquet(s"$dir/zonemap")
+    val covering = zm.filter(col("max_tok") >= "s" &&
+      org.apache.spark.sql.functions.substring(col("min_tok"), 1, 1) <= "s").count()
+    assert(covering < zm.count(), s"no pruning: $covering of ${zm.count()} files")
+    val got = graft.sources.Sinks.probeTermDict(spark, dir, "s", 10)
+      .collect().map(_.toString).toSeq
+    val raw = docs
+      .select(col("doc_id"), explode(filter(split(lower(col("text")), " "),
+        t => t =!= "")).as("tok"))
+      .filter(col("tok").startsWith("s"))
+      .groupBy("tok")
+      .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("cf"))
+      .orderBy(desc("df"), col("tok")).limit(10)
+      .collect().map(_.toString).toSeq
+    assert(got === raw)
+    // a prefix beyond the vocabulary is empty, not an error
+    assert(graft.sources.Sinks.probeTermDict(spark, dir, "zzzz", 10).count() === 0)
+  }
+
   test("pq index: incremental refresh encodes the batch with the standing codebook " +
     "and equals a whole-corpus re-encode; standing code files never rewritten") {
     import org.apache.spark.sql.functions.{col => c}
