@@ -202,6 +202,45 @@ object CurationOps {
       .orderBy("source")
   }
 
+  /** D-mix at the SAMPLING-POLICY grain: temperature-scaled domain
+    * weights, the mT5/GPT-3 recipe — sample domain i proportional to
+    * pᵢ^α (α = 0.5 here), which upweights small domains without letting
+    * any one dominate; [[domainMix]] is the α → 0 (equal-weight) extreme
+    * of the same family. Output per source: size, raw corpus share, the
+    * α-scaled share, and the uplift — the numbers a data-mix review
+    * actually reads. One partial-aggregated scan onto source keys; the
+    * single-row Σ totals broadcast back (metadata rebase, allowlisted).
+    * Cross-engine: sqrt is IEEE-correctly-rounded (identical both sides)
+    * and the Σ over ≤ source-cardinality doubles sits far inside the 4dp
+    * rounding; the shares use the house 1e2 double literal.
+    */
+  val temperatureMix = Q(
+    "llm_temperature_mix",
+    """WITH d AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT SUM(n_chars) AS tot, SUM(sqrt(n_chars)) AS wsum FROM d)
+      |SELECT source, n_docs, n_chars,
+      |  ROUND(1e2 * n_chars / tot, 4) AS raw_pct,
+      |  ROUND(1e2 * sqrt(n_chars) / wsum, 4) AS alpha05_pct,
+      |  ROUND(1e2 * sqrt(n_chars) / wsum - 1e2 * n_chars / tot, 4) AS uplift_pct
+      |FROM d, t ORDER BY source""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+    val t = d.agg(sum("n_chars").as("tot"),
+      sum(sqrt(col("n_chars"))).as("wsum"))
+    val raw = lit(1e2) * col("n_chars") / col("tot")
+    val temp = lit(1e2) * sqrt(col("n_chars")) / col("wsum")
+    d.crossJoin(broadcast(t))
+      .select(col("source"), col("n_docs"), col("n_chars"),
+        round(raw, 4).as("raw_pct"),
+        round(temp, 4).as("alpha05_pct"),
+        round(temp - raw, 4).as("uplift_pct"))
+      .orderBy("source")
+  }
+
   /** The nightly curation pipeline, end to end as ONE composed plan:
     * exact dedup (keep min doc_id per content digest) → quality gate
     * (≥ 20 non-empty tokens) → deterministic 80/10/10 split → per
@@ -468,5 +507,5 @@ object CurationOps {
   val all: Seq[Q] = Seq(
     trainTestSplit, stratifiedSample, dedupCanonical, packSequences,
     bigramVocab, histogramChars, domainMix, curationPipeline, quotaSample,
-    weightedSample, chunkText, datasetCard, seqLengthBuckets)
+    weightedSample, chunkText, datasetCard, seqLengthBuckets, temperatureMix)
 }

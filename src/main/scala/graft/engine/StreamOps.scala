@@ -1,6 +1,7 @@
 package graft.engine
 
 import graft.streaming.Streaming
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Batch twins of the streaming transforms (SURVEY.md §2.8): each `stream_*`
@@ -232,7 +233,50 @@ object StreamOps {
       .orderBy("day")
   }
 
+  /** T1 × A4 twin: hourly p95 latency from the streaming DDSketch bucket
+    * counts — [[Streaming.hourlySketchCounts]] is the (append-legal,
+    * bounded-state) stateful half; the rank walk + midpoint estimate here
+    * is the read-side extraction a dashboard runs over the emitted bucket
+    * rows. Same bucket/estimate/guard machinery as
+    * `log_latency_sketch_range` (see its scaladoc for the cross-engine
+    * exactness argument); windows are (hour × type) so the extraction
+    * windows run over metadata-sized rows.
+    */
+  val latencySketchHourly = Q(
+    "stream_latency_sketch_1h",
+    """WITH b AS (
+      |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
+      |    CASE WHEN value <= 0 THEN -1000000
+      |         ELSE CAST(CEILING(ln(value) / ln(1.02)) AS BIGINT) END AS bucket,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2, 3),
+      |r AS (
+      |  SELECT ws, event_type, bucket, n,
+      |    CAST(SUM(n) OVER (PARTITION BY ws, event_type ORDER BY bucket)
+      |      AS BIGINT) AS cum,
+      |    CAST(SUM(n) OVER (PARTITION BY ws, event_type) AS BIGINT) AS total,
+      |    CASE WHEN bucket = -1000000 THEN 0.0
+      |         ELSE 2 * power(1.02, bucket) / 2.02 END AS est
+      |  FROM b)
+      |SELECT ws, event_type, MAX(total) AS n_events,
+      |  ROUND(MIN(CASE WHEN cum * 100 >= total * 95 THEN est END), 4) + 0 AS p95_est
+      |FROM r GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin) { (s, dir) =>
+    val byBucket = Window.partitionBy("ws", "event_type").orderBy("bucket")
+    val whole = Window.partitionBy("ws", "event_type")
+    val est = when(col("bucket") === -1000000L, lit(0.0))
+      .otherwise(lit(2.0) * pow(lit(1.02), col("bucket")) / lit(2.02))
+    Streaming.hourlySketchCounts(Tables.events(s, dir))
+      .withColumn("cum", sum("n").over(byBucket))
+      .withColumn("total", sum("n").over(whole))
+      .withColumn("est", est)
+      .groupBy("ws", "event_type")
+      .agg(max("total").as("n_events"),
+        (round(min(when(col("cum") * 100 >= col("total") * 95, col("est"))), 4)
+          + lit(0.0)).as("p95_est"))
+      .orderBy("ws", "event_type")
+  }
+
   val all: Seq[Q] = Seq(tumbling, sliding, sessionWindow, errorBurstsBatch, clickAttrib,
     hllTumbling, templateTumbling, driftTumbling, templateMomentumQ, alertRulesStream,
-    newTemplatesStream)
+    newTemplatesStream, latencySketchHourly)
 }

@@ -33,6 +33,26 @@ object Streaming {
   // ---- T1/T2/T3: windowed aggregations (work on batch AND stream) ----
 
   /** T1: tumbling 1-hour counts per event type. */
+  /** T1 × A4: per-hour DDSketch-style log-bucket latency counts — the
+    * streaming face of `LogOps.latencySketchRange`. ONE aggregation over
+    * (window, type, bucket) keys, so it is append-legal under a watermark
+    * and state per key is a single count: the sketch property that bounds
+    * streaming state no matter the event rate (bucket cardinality is
+    * value-range-log-sized, never ingest-sized). Quantile extraction (the
+    * rank walk) is read-side work over the emitted bucket rows, exactly
+    * as the batch store serves range queries — a second shuffled
+    * aggregation inside the stream would not be append-legal anyway.
+    */
+  def hourlySketchCounts(events: DataFrame): DataFrame = {
+    val bucket = when(col("value") <= 0, lit(-1000000L))
+      .otherwise(ceil(log(col("value")) / log(lit(1.02))).cast("long"))
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"),
+        bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("event_type"), col("bucket"), col("n"))
+  }
+
   def tumblingCounts(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))

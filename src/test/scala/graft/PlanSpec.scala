@@ -381,6 +381,8 @@ class PlanSpec extends SparkSpecBase {
     "llm_tfidf"             -> "single-row corpus-count aggregate cross-joined into idf",
     "filter_scalar_subquery"-> "single-row scalar aggregate broadcast as the filter bound",
     "llm_domain_mix"        -> "single-row totals aggregate cross-joined into the weights",
+    "llm_temperature_mix"   -> ("single-row (Σ tokens, Σ √tokens) aggregate cross-joined " +
+                                "into the α-scaled shares — metadata rebase over source rows"),
     "text_unigram_logprob"  -> "single-row corpus-total aggregate cross-joined into log2 N",
     "log_retention_policy"  -> "single-row max-ts aggregate cross-joined into the age tiers",
     "log_drift_daily"       -> "single-row global min/max and bin-total aggregates cross-joined into the binning and the KL normalizer",

@@ -83,6 +83,22 @@ class StreamingSpec extends SparkSpecBase {
     assert(stream === batch)
   }
 
+  test("hourly latency sketch: stream bucket counts equal batch; state is one count " +
+    "per (window, type, bucket) key") {
+    val batch = Streaming.hourlySketchCounts(toDf(rows)).collect().map(_.toString).sorted.toSeq
+    val stream = runStream(Streaming.hourlySketchCounts, "complete",
+      Seq(rows.take(4), rows.drop(4)))
+    assert(stream === batch)
+    // single aggregation → append-legal under a watermark: the analyzed
+    // streaming plan must carry exactly one Aggregate above the source
+    val input = MemoryStream[Streaming.Ev](spark)
+    val aggs = Streaming.hourlySketchCounts(
+        input.toDF().withWatermark("ts", "1 hour"))
+      .queryExecution.analyzed
+      .collect { case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }
+    assert(aggs.size === 1, s"expected a single streaming aggregation, got ${aggs.size}")
+  }
+
   test("template tumbling: stream equals batch; masking leaves no digits") {
     // real props so the masked variables (code=, k=) actually exist
     def withProps(df: DataFrame): DataFrame = df.withColumn("props",
