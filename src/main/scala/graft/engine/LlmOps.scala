@@ -1193,8 +1193,22 @@ object LlmOps {
     * label(x) < label(y), and y's neighbor-min step would have changed y —
     * contradiction. Labels are min node ids per component, matching
     * GraphX `connectedComponents` (the spec cross-checks against it).
+    *
+    * SIZE-ADAPTIVE execution (`driverThreshold`, default 100k pairs —
+    * the autoBroadcastJoinThreshold discipline, gated on a MEASURED
+    * count of the already-materialized pair list, never an assumption):
+    * near-dup pair sets are usually tiny relative to their corpus (256
+    * pairs from 50k docs at sf0.1), and the distributed loop's cost is
+    * then pure job-launch overhead — ~5 s of scheduling for microseconds
+    * of work. At or under the threshold the pairs are collected and
+    * union-find with path compression runs driver-side; past it the
+    * distributed pointer-jumping loop runs unchanged (and is what the
+    * soak exercises). Both paths produce the IDENTICAL min-label
+    * output — LlmOpsSpec pins them equal on the same pair sets, and the
+    * GraphX cross-check runs the distributed path explicitly.
     */
-  def clusterPairs(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def clusterPairs(pairs: DataFrame, maxIter: Int = 10,
+                   driverThreshold: Long = 100000L): DataFrame = {
     // Materialize the PAIR list once before anything else: the
     // symmetrization union below reads `pairs` twice, and an
     // un-materialized input would execute the whole upstream
@@ -1207,6 +1221,9 @@ object LlmOps {
     // persist-to-disk/checkpoint; localCheckpoint is the single-JVM
     // equivalent.
     val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    // size-adaptive gate: the count is free (p is materialized) and the
+    // decision is measured, not assumed — the broadcast-threshold pattern
+    if (p.count() <= driverThreshold) return unionFindDriver(p)
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
@@ -1249,6 +1266,38 @@ object LlmOps {
       it += 1
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Driver-side half of [[clusterPairs]]'s size-adaptive gate: classic
+    * union-find with path compression, union-by-min-root — since every
+    * node starts as its own root and a union always attaches the larger
+    * root under the smaller, the final root of a component IS its min
+    * node id, exactly the distributed fixpoint's label. Output schema
+    * and values identical to the distributed path (spec-pinned).
+    */
+  private def unionFindDriver(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val es = pairs.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    for ((a, b) <- es) {
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      .toDF("doc_id", "cluster_id")
   }
 
   /** D2 follow-through: near-dup clusters from the shingle-Jaccard pairs,

@@ -291,7 +291,7 @@ class LlmOpsSpec extends SparkSpecBase {
     spark.listenerManager.register(listener)
     try {
       val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
-      LlmOps.clusterPairs(pairs).collect()
+      LlmOps.clusterPairs(pairs, driverThreshold = 0L).collect()
       // the execution-listener bus is async — poll for the round plans
       val deadline = System.currentTimeMillis() + 15000
       import scala.jdk.CollectionConverters._
@@ -308,7 +308,8 @@ class LlmOpsSpec extends SparkSpecBase {
 
   test("clusterPairs converges on a long chain within the diameter bound") {
     val chain = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = LlmOps.clusterPairs(chain, maxIter = 10).as[(Long, Long)].collect()
+    val got = LlmOps.clusterPairs(chain, maxIter = 10, driverThreshold = 0L)
+      .as[(Long, Long)].collect()
     assert(got.forall(_._2 === 0L)) // one component labeled by its minimum
     assert(got.length === 10)
   }
@@ -320,9 +321,28 @@ class LlmOpsSpec extends SparkSpecBase {
     // 8th detects the fixpoint. maxIter = 8 would time out the old
     // one-hop loop and is the regression guard for the jump.
     val chain = (0L until 99L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = LlmOps.clusterPairs(chain, maxIter = 8).as[(Long, Long)].collect()
+    val got = LlmOps.clusterPairs(chain, maxIter = 8, driverThreshold = 0L)
+      .as[(Long, Long)].collect()
     assert(got.length === 100)
     assert(got.forall(_._2 === 0L))
+  }
+
+  test("clusterPairs size-adaptive gate: driver union-find equals the distributed " +
+    "pointer-jumping loop on the same pair sets") {
+    val rnd = new scala.util.Random(7)
+    val cases = Seq(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L), (20L, 21L)),
+      (0L until 99L).map(i => (i, i + 1)),
+      Seq.fill(400)((rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
+        .filter { case (a, b) => a != b }.distinct)
+    for (es <- cases) {
+      val df = es.toDF("id_a", "id_b")
+      val driver = LlmOps.clusterPairs(df, driverThreshold = Long.MaxValue)
+        .as[(Long, Long)].collect().toMap
+      val dist = LlmOps.clusterPairs(df, maxIter = 20, driverThreshold = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(driver === dist, s"paths diverged on a ${es.size}-edge graph")
+    }
   }
 
   test("clusterPairs matches graphx connectedComponents on a random graph") {
@@ -333,7 +353,8 @@ class LlmOpsSpec extends SparkSpecBase {
       .filter { case (a, b) => a != b }
       .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
       .distinct
-    val got = LlmOps.clusterPairs(edges.toDF("id_a", "id_b"), maxIter = 20)
+    val got = LlmOps.clusterPairs(edges.toDF("id_a", "id_b"), maxIter = 20,
+        driverThreshold = 0L)
       .as[(Long, Long)].collect().toMap
     val g = org.apache.spark.graphx.Graph.fromEdgeTuples(
       spark.sparkContext.parallelize(edges), defaultValue = 0)
