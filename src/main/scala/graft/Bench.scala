@@ -34,6 +34,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // A full-registry run leaves thousands of dead localCheckpoint /
+      // broadcast blocks (iterative queries checkpoint per round, 6 runs
+      // each); Spark's ContextCleaner reclaims them only when the driver
+      // GCs, and the default periodicGC interval (30 min) is longer than
+      // the whole suite — so block-manager pressure built up across ~160
+      // queries was inflating the checkpoint-heavy late-alphabet ones
+      // (llm_neardup_clusters measured 3× its small-context time). One
+      // minute is the knob's documented use, not a bench trick.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_BENCH: unset = the 10 baseline-mirroring headliners;

@@ -27,6 +27,7 @@ object Soak {
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "1min") // see Bench.scala
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.addSparkListener(new SparkListener {
