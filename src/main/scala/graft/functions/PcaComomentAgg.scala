@@ -28,6 +28,10 @@ class PcaComomentAgg(val d: Int) extends Aggregator[Seq[Long], Array[Long], Seq[
   override def zero: Array[Long] = new Array[Long](len)
 
   override def reduce(buf: Array[Long], q: Seq[Long]): Array[Long] = {
+    // explicit failure on a null vector: the old exploded formulation
+    // silently skipped nulls via explode-of-null; silently changing n here
+    // would skew every co-moment, so a null row must fail loudly instead
+    require(q != null, "null embedding row reached PcaComomentAgg — filter null vectors upstream")
     require(q.length == d, s"embedding dimension ${q.length} != expected $d")
     val a = q.toArray
     buf(0) += 1L

@@ -79,11 +79,21 @@ object Sinks {
     * pure function of (vector, codebook), the refreshed store is
     * row-identical to re-encoding the whole corpus with that codebook —
     * StorageLayoutSpec proves it, plus the append-only file contract.
+    *
+    * Replay-safe: the batch is anti-joined against the standing code
+    * table's vec_ids before appending, so a re-delivered (or overlapping)
+    * batch appends only its genuinely-new vectors instead of silently
+    * duplicating code rows. The guard reads ONE int column of the standing
+    * codes — the 32×-compressed index, not the vector corpus — and the
+    * anti-join broadcasts the batch side, so the cost stays an index scan
+    * even at 100 TB of raw vectors.
     */
   def refreshPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                      newVectors: DataFrame): Unit = {
     val cb = spark.read.parquet(s"$path/codebook")
-    graft.engine.LlmOps.pqEncode(graft.engine.LlmOps.pqNormSubvectorsOf(newVectors), cb)
+    val standing = spark.read.parquet(s"$path/codes").select("vec_id")
+    val fresh = newVectors.join(standing, Seq("vec_id"), "left_anti")
+    graft.engine.LlmOps.pqEncode(graft.engine.LlmOps.pqNormSubvectorsOf(fresh), cb)
       .repartition(1)
       .write.mode("append")
       .option("compression", "zstd")

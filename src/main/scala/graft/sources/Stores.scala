@@ -157,10 +157,6 @@ object Stores {
     */
   private val BUCKETS = 8
 
-  /** Path of the standing PQ ANN index (codebook + encoded corpus) for
-    * `dataDir`'s embeddings table, training + encoding on first use via
-    * the same `pqTrainEncode` the self-contained query runs.
-    */
   /** Path of the standing token-sorted term dictionary for `dataDir`'s
     * documents table, building it via [[Sinks.writeTermDict]] on first
     * use. The registered `log_term_suggest` query answers prefix
@@ -174,6 +170,10 @@ object Stores {
     }
   }
 
+  /** Path of the standing PQ ANN index (codebook + encoded corpus) for
+    * `dataDir`'s embeddings table, training + encoding on first use via
+    * the same `pqTrainEncode` the self-contained query runs.
+    */
   def pqIndex(spark: SparkSession, dataDir: String): String = {
     val path = storeRoot(dataDir, "embeddings.parquet", "pq_index")
     // codes is written after codebook (writePqIndex order) → marker

@@ -289,6 +289,12 @@ class StorageLayoutSpec extends SparkSpecBase {
     val refreshed = spark.read.parquet(s"$dir/codes")
       .collect().map(_.toString).sorted.toSeq
     assert(refreshed === whole)
+    // replay safety: re-delivering the SAME batch appends nothing — the
+    // vec_id anti-join guard makes refresh idempotent under at-least-once
+    graft.sources.Sinks.refreshPqIndex(spark, dir, emb.filter(c("vec_id") > cut))
+    val replayed = spark.read.parquet(s"$dir/codes")
+      .collect().map(_.toString).sorted.toSeq
+    assert(replayed === whole, "replayed refresh duplicated code rows")
   }
 
   test("salted aggregation equals direct aggregation") {

@@ -82,6 +82,26 @@ class TablesFixtureSpec extends SparkSpecBase {
     assert(ntz.map(_._1) == ltz.map(_._1), s"ntz vs ltz ts: $ntz / $ltz")
   }
 
+  test("lineitem fixture guard: l_quantity is integer-valued in every sf dir " +
+    "(sql_small_quantity_revenue's ROUND half-up vs half-even premise)") {
+    // sql_small_quantity_revenue and sql_large_orders compare quantities in
+    // exact integers via CAST(ROUND(l_quantity, 0) AS BIGINT); a fractional
+    // quantity ending in .5 would round half-up in DuckDB and half-even in
+    // Spark, silently splitting the engines. Sweep every fixture dir (the
+    // latency-sketch / PCA-quantization guard pattern) so a regenerated
+    // corpus that breaks the premise fails here, not in a hash mismatch.
+    import org.apache.spark.sql.functions.{col, round => sround}
+    val dirs = new java.io.File("/root/testdata").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("sf")).map(_.getPath)
+    assert(dirs.nonEmpty)
+    dirs.foreach { dir =>
+      val bad = Tables.load(spark, dir, "lineitem")
+        .filter(col("l_quantity") =!= sround(col("l_quantity"), 0))
+        .count()
+      assert(bad === 0L, s"$dir: $bad non-integer l_quantity values")
+    }
+  }
+
   test("real sf0.001 events fixture loads with the expected normalized schema") {
     val ev = Tables.events(spark, sfDir)
     assert(ev.schema("ts").dataType == TimestampType, ev.schema.treeString)
