@@ -81,6 +81,7 @@ object Plans {
     "sql_large_orders" -> "TPC-H Q18 shape: the quantity-sum HAVING filter runs as a partial-aggregated groupBy on l_orderkey BEFORE joining customer/orders — the big fact collapses first",
     "sql_dormant_customers" -> "TPC-H Q22 shape: single-row balance-stats scalar aggregate cross-joined as the above-average bound (allowlisted metadata rebase); the no-recent-order probe is a hashed LEFT ANTI join, never a correlated re-scan",
     "log_latency_sketch_range" -> "DDSketch-style quantile store: ONE corpus scan partial-aggregates to (type, day, log-bucket) counts; the range merge and rank walk run over metadata-sized bucket rows — range percentiles without rescanning events",
+    "log_latency_sketch_served" -> "persisted-sketch serve path: no events scan anywhere — the day= partition filter prunes the standing sketch store's directories and the rank walk runs over the pruned bucket rows",
     "meta_schema_drift" -> "two-period key profile in ONE scan: the period flag rides the key explode and a single hash agg emits both sides as conditional counts; the 1-row totals aggregate broadcasts back (allowlisted metadata rebase)",
     "log_term_suggest" -> "prefix autocomplete from the token-SORTED dict store: the string zone map prunes to covering files (prefix-interval logic), df top-k is a TakeOrdered over vocabulary-sized rows; documents.parquet appears nowhere",
     "sql_discounted_revenue" -> "TPC-H Q19 shape: ONE part⋈lineitem hash join with the OR-of-ANDs evaluated as a residual post-join disjunction — never three unioned scans, never a nested loop")

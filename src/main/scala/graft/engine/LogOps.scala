@@ -3029,8 +3029,62 @@ object LogOps {
     * all positives (the DDSketch zero counter), so quantiles rank over
     * ALL values.
     */
-  val latencySketchRange = Q(
-    "log_latency_sketch_range",
+  /** DDSketch zero-sentinel bucket id: sits below every positive bucket so
+    * the rank walk orders zero/negative values first. Shared by the batch
+    * query, the persisted store writer ([[graft.sources.Sinks.writeLatencySketches]])
+    * and the streaming ingest ([[graft.streaming.Streaming.hourlySketchCounts]]).
+    */
+  private[graft] val sketchZeroBucket = -1000000L
+
+  /** The canonical log-γ bucket index over `value` (γ = 1.02) — ONE
+    * definition shared by every sketch producer so a persisted bucket can
+    * never disagree with the query-side rank walk.
+    */
+  private[graft] def sketchBucketCol =
+    when(col("value") <= 0, lit(sketchZeroBucket))
+      .otherwise(ceil(log(col("value")) / log(lit(1.02))).cast("long"))
+
+  /** Midpoint value estimate for a bucket id: 2γᵇ/(γ+1); 0 for the zero
+    * sentinel. */
+  private def sketchEstCol =
+    when(col("bucket") === sketchZeroBucket, lit(0.0))
+      .otherwise(lit(2.0) * pow(lit(1.02), col("bucket")) / lit(2.02))
+
+  /** Range merge + rank walk over (event_type, day, bucket, n) sketch rows:
+    * prune to the report's date range, SUM counts per (type, bucket) —
+    * DDSketch merge is plain count addition — then walk the cumulative rank
+    * to the p50/p95/p99 midpoint estimates. Shared by the self-contained
+    * [[latencySketchRange]] (which derives the daily rows in-query) and the
+    * store-served [[latencySketchServed]] (which reads them from the
+    * standing store); the two must stay one implementation or the
+    * shared-oracle proof of store ≡ rescan silently weakens.
+    */
+  private def sketchRangeReport(daily: DataFrame): DataFrame = {
+    val merged = daily
+      .filter(col("day") >= lit("2024-01-08") && col("day") < lit("2024-01-22"))
+      .groupBy("event_type", "bucket")
+      .agg(sum("n").as("n"))
+    val byBucket = Window.partitionBy("event_type").orderBy("bucket")
+    val whole = Window.partitionBy("event_type")
+    val ranked = merged
+      .withColumn("cum", sum("n").over(byBucket))
+      .withColumn("total", sum("n").over(whole))
+      .withColumn("est", sketchEstCol)
+    def qEst(p: Int, nm: String) =
+      (round(min(when(col("cum") * 100 >= col("total") * p, col("est"))), 4)
+        + lit(0.0)).as(nm)
+    ranked.groupBy("event_type")
+      .agg(max("total").as("n_events"),
+        qEst(50, "p50_est"), qEst(95, "p95_est"), qEst(99, "p99_est"))
+      .orderBy("event_type")
+  }
+
+  /** Shared oracle for [[latencySketchRange]] and [[latencySketchServed]]:
+    * the raw-events derivation — the store-served twin passing the SAME SQL
+    * is the driver-level proof that the standing store answers exactly what
+    * a full rescan would.
+    */
+  private val latencySketchRangeSql =
     """WITH daily AS (
       |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
       |    CASE WHEN value <= 0 THEN -1000000
@@ -3054,37 +3108,40 @@ object LogOps {
       |  ROUND(MIN(CASE WHEN cum * 100 >= total * 50 THEN est END), 4) + 0 AS p50_est,
       |  ROUND(MIN(CASE WHEN cum * 100 >= total * 95 THEN est END), 4) + 0 AS p95_est,
       |  ROUND(MIN(CASE WHEN cum * 100 >= total * 99 THEN est END), 4) + 0 AS p99_est
-      |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
-    val zeroB = -1000000L
-    val bucket = when(col("value") <= 0, lit(zeroB))
-      .otherwise(ceil(log(col("value")) / log(lit(1.02))).cast("long"))
+      |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val latencySketchRange = Q(
+    "log_latency_sketch_range", latencySketchRangeSql) { (s, dir) =>
     // the persisted grain: one count row per (event_type, day, bucket) —
-    // what a deployment writes once per day (the writeDailyRollup shape)
+    // what a deployment writes once per day (the writeDailyRollup shape);
+    // this self-contained form derives it in-query as the store's BUILD
+    // proof, the store-served twin below is the production read path
     val daily = Tables.events(s, dir)
       .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
-        bucket.as("bucket"))
+        sketchBucketCol.as("bucket"))
       .groupBy("event_type", "day", "bucket")
       .agg(count(lit(1)).as("n"))
-    // the range query: merge = SUM over the pruned days' rows
-    val merged = daily
-      .filter(col("day") >= lit("2024-01-08") && col("day") < lit("2024-01-22"))
-      .groupBy("event_type", "bucket")
-      .agg(sum("n").as("n"))
-    val byBucket = Window.partitionBy("event_type").orderBy("bucket")
-    val whole = Window.partitionBy("event_type")
-    val est = when(col("bucket") === zeroB, lit(0.0))
-      .otherwise(lit(2.0) * pow(lit(1.02), col("bucket")) / lit(2.02))
-    val ranked = merged
-      .withColumn("cum", sum("n").over(byBucket))
-      .withColumn("total", sum("n").over(whole))
-      .withColumn("est", est)
-    def qEst(p: Int, nm: String) =
-      (round(min(when(col("cum") * 100 >= col("total") * p, col("est"))), 4)
-        + lit(0.0)).as(nm)
-    ranked.groupBy("event_type")
-      .agg(max("total").as("n_events"),
-        qEst(50, "p50_est"), qEst(95, "p95_est"), qEst(99, "p99_est"))
-      .orderBy("event_type")
+    sketchRangeReport(daily)
+  }
+
+  /** [[latencySketchRange]] served from the STANDING sketch store
+    * ([[graft.sources.Stores.latencySketch]]): the raw log was bucketed to
+    * (event_type, day, bucket, n) counts ONCE at build time; this query
+    * reads only the metadata-sized, day-partitioned sketch rows — never
+    * events — and the range merge is count addition over the pruned days
+    * (the date filter prunes whole day= directories before any IO).
+    * Appends fold in via [[graft.sources.Sinks.refreshLatencySketches]]
+    * (refresh ≡ rebuild spec-proved); the streaming ingest half is
+    * [[graft.streaming.Streaming.startLatencySketchSink]]. SHARED oracle
+    * with the raw-scan formulation, so the driver proves store ≡ rescan;
+    * PlanSpec pins the no-events-scan plan. At 100 TB a year of p95-range
+    * dashboards costs O(days × buckets) rows per query, zero event rescans.
+    */
+  val latencySketchServed = Q(
+    "log_latency_sketch_served", latencySketchRangeSql) { (s, dir) =>
+    val path = graft.sources.Stores.latencySketch(s, dir)
+    sketchRangeReport(
+      s.read.parquet(path).select("event_type", "day", "bucket", "n"))
   }
 
   /** P6+: [[booleanSearch]] served from the standing posting store — the
@@ -3153,5 +3210,5 @@ object LogOps {
     rollupServed, ewmaDaily, zonemapScan, pointLookup,
     schemaInfer, slaBurn, cusumChangepoint, alertRules, newTemplates, corrMatrix,
     booleanSearch, searchFacets, booleanSearchIndexed, searchFacetsIndexed,
-    latencySketchRange, schemaDrift, termSuggest)
+    latencySketchRange, latencySketchServed, schemaDrift, termSuggest)
 }

@@ -467,6 +467,64 @@ object Sinks {
       .limit(k)
   }
 
+  /** DDSketch latency-quantile store: persist (event_type, day, bucket, n)
+    * log-γ bucket counts, day-partitioned so a range query prunes whole
+    * day= directories before any IO. This is the persisted half of
+    * `log_latency_sketch_range`'s lifecycle (the quantile twin of the HLL
+    * sketch store below): the raw log is bucketed ONCE per ingest batch,
+    * and every later "p95 over [d1, d2]" merges the pruned days' counts by
+    * plain addition — associative, commutative, deterministic — then walks
+    * the rank, never rescanning events. At 100 TB the store is O(days ×
+    * types × buckets) rows ≈ metadata; one file per day partition.
+    *
+    * The bucket expression is THE shared definition
+    * ([[graft.engine.LogOps.sketchBucketCol]]) — a writer-private copy
+    * could drift from the rank walk and silently skew every quantile.
+    */
+  def writeLatencySketches(events: DataFrame, path: String): Unit =
+    events
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"),
+        graft.engine.LogOps.sketchBucketCol.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .repartition(col("day"))
+      .write.mode("overwrite")
+      .option("compression", "zstd")
+      .partitionBy("day")
+      .parquet(path)
+
+  /** Incremental refresh of a [[writeLatencySketches]] store for an APPEND
+    * batch: bucket the batch, merge with the standing counts of only the
+    * touched days (count addition — the DDSketch merge), and dynamically
+    * overwrite just those day partitions. Untouched days are never read or
+    * rewritten; refresh cost tracks the batch. Same discipline as
+    * [[refreshDailyRollup]].
+    */
+  def refreshLatencySketches(spark: org.apache.spark.sql.SparkSession,
+                             path: String, newEvents: DataFrame): Unit = {
+    val batch = newEvents
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"),
+        graft.engine.LogOps.sketchBucketCol.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    // touched days only: metadata-sized (≤ days in the batch)
+    val days = batch.select("day").distinct().collect().map(_.getDate(0))
+    val standing = spark.read.parquet(path)
+      .filter(col("day").isin(days: _*))
+      .select("day", "event_type", "bucket", "n")
+    standing.unionByName(batch)
+      .groupBy("day", "event_type", "bucket")
+      .agg(sum("n").as("n"))
+      .repartition(col("day"))
+      // materialize BEFORE the write: the merged counts read from the same
+      // path the write overwrites (see refreshDailyRollup); the state is
+      // touched-days × types × buckets rows — metadata-sized
+      .localCheckpoint()
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("compression", "zstd")
+      .partitionBy("day")
+      .parquet(path)
+  }
+
   /** HLL sketch store: persist (key…, day, sk: binary) daily Datasketches
     * HLL sketches, day-partitioned so a date-range union prunes whole
     * directories. This is the production range-query lifecycle behind

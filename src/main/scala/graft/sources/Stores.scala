@@ -170,6 +170,21 @@ object Stores {
     }
   }
 
+  /** Path of the standing DDSketch latency-quantile store for `dataDir`'s
+    * events table, building it via [[Sinks.writeLatencySketches]] on first
+    * use. The registered `log_latency_sketch_served` query merges pruned
+    * daily bucket counts from this store and never scans the raw log;
+    * appends fold in through [[Sinks.refreshLatencySketches]] and the
+    * streaming ingest half is
+    * [[graft.streaming.Streaming.startLatencySketchSink]].
+    */
+  def latencySketch(spark: SparkSession, dataDir: String): String = {
+    val path = storeRoot(dataDir, "events.parquet", "latency_sketch")
+    buildOnce(path, s"$path/_SUCCESS") {
+      Sinks.writeLatencySketches(graft.engine.Tables.events(spark, dataDir), path)
+    }
+  }
+
   /** Path of the standing PQ ANN index (codebook + encoded corpus) for
     * `dataDir`'s embeddings table, training + encoding on first use via
     * the same `pqTrainEncode` the self-contained query runs.

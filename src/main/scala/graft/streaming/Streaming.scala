@@ -43,15 +43,14 @@ object Streaming {
     * as the batch store serves range queries — a second shuffled
     * aggregation inside the stream would not be append-legal anyway.
     */
-  def hourlySketchCounts(events: DataFrame): DataFrame = {
-    val bucket = when(col("value") <= 0, lit(-1000000L))
-      .otherwise(ceil(log(col("value")) / log(lit(1.02))).cast("long"))
+  def hourlySketchCounts(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"),
-        bucket.as("bucket"))
+        // THE shared bucket definition — a stream-private copy could drift
+        // from the batch store and the rank walk
+        graft.engine.LogOps.sketchBucketCol.as("bucket"))
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("ws"), col("event_type"), col("bucket"), col("n"))
-  }
 
   def tumblingCounts(events: DataFrame): DataFrame =
     events
@@ -682,6 +681,57 @@ object Streaming {
           .select(col("user_id"), col("event_type"), col("last_ts"),
             col("last_value"), col("last_event_id"), col("nv").as("n_versions"))
       }
+    merged.write.mode("overwrite").parquet(s"$path/v=$batchId")
+    // retire versions older than the one just read — the pre-state must
+    // survive until THIS version commits, in case this batch replays
+    prev.filter(_ < prev.maxOption.getOrElse(Long.MinValue)).foreach { v =>
+      deleteRecursively(new java.io.File(s"$path/v=$v"))
+    }
+  }
+
+  /** S5 (sketch-ingest sink): streaming micro-batches folded into a
+    * standing DDSketch latency store — the ingest half that closes the
+    * `log_latency_sketch_served` loop: stream → standing (event_type, day,
+    * bucket, n) counts → zero-rescan range quantiles. Each batch's rows
+    * bucket with THE shared bucket definition and merge into the store by
+    * count addition (the DDSketch merge). Exactly-once under at-least-once
+    * replay comes from the same MVCC versioning as
+    * [[startKeyedUpsertSink]]: batch N reads the latest table version with
+    * id < N and writes version N, so a replayed batch re-reads the SAME
+    * pre-state and rewrites the same post-state — idempotent by
+    * construction (StreamingSpec's replay test pins it, and pins the
+    * stream-fed table equal to a batch-built [[graft.sources.Sinks.writeLatencySketches]]
+    * store over the same rows). The state is O(days × types × buckets) ≈
+    * metadata, so rewriting it per batch is cheap; at 100 TB the table
+    * would be day-partitioned with only touched days rewritten — the
+    * version protocol is unchanged.
+    */
+  def startLatencySketchSink(events: DataFrame, path: String,
+                             checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sketchUpsertBatch(batch, path, batchId)
+      }
+      .start()
+
+  /** One sketch-merge MVCC step (factored out so the replay spec can drive
+    * a crash re-delivery directly). Latest version of the table =
+    * `path/v=<max committed batchId>`; rows are (event_type, day, bucket, n).
+    */
+  def sketchUpsertBatch(batch: DataFrame, path: String, batchId: Long): Unit = {
+    val counts = batch
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"),
+        graft.engine.LogOps.sketchBucketCol.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    // pre-state = latest version STRICTLY BEFORE this batch (see upsertBatch)
+    val prev = tableVersions(path).filter(_ < batchId)
+    val merged =
+      if (prev.isEmpty) counts
+      else batch.sparkSession.read.parquet(s"$path/v=${prev.max}")
+        .unionByName(counts)
+        .groupBy("day", "event_type", "bucket")
+        .agg(sum("n").as("n"))
     merged.write.mode("overwrite").parquet(s"$path/v=$batchId")
     // retire versions older than the one just read — the pre-state must
     // survive until THIS version commits, in case this batch replays

@@ -178,6 +178,23 @@ class PlanSpec extends SparkSpecBase {
     assert(roots.exists(_.contains("daily_rollup")), s"no rollup scan in: $roots")
   }
 
+  test("sketch-served quantile report reads the standing sketch store, never the raw log") {
+    // The persisted-sketch contract: log_latency_sketch_served answers
+    // from the (event_type, day, bucket, n) counts. An events.parquet scan
+    // here means the query regressed to re-bucketing the corpus per report.
+    val df = LogOps.latencySketchServed.build(spark, sfDir)
+    val scans = df.queryExecution.sparkPlan
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    val roots = scans.map(_.relation.location.rootPaths.mkString(","))
+    assert(!roots.exists(_.contains("events.parquet")),
+      s"sketch-served report read the raw log: $roots")
+    assert(roots.exists(_.contains("latency_sketch")), s"no sketch scan in: $roots")
+    // the date range prunes whole day= directories BEFORE any IO
+    val scan = scans.head
+    assert(scan.partitionFilters.exists(_.toString.contains("day")),
+      scan.partitionFilters.mkString("; "))
+  }
+
   test("point lookup prunes to the probed users' buckets") {
     // The user-bucketed layout's contract: an IN predicate on the bucket
     // key cuts the scan to the matching buckets BEFORE any IO. All 8

@@ -173,6 +173,44 @@ class StorageLayoutSpec extends SparkSpecBase {
       assert(sigAfter.get(d) === sigBefore.get(d), s"refresh rewrote untouched partition $d")
   }
 
+  test("latency sketch store: incremental refresh of an append batch equals a full rebuild") {
+    import spark.implicits._
+    val events = graft.engine.Tables.events(spark, sfDir)
+    // split MID-DAY (the daily-rollup pattern): the cutoff day exists on
+    // both sides, so refresh must MERGE standing bucket counts with batch
+    // counts, not just land a new partition
+    val cutoff = events.selectExpr("percentile(ts_ns, 0.8)").head.getDouble(0).toLong
+    val incrDir = s"$tmp/sketch_incr"
+    graft.sources.Sinks.writeLatencySketches(events.filter(col("ts_ns") <= cutoff), incrDir)
+    assert(spark.read.parquet(incrDir).count() > 0)
+    def fileSig(dir: String) = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+        .groupBy(_.getParentFile.getName)
+        .map { case (d, fs) => d -> fs.map(f => (f.getName, f.lastModified)).sortBy(_._1) }
+    }
+    val sigBefore = fileSig(incrDir)
+    graft.sources.Sinks.refreshLatencySketches(spark, incrDir, events.filter(col("ts_ns") > cutoff))
+
+    val fullDir = s"$tmp/sketch_full"
+    graft.sources.Sinks.writeLatencySketches(events, fullDir)
+    def snap(dir: String) = spark.read.parquet(dir)
+      .select(col("day").cast("string"), col("event_type"), col("bucket"), col("n"))
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(snap(incrDir) === snap(fullDir))
+    // dynamic overwrite rewrote ONLY the batch's day partitions
+    val batchDays = events.filter(col("ts_ns") > cutoff)
+      .select(to_date(col("ts")).cast("string")).distinct().as[String].collect()
+      .map(d => s"day=$d").toSet
+    val sigAfter = fileSig(incrDir)
+    val untouchedDays = sigBefore.keySet -- batchDays
+    assert(untouchedDays.nonEmpty, "fixture split left no untouched day — move the cutoff")
+    for (d <- untouchedDays)
+      assert(sigAfter.get(d) === sigBefore.get(d), s"refresh rewrote untouched partition $d")
+  }
+
   test("zone map: a narrow time range opens a strict subset of files, equals raw scan") {
     val store = graft.sources.Stores.rangeClusteredEvents(spark, sfDir)
     val totalFiles = spark.read.parquet(s"$store/data").inputFiles.length

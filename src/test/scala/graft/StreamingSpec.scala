@@ -485,6 +485,47 @@ class StreamingSpec extends SparkSpecBase {
     assert(tableRows === streamed)
   }
 
+  test("latency-sketch sink: stream-fed store equals batch-built store; double replay is stable") {
+    val base = java.nio.file.Files.createTempDirectory("graft-sketch-sink").toString
+    val input = MemoryStream[Streaming.Ev](spark)
+    val q = Streaming.startLatencySketchSink(
+      input.toDF().withColumn("props", lit("{}")), s"$base/table", s"$base/ckpt")
+    try {
+      input.addData(rows.take(4)); q.processAllAvailable()
+      input.addData(rows.drop(4)); q.processAllAvailable()
+    } finally q.stop()
+    def tableRows: Seq[String] =
+      Streaming.readKeyedTable(spark, s"$base/table")
+        .select(col("event_type"), col("day").cast("string"), col("bucket"), col("n"))
+        .collect().map(_.toString).sorted.toSeq
+    val streamed = tableRows
+    // stream ≡ batch: the standing table after 2 micro-batches must hold
+    // exactly the counts Sinks.writeLatencySketches derives over all rows
+    val batchDir = s"$base/batch_store"
+    graft.sources.Sinks.writeLatencySketches(toDf(rows), batchDir)
+    val batch = spark.read.parquet(batchDir)
+      .select(col("event_type"), col("day").cast("string"), col("bucket"), col("n"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // crash replay: re-driving the LAST batch with the same batchId must
+    // leave the table unchanged (the merge re-reads the pre-state version)
+    val lastVersion = Streaming.tableVersions(s"$base/table").max
+    Streaming.sketchUpsertBatch(toDf(rows.drop(4)), s"$base/table", lastVersion)
+    assert(tableRows === streamed, "replaying a delivered batch changed the table")
+    // and a SECOND replay of the same batch is still stable
+    Streaming.sketchUpsertBatch(toDf(rows.drop(4)), s"$base/table", lastVersion)
+    assert(tableRows === streamed)
+    // the stream-fed counts serve the SAME rank walk the standing batch
+    // store serves: merged totals per type agree with a direct count
+    val totals = Streaming.readKeyedTable(spark, s"$base/table")
+      .groupBy("event_type").agg(sum("n").as("n"))
+      .as[(String, Long)].collect().toMap
+    val direct = toDf(rows).groupBy("event_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(totals === direct)
+  }
+
   test("file stream source reads the events fixture incrementally") {
     val out = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
     // copy the sf0.001 events through the batch normalizer to get µs ts
