@@ -254,16 +254,15 @@ object LlmOps {
 
   private val shingleJaccardThreshold = 0.5
 
-  val shingleJaccard = Q(
-    "llm_shingle_jaccard",
-    s"""WITH $shinglePairCtes
-      |SELECT id_a, id_b,
-      |  ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard
-      |FROM inter
-      |JOIN sz sa ON inter.id_a = sa.doc_id
-      |JOIN sz sb ON inter.id_b = sb.doc_id
-      |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $shingleJaccardThreshold
-      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+  /** Whole-corpus shingle-Jaccard pair set (id_a, id_b, jaccard ≥ θ) — the
+    * pipeline behind [[shingleJaccard]], factored out so the STANDING pair
+    * store ([[graft.sources.Stores.shinglePairs]]) builds exactly the rows
+    * the raw-scan query computes: in production the pair set for a corpus
+    * snapshot is computed once and consumed many times (filter decision,
+    * transitive clusters, audits), so the downstream consumers probe the
+    * store instead of re-running this postings expansion per query.
+    */
+  private[graft] def shinglePairsOf(s: SparkSession, dir: String): DataFrame = {
     val sh0 = bigramShingles(Tables.documents(s, dir))
     // localCheckpoint before fan-out, as in [[jaccardPairs]]: the
     // shingling pipeline is consumed by the size relation and the pair
@@ -277,7 +276,21 @@ object LlmOps {
       .join(sz.as("sb"), col("id_b") === col("sb.doc_id"))
       .filter(jac >= shingleJaccardThreshold)
       .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))
-      .orderBy("id_a", "id_b")
+  }
+
+  val shingleJaccard = Q(
+    "llm_shingle_jaccard",
+    s"""WITH $shinglePairCtes
+      |SELECT id_a, id_b,
+      |  ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard
+      |FROM inter
+      |JOIN sz sa ON inter.id_a = sa.doc_id
+      |JOIN sz sb ON inter.id_b = sb.doc_id
+      |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $shingleJaccardThreshold
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    // kept raw-scan deliberately: this query IS the pair store's build
+    // proof (the store-served consumers below share its CTE chain)
+    shinglePairsOf(s, dir).orderBy("id_a", "id_b")
   }
 
   /** D2 applied: the near-dup pair set turned into the filter decision a
@@ -285,9 +298,15 @@ object LlmOps {
     * lower-id near-duplicate (the same deterministic keeper rule as
     * [[semDedup]], direct pairs rather than transitive closure so the rule
     * stays one SQL statement; [[nearDupClusters]] is the transitive
-    * variant), reported as per-source survival stats. Plan adds one
-    * distinct + left join + 20-key aggregate on top of the pair scan; the
-    * drop set shuffles as bare doc_ids.
+    * variant), reported as per-source survival stats.
+    *
+    * Served from the STANDING pair store
+    * ([[graft.sources.Stores.shinglePairs]]): the postings expansion ran
+    * ONCE at store-build time; this query reads the metadata-sized pair
+    * rows, derives the drop set, and joins it onto one cheap documents
+    * pass (doc_id + source only — no tokenize, no explode) for the
+    * survival stats. The oracle still recomputes the pairs from raw text —
+    * the standing-store contract is exactly that the two agree.
     */
   val nearDupFilter = Q(
     "llm_neardup_filter",
@@ -303,7 +322,7 @@ object LlmOps {
       |    / COUNT(*), 4) AS drop_rate
       |FROM documents d LEFT JOIN drops dr ON d.doc_id = dr.doc_id
       |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, dir) =>
-    val drops = shingleJaccard.build(s, dir)
+    val drops = s.read.parquet(graft.sources.Stores.shinglePairs(s, dir))
       .select(col("id_b").as("doc_id")).distinct()
       .withColumn("dropped", lit(1))
     Tables.documents(s, dir)
@@ -1313,6 +1332,12 @@ object LlmOps {
     * keeps the O(log d)-round pointer-jumping loop that scales.
     * LlmOpsSpec additionally pins the component semantics on hand-built
     * graphs and cross-checks GraphX.
+    *
+    * The pair set comes from the STANDING store
+    * ([[graft.sources.Stores.shinglePairs]]) — clustering consumes the
+    * pairs a snapshot computed once, never re-running the postings
+    * expansion; at 100 TB the clustering input is the metadata-sized pair
+    * list, not the corpus.
     */
   val nearDupClusters = Q(
     "llm_neardup_clusters",
@@ -1333,7 +1358,8 @@ object LlmOps {
       |  SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id FROM reach GROUP BY a)
       |SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
       |FROM labels GROUP BY cluster_id ORDER BY cluster_id""".stripMargin) { (s, dir) =>
-    val pairs = shingleJaccard.build(s, dir).select("id_a", "id_b")
+    val pairs = s.read.parquet(graft.sources.Stores.shinglePairs(s, dir))
+      .select("id_a", "id_b")
     clusterPairs(pairs)
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("cluster_size"))

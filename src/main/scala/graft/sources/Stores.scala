@@ -170,6 +170,23 @@ object Stores {
     }
   }
 
+  /** Path of the standing shingle-Jaccard near-dup PAIR store for
+    * `dataDir`'s documents table: the df-capped postings expansion — the
+    * most expensive pipeline in the near-dup family — runs ONCE per corpus
+    * snapshot here, and every consumer (`llm_neardup_filter`'s drop
+    * decision, `llm_neardup_clusters`' transitive closure) probes the
+    * metadata-sized (id_a, id_b, jaccard) rows instead of re-deriving
+    * them. `llm_shingle_jaccard` itself stays raw-scan as the lifecycle's
+    * build proof; the corpus fingerprint in the path guarantees a
+    * regenerated corpus rebuilds rather than serving stale pairs.
+    */
+  def shinglePairs(spark: SparkSession, dataDir: String): String = {
+    val path = storeRoot(dataDir, "documents.parquet", "shingle_pairs")
+    buildOnce(path, s"$path/_SUCCESS") {
+      Sinks.writeSized(graft.engine.LlmOps.shinglePairsOf(spark, dataDir), path, 4)
+    }
+  }
+
   /** Path of the standing DDSketch latency-quantile store for `dataDir`'s
     * events table, building it via [[Sinks.writeLatencySketches]] on first
     * use. The registered `log_latency_sketch_served` query merges pruned

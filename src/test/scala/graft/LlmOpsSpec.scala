@@ -567,6 +567,18 @@ class LlmOpsSpec extends SparkSpecBase {
       (1L, 2L, 3.0, 1.4142, 2.0, 4.0)))
   }
 
+  test("shingle-pair store holds exactly the raw-scan pair rows") {
+    // the store's build proof at the data level: Stores.shinglePairs must
+    // contain precisely what llm_shingle_jaccard computes from raw text —
+    // the consumers' shared-oracle hash greens rest on this equality
+    val store = spark.read
+      .parquet(graft.sources.Stores.shinglePairs(spark, sfDir))
+      .collect().map(_.toString).sorted.toSeq
+    val raw = LlmOps.shingleJaccard.build(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(store === raw)
+  }
+
   test("neardup filter: dropped total equals the distinct lower-id-pair targets") {
     val expectedDrops = LlmOps.shingleJaccard.build(spark, sfDir)
       .select("id_b").distinct().count()

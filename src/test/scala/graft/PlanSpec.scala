@@ -195,6 +195,20 @@ class PlanSpec extends SparkSpecBase {
       scan.partitionFilters.mkString("; "))
   }
 
+  test("near-dup filter probes the standing pair store, never re-shingling the corpus") {
+    // The pair-store contract: the postings expansion ran once at store
+    // build; the registered consumer's PLAN must hold no Generate (explode)
+    // node — a re-shingle here means the store is being bypassed and the
+    // most expensive near-dup pipeline runs per consumer again.
+    val df = graft.engine.LlmOps.nearDupFilter.build(spark, sfDir)
+    val roots = df.queryExecution.sparkPlan
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .map(_.relation.location.rootPaths.mkString(","))
+    assert(roots.exists(_.contains("shingle_pairs")), s"no pair-store scan in: $roots")
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(!plan.contains("Generate"), s"consumer re-shingled the corpus:\n$plan")
+  }
+
   test("point lookup prunes to the probed users' buckets") {
     // The user-bucketed layout's contract: an IN predicate on the bucket
     // key cuts the scan to the matching buckets BEFORE any IO. All 8
@@ -394,7 +408,6 @@ class PlanSpec extends SparkSpecBase {
     "llm_incremental_dedup" -> "single-row n_docs aggregate cross-joined into the existing-side df-cap",
     "llm_shingle_jaccard"   -> "single-row n_docs aggregate cross-joined into the df-cap",
     "text_winnow_pairs"     -> "single-row n_docs aggregate cross-joined into the df-cap (winnow postings)",
-    "llm_neardup_filter"    -> "inherits llm_shingle_jaccard's single-row df-cap cross-join",
     "llm_tfidf"             -> "single-row corpus-count aggregate cross-joined into idf",
     "filter_scalar_subquery"-> "single-row scalar aggregate broadcast as the filter bound",
     "llm_domain_mix"        -> "single-row totals aggregate cross-joined into the weights",
