@@ -442,6 +442,35 @@ object Sinks {
       .write.mode("overwrite").parquet(s"$path/zonemap")
   }
 
+  /** Incremental refresh of a [[writeTermDict]] store for an APPEND batch
+    * of NEW documents, via a DELTA SEGMENT: the dict layout is
+    * range-clustered and sorted on token, so a blind append into the dict
+    * files would break the zone map's disjointness (a new token belongs
+    * INSIDE some existing file's range). Instead the batch's (tok, df, cf)
+    * rows land in `$path/delta`, and [[probeTermDict]] unions the pruned
+    * dict files with the delta and re-aggregates — the LSM discipline:
+    * sorted base + small unsorted delta, merged at read time. df/cf are
+    * additive because refresh batches hold NEW doc_ids (the
+    * [[refreshPostings]] caller contract); a doc present in both base and
+    * batch would double-count its df. The standing dict and zonemap files
+    * are never read or rewritten, so refresh cost tracks the batch; the
+    * delta stays batch-vocabulary-sized and is read whole at probe time
+    * (no zone pruning — it IS the unsorted tail), with a periodic
+    * compaction = full [[writeTermDict]] rebuild folding it back to zero.
+    * StorageLayoutSpec proves refresh ≡ rebuild across prefix probes and
+    * that untouched files stay byte-stable.
+    */
+  def refreshTermDict(spark: org.apache.spark.sql.SparkSession, path: String,
+                      newDocs: DataFrame): Unit =
+    newDocs
+      .select(col("doc_id"), explode(postingToks).as("tok"))
+      .groupBy("tok")
+      .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("cf"))
+      .repartition(1)
+      .write.mode("append")
+      .option("compression", "zstd")
+      .parquet(s"$path/delta")
+
   /** Prefix probe of a [[writeTermDict]] store: top-`k` completions of
     * `prefix` by document frequency (ties broken by token so the cut is
     * deterministic). File pruning is exact and complete: a file can hold
@@ -449,7 +478,9 @@ object Sinks {
     * before the prefix interval) AND the first `len(prefix)` chars of
     * `min_tok` are <= `prefix` (its first token is not after it) —
     * lexicographic interval logic, no residual false negatives. The
-    * residual startsWith filter runs inside the opened files only.
+    * residual startsWith filter runs inside the opened files only. If a
+    * [[refreshTermDict]] delta segment exists its rows merge in by (df,
+    * cf) addition — the read half of the LSM discipline.
     */
   def probeTermDict(spark: org.apache.spark.sql.SparkSession, path: String,
                     prefix: String, k: Int): DataFrame = {
@@ -462,7 +493,14 @@ object Sinks {
     val base =
       if (files.isEmpty) spark.read.parquet(s"$path/dict").limit(0)
       else spark.read.parquet(files.toIndexedSeq: _*)
-    base.filter(col("tok").startsWith(p))
+    val deltaPath = new org.apache.hadoop.fs.Path(s"$path/delta")
+    val fs = deltaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val withDelta =
+      if (!fs.exists(deltaPath)) base
+      else base.unionByName(spark.read.parquet(s"$path/delta"))
+        .groupBy("tok")
+        .agg(sum("df").as("df"), sum("cf").as("cf"))
+    withDelta.filter(col("tok").startsWith(p))
       .orderBy(col("df").desc, col("tok"))
       .limit(k)
   }

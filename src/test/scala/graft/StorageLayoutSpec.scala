@@ -298,6 +298,44 @@ class StorageLayoutSpec extends SparkSpecBase {
     assert(graft.sources.Sinks.probeTermDict(spark, dir, "zzzz", 10).count() === 0)
   }
 
+  test("term dict: delta-segment refresh equals a full rebuild across prefix probes; " +
+    "standing dict files never rewritten") {
+    import org.apache.spark.sql.functions.{col => c}
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+    val cut = docs.selectExpr("percentile(doc_id, 0.7)").head.getDouble(0).toLong
+    val incrDir = s"$tmp/term_dict_incr"
+    graft.sources.Sinks.writeTermDict(docs.filter(c("doc_id") <= cut), incrDir)
+    def dictSig = new java.io.File(s"$incrDir/dict").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified)).sortBy(_._1).toSeq
+    val sigBefore = dictSig
+    graft.sources.Sinks.refreshTermDict(spark, incrDir, docs.filter(c("doc_id") > cut))
+    assert(dictSig === sigBefore, "refresh rewrote standing dict files")
+    assert(new java.io.File(s"$incrDir/delta").exists(), "no delta segment written")
+
+    val fullDir = s"$tmp/term_dict_full"
+    graft.sources.Sinks.writeTermDict(docs, fullDir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    // sweep prefixes hitting base-only, merged, and out-of-vocabulary paths
+    for (p <- Seq("s", "sp", "jo", "w", "zzzz"))
+      assert(rows(graft.sources.Sinks.probeTermDict(spark, incrDir, p, 10)) ===
+             rows(graft.sources.Sinks.probeTermDict(spark, fullDir, p, 10)),
+        s"prefix '$p' diverged after delta refresh")
+    // a SECOND refresh batch stacks another delta and still agrees: split
+    // the batch and refresh twice against a two-segment delta
+    val incr2 = s"$tmp/term_dict_incr2"
+    val mid = docs.selectExpr("percentile(doc_id, 0.85)").head.getDouble(0).toLong
+    graft.sources.Sinks.writeTermDict(docs.filter(c("doc_id") <= cut), incr2)
+    graft.sources.Sinks.refreshTermDict(spark, incr2,
+      docs.filter(c("doc_id") > cut && c("doc_id") <= mid))
+    graft.sources.Sinks.refreshTermDict(spark, incr2, docs.filter(c("doc_id") > mid))
+    for (p <- Seq("s", "jo"))
+      assert(rows(graft.sources.Sinks.probeTermDict(spark, incr2, p, 10)) ===
+             rows(graft.sources.Sinks.probeTermDict(spark, fullDir, p, 10)),
+        s"prefix '$p' diverged after stacked delta refreshes")
+  }
+
   test("pq index: incremental refresh encodes the batch with the standing codebook " +
     "and equals a whole-corpus re-encode; standing code files never rewritten") {
     import org.apache.spark.sql.functions.{col => c}
