@@ -445,9 +445,75 @@ object SqlOps {
     sql("sql_discounted_revenue", text)(text)
   }
 
+  /** TPC-H Q21-shaped suppliers-who-kept-orders-waiting: for finalized
+    * orders, count per supplier the late lineitems where that supplier was
+    * the ONLY late one in a multi-supplier order — an EXISTS and a NOT
+    * EXISTS against the SAME fact under different alias conditions, the
+    * one classic join shape the suite still lacked. Catalyst decorrelates
+    * both into hashed LEFT SEMI / LEFT ANTI joins on l_orderkey with the
+    * supplier-inequality and lateness predicates riding the join — never a
+    * per-row subquery. The fixture lacks commit/receipt dates, so
+    * ship-more-than-60-days-after-order stands in for lateness (the
+    * sql_order_priority convention); the shape is the point. At cluster
+    * scale all three lineitem sides shuffle on the SAME l_orderkey key —
+    * orderkey bucketing would make every probe co-located.
+    */
+  val waitingSuppliers: Q = {
+    val text =
+      """SELECT s_name, n_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name, n_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin
+    sql("sql_waiting_suppliers", text)(text)
+  }
+
+  /** TPC-H Q2-shaped minimum-cost supplier: for each small part, the
+    * supplier(s) whose unit cost equals the part's minimum — the
+    * correlated scalar-MIN-over-a-subquery shape Q2 exists to exercise.
+    * Catalyst decorrelates the scalar subquery into a per-part MIN
+    * aggregate joined back on p_partkey (never a per-row re-scan; the
+    * registry-wide no-BNLJ gate pins it). The fixture lacks partsupp, so
+    * per-(part, supplier) unit cost derives from lineitem as
+    * MIN(l_extendedprice / l_quantity): each division runs on the same
+    * parquet doubles in both engines (IEEE-identical per row) and MIN is
+    * fold-order-free, so the equality against the correlated minimum can
+    * never split on an ulp the way SUM/AVG comparisons would.
+    */
+  val minCostSupplier: Q = {
+    val text =
+      """WITH pcost AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    MIN(l_extendedprice / l_quantity) AS unit_cost
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT p_partkey, s_suppkey, p_brand, s_name,
+        |  ROUND(unit_cost, 4) AS unit_cost
+        |FROM part
+        |JOIN pcost ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE p_size <= 5
+        |  AND unit_cost = (SELECT MIN(pc2.unit_cost) FROM pcost pc2
+        |                   WHERE pc2.l_partkey = p_partkey)
+        |ORDER BY p_partkey, s_suppkey
+        |LIMIT 100""".stripMargin
+    sql("sql_min_cost_supplier", text)(text)
+  }
+
   val all: Seq[Q] = Seq(shippingPriority, notInNulls, localSupplierVolume, marketShare,
     recursiveReach, orderPriority, customerDistribution,
     topSupplier, largeOrders, dormantCustomers, returnedItems,
     forecastRevenue, volumeShipping, promoRevenue, smallQuantityRevenue,
-    discountedRevenue)
+    discountedRevenue, waitingSuppliers, minCostSupplier)
 }
