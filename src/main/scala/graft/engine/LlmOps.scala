@@ -695,6 +695,16 @@ object LlmOps {
   val pqKs = 16
   private val pqRounds = 2
   private val pqShortlist = 100
+  /** Training budget: Lloyd rounds see at most this many vectors — the
+    * md5-ranked deterministic sample, FAISS's max-points-per-centroid
+    * discipline (a pqKs-centroid fit saturates at a few hundred points per
+    * centroid; training on more refines centroids below the quantization
+    * error the code assignment makes anyway). The cap is what licenses the
+    * driver-side fit in [[pqTrainEncode]]: the training slice is bounded
+    * BY CONSTRUCTION no matter the corpus size, while the ENCODE is always
+    * a full-corpus distributed pass.
+    */
+  private[graft] val pqTrainBudget = 1024
 
   /** D3 scale path #3 (no oracle — codebooks are engine-local): product
     * quantization, the representation EVERY billion-vector deployment
@@ -779,40 +789,83 @@ object LlmOps {
     * per invocation only because a Q is a self-contained plan.
     */
   private[graft] def pqTrainEncode(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
     val sv = pqNormSubvectors(s, dir).localCheckpoint()
-    // Codebooks: first-pqKs seeding, then Lloyd rounds. All pqM subspaces
-    // train SIMULTANEOUSLY in one frame — the codebook is (sub, code)-keyed,
-    // ≤ pqM·pqKs rows, metadata-sized, and broadcast into every assignment.
-    // Seeds are the first pqKs vec_ids that SURVIVE the zero-norm filter
-    // (not the literal ids 0..pqKs-1): an id gap would otherwise silently
-    // shrink the codebook and degrade recall with no signal. The seed scan
-    // is a TakeOrdered over the sub==0 slice (exactly one row per
-    // surviving vector — pqNormSubvectors drops whole VECTORS, never
-    // single subspaces, so no distinct()-exchange is needed) and the code
-    // assignment windows over only those pqKs rows.
-    val seeds = sv.filter(col("sub") === 0).select("vec_id").orderBy("vec_id").limit(pqKs)
-      .withColumn("code",
-        (row_number().over(Window.orderBy(col("vec_id").asc)) - 1).cast("int"))
-    var cb = sv.join(broadcast(seeds), Seq("vec_id"))
-      .select(col("sub"), col("code"), col("sv").as("c"))
-      .localCheckpoint()
-    for (_ <- 1 to pqRounds) {
-      val assigned = sv.join(broadcast(cb), Seq("sub"))
-        .withColumn("d2", l2sqCol(col("sv"), col("c")))
-        .groupBy("vec_id", "sub")
-        // min(struct) = argmin with deterministic code tiebreak
-        .agg(min(struct(col("d2"), col("code"))).as("best"), first(col("sv")).as("sv"))
-      cb = assigned
-        .select(col("sub"), col("best.code").as("code"),
-          posexplode(col("sv")).as(Seq("pos", "v")))
-        .groupBy("sub", "code", "pos").agg(avg("v").as("mv"))
-        .groupBy("sub", "code")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
-          x => x.getField("mv")).as("c"))
-        .localCheckpoint()
-    }
+    // TRAINING SET: the pqTrainBudget vectors with smallest md5(vec_id) —
+    // a deterministic hash-ranked sample (TakeOrdered: scan + per-partition
+    // top-k, no shuffle of unsampled rows), a pure function of the
+    // surviving vec_ids so the build is engine- and run-independent. At
+    // 100 TB this is the only tractable shape: the codebook fit cannot
+    // Lloyd over the corpus, and every production PQ build samples here.
+    val trainIds = sv.filter(col("sub") === 0)
+      .select(col("vec_id"), md5(col("vec_id").cast("string")).as("h"))
+      .orderBy("h", "vec_id").limit(pqTrainBudget)
+      .select("vec_id")
+    // The training slice is ≤ pqTrainBudget · pqM subvector rows —
+    // metadata-sized BY THE BUDGET — so the Lloyd rounds run DRIVER-SIDE
+    // (the PCA co-moment / union-find discipline): zero Spark jobs per
+    // round, fixed-order float folds (fully deterministic, unlike a
+    // shuffled avg), and the finished codebook re-enters the distributed
+    // ENCODE below as a pqM·pqKs-row broadcast LocalRelation.
+    val train: Array[(Long, Int, Seq[Double])] = sv
+      .join(broadcast(trainIds), Seq("vec_id"))
+      .select(col("vec_id"), col("sub").cast("int"), col("sv"))
+      .as[(Long, Int, Seq[Double])].collect()
+    val cb = trainCodebookDriver(train).toDF("sub", "code", "c")
     // Encode: the corpus as pqM-int code arrays — the persisted PQ index.
     (cb, pqEncode(sv, cb))
+  }
+
+  /** Driver-side half of the PQ build: per-subspace k-means over the
+    * budget-capped training slice. Seeds are the first [[pqKs]] training
+    * vec_ids ascending (the surviving-seeds convention — an id gap can
+    * never silently shrink the codebook); each Lloyd round assigns every
+    * training subvector to its nearest centroid with lowest-code tiebreak
+    * (the min(struct(d2, code)) argmin, in plain loops) and recomputes
+    * means in deterministic point order. A centroid that attracts no
+    * points keeps its previous value, preserving the full code range for
+    * the encode.
+    */
+  private def trainCodebookDriver(
+      train: Array[(Long, Int, Seq[Double])]): Seq[(Int, Int, Seq[Double])] = {
+    val seedIds = train.iterator.filter(_._2 == 0).map(_._1).toArray.sorted.take(pqKs)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Seq[Double])]
+    for (sub <- 0 until pqM) {
+      val pts: Array[(Long, Array[Double])] = train.iterator
+        .filter(_._2 == sub).map(t => (t._1, t._3.toArray)).toArray.sortBy(_._1)
+      val byId = pts.toMap
+      var cents: Array[Array[Double]] = seedIds.map(byId)
+      for (_ <- 1 to pqRounds) {
+        val sums = Array.fill(cents.length)(new Array[Double](pqDsub))
+        val cnts = new Array[Long](cents.length)
+        for ((_, v) <- pts) {
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            var d = 0.0
+            var i = 0
+            while (i < pqDsub) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c } // strict < = lowest-code tiebreak
+            c += 1
+          }
+          var i = 0
+          while (i < pqDsub) { sums(best)(i) += v(i); i += 1 }
+          cnts(best) += 1
+        }
+        cents = cents.indices.map { c =>
+          if (cnts(c) == 0) cents(c)
+          else {
+            val m = new Array[Double](pqDsub)
+            var i = 0
+            while (i < pqDsub) { m(i) = sums(c)(i) / cnts(c); i += 1 }
+            m
+          }
+        }.toArray
+      }
+      for (c <- cents.indices) out += ((sub, c, cents(c).toSeq))
+    }
+    out.toSeq
   }
 
   /** The ENCODE half of the PQ build, against a GIVEN codebook: nearest

@@ -695,6 +695,47 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(recall >= 0.75, s"PQ recall@10 $recall below floor 0.75")
   }
 
+  test("pq training budget: past the cap the codebook trains on the hash-ranked " +
+    "sample; search still returns full, floor-clearing top-10s") {
+    // 1500 vectors > pqTrainBudget (1024), so THIS corpus exercises the
+    // budget-capped training path (the 500-vector fixtures train on all
+    // survivors, so the other PQ tests pin that path). Seeded generator →
+    // deterministic run.
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-sample").toString
+    val rnd = new scala.util.Random(42)
+    val data = (0L until 1500L).map(i =>
+      (i, Array.fill(LlmOps.pqM * LlmOps.pqDsub)(rnd.nextGaussian().toFloat), 0))
+    data.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assert(1500L > LlmOps.pqTrainBudget, "corpus no longer exceeds the budget")
+    val (cb, codes) = LlmOps.pqTrainEncode(spark, dir)
+    // no centroid lost to sampling: the full pqM × pqKs codebook exists
+    assert(cb.count() === LlmOps.pqM.toLong * LlmOps.pqKs)
+    // the ENCODE is full-corpus even though training was capped
+    assert(codes.count() === 1500L)
+    val got = LlmOps.pqSearch(spark, dir, cb, codes)
+      .select("q_id", "vec_id", "rn").as[(Long, Long, Int)].collect()
+    val byQ = got.groupBy(_._1)
+    assert(byQ.size === 100)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to 10), s"query $q ranks ${rows.map(_._3).toSeq}")
+    }
+    val exact = LlmOps.knnCosine.build(spark, dir)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = byQ.map { case (q, rows) =>
+      rows.map(_._2).toSet.intersect(exact(q)).size / 10.0
+    }
+    val recall = recalls.sum / recalls.size
+    // this 1500-distractor corpus is intrinsically harder than the 500-
+    // vector fixture (fixed 100-row shortlist, 3× the candidates): full-
+    // corpus training measured 0.637 here, budget-capped training 0.597 —
+    // the cap costs ~0.04 recall for a corpus-size-independent build.
+    // 0.55 is the regression floor, same below-measured policy as the
+    // other ANN floors.
+    assert(recall >= 0.55, s"budget-trained recall@10 $recall below floor 0.55")
+  }
+
   test("ivf-pq index: parquet round-trip of codebook+codes is search-equivalent") {
     val (cb, codes) = LlmOps.pqTrainEncode(spark, sfDir)
     val inMem = LlmOps.pqSearch(spark, sfDir, cb, codes)
