@@ -256,6 +256,48 @@ object Soak {
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
 
+    // §6h: standing-store PROBE sweep (SPARK_GRAFT_SOAK_ONLY=
+    // store_probe_sweep, SOAK_TABLES=events,documents): measures the two
+    // newest store serve paths — the token-sorted term dictionary and the
+    // DDSketch latency store — at ×1 and ×factor corpus scale: store size,
+    // files opened by the probe vs files in the store, and warm probe
+    // latency. The claims under test: the dict is VOCABULARY-sized (a
+    // verbatim-replicated corpus grows dfs, never rows), and the sketch
+    // range query prunes to covering day partitions and runs over bucket
+    // rows (events never rescanned), so both probes stay flat as the
+    // corpus grows.
+    if (only.exists(_.contains("store_probe_sweep"))) {
+      def timed[T](f: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+      }
+      for ((label, d) <- Seq("x1" -> src, s"x$factor" -> dir)) {
+        val docsN = spark.read.parquet(s"$d/documents.parquet").count()
+        val evN = spark.read.parquet(s"$d/events.parquet").count()
+        // --- term dictionary ---
+        val td = graft.sources.Stores.termDict(spark, d)
+        val dict = spark.read.parquet(s"$td/dict")
+        timed(graft.sources.Sinks.probeTermDict(spark, td, "spar", 10).collect()) // warm
+        val probe = graft.sources.Sinks.probeTermDict(spark, td, "spar", 10)
+        val opened = probe.inputFiles.length
+        val (rows, t) = timed(probe.collect().length)
+        println(f"STORE term_dict $label%-4s docs=$docsN%9d dict_rows=${dict.count()}%8d " +
+          f"files_opened=$opened/${dict.inputFiles.length} rows=$rows probe=$t%.3f s")
+        // --- latency sketch store ---
+        val ls = graft.sources.Stores.latencySketch(spark, d)
+        val store = spark.read.parquet(ls)
+        val fn = SparkEntry.queries("log_latency_sketch_served")
+        timed(fn(spark, d).collect()) // warm (builds the store on first use)
+        val served = fn(spark, d)
+        val scan = served.queryExecution.sparkPlan
+          .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.head
+        val openedSk = scan.relation.location
+          .listFiles(scan.partitionFilters, Nil).map(_.files.size).sum
+        val (rowsSk, tSk) = timed(fn(spark, d).collect().length)
+        println(f"STORE latency_sketch $label%-4s events=$evN%9d store_rows=${store.count()}%8d " +
+          f"files_opened=$openedSk/${store.inputFiles.length} rows=$rowsSk probe=$tSk%.3f s")
+      }
+    }
+
     heavy.filter(n => only.forall(_.contains(n))).foreach { name =>
       val fn = SparkEntry.queries(name)
       try { fn(spark, dir).count() } catch { case _: Throwable => () } // warm
