@@ -511,9 +511,58 @@ object SqlOps {
     sql("sql_min_cost_supplier", text)(text)
   }
 
+  /** TPC-H Q16-shaped parts/supplier relationship count: distinct
+    * suppliers per (brand, type, size) bucket, excluding a NOT IN
+    * supplier set — the count-distinct rollup over a semi-structured
+    * exclusion that Q16 exercises. The fixture lacks partsupp, so the
+    * part↔supplier relation derives from lineitem edges, and the
+    * excluded set is low-balance suppliers (the fixture lacks comments).
+    * The NOT IN subquery is null-free by construction (keys), so it
+    * plans as a plain anti join, not the null-aware form; the final
+    * ORDER BY carries every group key so the top-30 cut is deterministic.
+    */
+  val partsSupplierCount: Q = {
+    val text =
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#45' AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        |LIMIT 30""".stripMargin
+    sql("sql_parts_supplier_count", text)(text)
+  }
+
+  /** TPC-H Q20-shaped high-volume part suppliers: suppliers who shipped
+    * more than a threshold quantity of some 'a'-named part in 1996 — the
+    * NESTED IN-chain (supplier IN (fact rollup WHERE part IN (dim
+    * filter))) Q20 exists to exercise, each level decorrelating to a
+    * semi join (part filter broadcasts into the fact scan; the HAVING
+    * rollup partial-aggregates onto (supp, part) keys before the outer
+    * semi probe). Quantities are integer-exact BIGINTs, so the threshold
+    * cannot ulp-split engines. The fixture lacks partsupp availqty; a
+    * fixed threshold stands in for 50% of stock — the shape is the point.
+    */
+  val excessVolumeSuppliers: Q = {
+    val text =
+      """SELECT s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%a%')
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 80)
+        |ORDER BY s_name""".stripMargin
+    sql("sql_excess_volume_suppliers", text)(text)
+  }
+
   val all: Seq[Q] = Seq(shippingPriority, notInNulls, localSupplierVolume, marketShare,
     recursiveReach, orderPriority, customerDistribution,
     topSupplier, largeOrders, dormantCustomers, returnedItems,
     forecastRevenue, volumeShipping, promoRevenue, smallQuantityRevenue,
-    discountedRevenue, waitingSuppliers, minCostSupplier)
+    discountedRevenue, waitingSuppliers, minCostSupplier,
+    partsSupplierCount, excessVolumeSuppliers)
 }
