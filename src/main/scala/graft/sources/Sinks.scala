@@ -176,7 +176,11 @@ object Sinks {
     * only the touched days (sum of sums / sum of counts — the rollup's
     * aggregates are all decomposable), and dynamically overwrites just
     * those day partitions. Untouched days are never read or rewritten, so
-    * refresh cost tracks the batch size, not corpus size.
+    * refresh cost tracks the batch size, not corpus size. Exactly-once is
+    * the CALLER's obligation: partials are additive, so a re-delivered
+    * batch double-counts — the replay-safe ingest path is an MVCC
+    * foreachBatch sink (see
+    * [[graft.streaming.Streaming.startKeyedUpsertSink]]'s versioning).
     */
   def refreshDailyRollup(spark: org.apache.spark.sql.SparkSession,
                          path: String, newEvents: DataFrame): Unit = {
@@ -261,7 +265,11 @@ object Sinks {
     * LAST, preserving the completion-marker contract. Refresh cost tracks
     * the batch: the standing postings are never read or rewritten.
     * StorageLayoutSpec proves refresh ≡ full rebuild for the conjunctive,
-    * ranked, and phrase probes.
+    * ranked, and phrase probes. Exactly-once is the CALLER's obligation
+    * (a re-delivered batch appends duplicate posting rows); batches must
+    * also hold NEW doc_ids — both are the standard index-maintenance
+    * contract, and the replay-safe ingest shape is an MVCC foreachBatch
+    * sink (see [[graft.streaming.Streaming.startKeyedUpsertSink]]).
     */
   def refreshPostings(spark: org.apache.spark.sql.SparkSession, path: String,
                       newDocs: DataFrame): Unit = {
@@ -458,7 +466,9 @@ object Sinks {
     * (no zone pruning — it IS the unsorted tail), with a periodic
     * compaction = full [[writeTermDict]] rebuild folding it back to zero.
     * StorageLayoutSpec proves refresh ≡ rebuild across prefix probes and
-    * that untouched files stay byte-stable.
+    * that untouched files stay byte-stable. Exactly-once is the CALLER's
+    * obligation (a re-delivered batch lands a duplicate delta segment and
+    * double-counts its dfs — the [[refreshPostings]] contract).
     */
   def refreshTermDict(spark: org.apache.spark.sql.SparkSession, path: String,
                       newDocs: DataFrame): Unit =
@@ -535,7 +545,11 @@ object Sinks {
     * touched days (count addition — the DDSketch merge), and dynamically
     * overwrite just those day partitions. Untouched days are never read or
     * rewritten; refresh cost tracks the batch. Same discipline as
-    * [[refreshDailyRollup]].
+    * [[refreshDailyRollup]] — including the exactly-once contract: counts
+    * are additive, so the CALLER owns not re-delivering a batch (a replay
+    * double-counts). The replay-safe ingest path is the MVCC streaming
+    * sink ([[graft.streaming.Streaming.startLatencySketchSink]]), which
+    * re-reads its pre-state version on re-delivery instead.
     */
   def refreshLatencySketches(spark: org.apache.spark.sql.SparkSession,
                              path: String, newEvents: DataFrame): Unit = {
