@@ -84,7 +84,13 @@ object Plans {
     "log_latency_sketch_served" -> "persisted-sketch serve path: no events scan anywhere — the day= partition filter prunes the standing sketch store's directories and the rank walk runs over the pruned bucket rows",
     "meta_schema_drift" -> "two-period key profile in ONE scan: the period flag rides the key explode and a single hash agg emits both sides as conditional counts; the 1-row totals aggregate broadcasts back (allowlisted metadata rebase)",
     "log_term_suggest" -> "prefix autocomplete from the token-SORTED dict store: the string zone map prunes to covering files (prefix-interval logic), df top-k is a TakeOrdered over vocabulary-sized rows; documents.parquet appears nowhere",
-    "sql_discounted_revenue" -> "TPC-H Q19 shape: ONE part⋈lineitem hash join with the OR-of-ANDs evaluated as a residual post-join disjunction — never three unioned scans, never a nested loop")
+    "sql_discounted_revenue" -> "TPC-H Q19 shape: ONE part⋈lineitem hash join with the OR-of-ANDs evaluated as a residual post-join disjunction — never three unioned scans, never a nested loop",
+    "sql_waiting_suppliers" -> "TPC-H Q21 shape: EXISTS and NOT EXISTS against the same fact decorrelate to a hashed LEFT SEMI and LEFT ANTI join on l_orderkey with the supplier-inequality and lateness predicates riding the joins — no per-row subquery, no BNLJ",
+    "sql_min_cost_supplier" -> "TPC-H Q2 shape: the correlated scalar-MIN subquery decorrelates to a per-part aggregate joined back on p_partkey; per-row division + fold-order-free MIN keep the equality ulp-safe across engines",
+    "sql_parts_supplier_count" -> "TPC-H Q16 shape: NOT IN over null-free supplier keys plans as a plain LEFT ANTI join (never the null-aware form); the count-distinct rollup partial-aggregates onto (brand, type, size) keys",
+    "sql_excess_volume_suppliers" -> "TPC-H Q20 shape: nested IN-chain — part filter broadcasts into the fact scan, the HAVING rollup partial-aggregates onto (supp, part) keys, and both IN levels decorrelate to semi joins",
+    "llm_neardup_filter" -> "served from the standing shingle-pair store: no Generate (explode) node anywhere — the postings expansion ran once at store build; the plan is a pair-store scan + distinct + one cheap documents pass for the per-source stats",
+    "llm_neardup_clusters" -> "pair set read from the standing store (no re-shingle); the size-adaptive gate then union-finds ≤100k measured pairs driver-side or runs the pointer-jumping loop — the dumped plan is the cluster-size rollup over the labels")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
