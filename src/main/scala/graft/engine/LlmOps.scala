@@ -1174,16 +1174,51 @@ object LlmOps {
     * side it exists to protect.
     */
   val bloomDecontaminate = Q.noOracle("llm_bloom_decontaminate") { (s, dir) =>
-    val grams = docGrams(s, dir)
-    val bf = grams.filter(col("source") === "src0").select("ng").distinct()
-      .stat.bloomFilter("ng", bloomExpectedItems, bloomFpp)
+    val bf = evalGramsOf(s, dir).stat.bloomFilter("ng", bloomExpectedItems, bloomFpp)
+    bloomProbe(s, dir, bf)
+  }
+
+  /** Distinct eval-set 8-grams — the item set every decontamination Bloom
+    * (in-query or persisted) is built from; ONE definition so the standing
+    * store can never hash a different gram derivation than the query.
+    */
+  private[graft] def evalGramsOf(s: SparkSession, dir: String): DataFrame =
+    docGrams(s, dir).filter(col("source") === "src0").select("ng").distinct()
+
+  /** The probe half of Bloom decontamination against a GIVEN filter: one
+    * scan of train-side grams, map-side membership UDF over the broadcast
+    * sketch, candidate rollup. Shared by the self-contained query and the
+    * store-served twin so the two can never diverge in probe semantics.
+    */
+  private def bloomProbe(s: SparkSession, dir: String,
+                         bf: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
     val bfB = s.sparkContext.broadcast(bf)
     val mightContain = udf((ng: String) => bfB.value.mightContainString(ng))
-    grams.filter(col("source") =!= "src0")
+    docGrams(s, dir).filter(col("source") =!= "src0")
       .filter(mightContain(col("ng")))
       .groupBy("doc_id", "source")
       .agg(countDistinct("ng").as("n_candidate"))
       .orderBy("doc_id")
+  }
+
+  /** [[bloomDecontaminate]] served from the STANDING persisted filter
+    * ([[graft.sources.Stores.bloomFilter]]): the eval-set grams were
+    * hashed into the ~1.2 MB sketch ONCE at build time, and every ingest
+    * batch probes the deserialized standing bytes — the eval corpus is
+    * never re-tokenized. Appends to the eval set fold in through
+    * [[graft.sources.Sinks.refreshBloomFilter]] (bitwise OR-merge:
+    * deterministic hashing + same sizing params ⇒ refresh is
+    * BYTE-identical to a rebuild over the union, spec-proved). This is
+    * the production shape at 100 TB: the benchmark suite changes rarely,
+    * the train stream never stops, and the filter is the only state the
+    * ingest path needs. No oracle (engine-specific bit layout); a spec
+    * pins served ≡ self-contained row-for-row.
+    */
+  val bloomDecontaminateIndexed = Q.noOracle("llm_bloom_decontaminate_indexed") { (s, dir) =>
+    val bf = graft.sources.Sinks.readBloomFilter(
+      graft.sources.Stores.bloomFilter(s, dir),
+      s.sparkContext.hadoopConfiguration)
+    bloomProbe(s, dir, bf)
   }
 
   /** A4 (no oracle — HLL sketches are engine-specific): approximate
@@ -2254,6 +2289,6 @@ object LlmOps {
     approxPercentile, nearDupClusters, decontaminate, quantizeInt8, approxTopK,
     embedDimStats, embedNormalize, dupSpanFraction, dupSpanRemoval, centroidAssign,
     embedOutliers, semDedup, embedCorrPairs, nearDupFilter, kmeansEmbed,
-    bloomDecontaminate, annIvfPq, hardNegatives, incrementalDedup,
+    bloomDecontaminate, bloomDecontaminateIndexed, annIvfPq, hardNegatives, incrementalDedup,
     annIvfPqIndexed, embedPcaCov, embedPca)
 }

@@ -577,6 +577,52 @@ object Sinks {
       .parquet(path)
   }
 
+  /** Persisted Bloom decontamination filter: the serialized
+    * `org.apache.spark.util.sketch.BloomFilter` bytes (self-describing —
+    * bit width and hash count ride in the stream) under `$path/bloom.bin`,
+    * with `_SUCCESS` written LAST as the completion marker. The filter is
+    * ~1.2 MB regardless of corpus scale (sized from the eval-set capacity,
+    * never the train side), so the store is one small binary any ingest
+    * job broadcasts.
+    */
+  def writeBloomFilter(bf: org.apache.spark.util.sketch.BloomFilter, path: String,
+                       conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/bloom.bin")
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try bf.writeTo(out) finally out.close()
+    fs.create(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS"), true).close()
+  }
+
+  /** Deserialize a [[writeBloomFilter]] store. */
+  def readBloomFilter(path: String,
+                      conf: org.apache.hadoop.conf.Configuration): org.apache.spark.util.sketch.BloomFilter = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/bloom.bin")
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
+  }
+
+  /** Incremental refresh of a [[writeBloomFilter]] store for an APPEND
+    * batch of new eval items: the batch builds its own filter with the
+    * SAME sizing params (a mismatched layout cannot merge — Spark throws)
+    * and bitwise ORs into the standing bits. Because the hash functions
+    * are deterministic and OR is associative/commutative/idempotent, the
+    * refreshed store is BYTE-identical to rebuilding over the union — and
+    * uniquely among the refreshes here, a REPLAYED batch is harmless (OR
+    * is idempotent), so this one needs no exactly-once contract.
+    * Rewrite cost is the fixed filter size, never corpus size.
+    */
+  def refreshBloomFilter(spark: org.apache.spark.sql.SparkSession, path: String,
+                         newItems: DataFrame, itemCol: String,
+                         expectedItems: Long = graft.engine.LlmOps.bloomExpectedItems,
+                         fpp: Double = graft.engine.LlmOps.bloomFpp): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val standing = readBloomFilter(path, conf)
+    standing.mergeInPlace(newItems.stat.bloomFilter(itemCol, expectedItems, fpp))
+    writeBloomFilter(standing, path, conf)
+  }
+
   /** HLL sketch store: persist (key…, day, sk: binary) daily Datasketches
     * HLL sketches, day-partitioned so a date-range union prunes whole
     * directories. This is the production range-query lifecycle behind

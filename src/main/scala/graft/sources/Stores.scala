@@ -187,6 +187,25 @@ object Stores {
     }
   }
 
+  /** Path of the standing Bloom decontamination filter for `dataDir`'s
+    * documents table: the eval-set (source = src0) distinct 8-grams hashed
+    * once into a persisted ~1.2 MB sketch via [[Sinks.writeBloomFilter]].
+    * The registered `llm_bloom_decontaminate_indexed` query probes the
+    * deserialized standing bytes; eval-set appends fold in through
+    * [[Sinks.refreshBloomFilter]] (OR-merge ≡ rebuild, byte-identical,
+    * spec-proved).
+    */
+  def bloomFilter(spark: SparkSession, dataDir: String): String = {
+    val path = storeRoot(dataDir, "documents.parquet", "bloom_decontam")
+    buildOnce(path, s"$path/_SUCCESS") {
+      Sinks.writeBloomFilter(
+        graft.engine.LlmOps.evalGramsOf(spark, dataDir)
+          .stat.bloomFilter("ng", graft.engine.LlmOps.bloomExpectedItems,
+            graft.engine.LlmOps.bloomFpp),
+        path, spark.sparkContext.hadoopConfiguration)
+    }
+  }
+
   /** Path of the standing DDSketch latency-quantile store for `dataDir`'s
     * events table, building it via [[Sinks.writeLatencySketches]] on first
     * use. The registered `log_latency_sketch_served` query merges pruned

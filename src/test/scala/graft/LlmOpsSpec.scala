@@ -797,6 +797,19 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(excess.size <= 0.05 * nTrain + 2, s"${excess.size} excess docs of $nTrain train")
   }
 
+  test("indexed bloom decontamination: served from the standing filter, equals " +
+    "the self-contained query row-for-row") {
+    // the persisted-filter lifecycle's serve proof: deserialized standing
+    // bytes probe identically to the in-query-built filter (deterministic
+    // hashing + identical sizing params + identical item set)
+    val self = LlmOps.bloomDecontaminate.build(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    val served = LlmOps.bloomDecontaminateIndexed.build(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(served === self)
+    assert(served.nonEmpty)
+  }
+
   test("dup-span removal: shared 5-gram spans cut, unique context survives") {
     // docs 1/2 share exactly the 5-gram "a b c d e" (at different
     // positions); its span is removed from BOTH, each keeping its unique

@@ -373,6 +373,37 @@ class StorageLayoutSpec extends SparkSpecBase {
     assert(replayed === whole, "replayed refresh duplicated code rows")
   }
 
+  test("bloom filter store: OR-merge refresh is byte-identical to a rebuild over " +
+    "the union, and replaying a batch changes nothing") {
+    import org.apache.spark.sql.functions.{col => c}
+    val conf = spark.sparkContext.hadoopConfiguration
+    def bytesOf(path: String): Seq[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      graft.sources.Sinks.readBloomFilter(path, conf).writeTo(bos)
+      bos.toByteArray.toSeq
+    }
+    // item sets: a split of distinct tokens playing eval grams
+    val toks = graft.engine.Tables.documents(spark, sfDir)
+      .select(explode(split(lower(col("text")), " ")).as("ng"))
+      .filter(c("ng") =!= "").distinct()
+    val a = toks.filter(md5(c("ng")) < "8")
+    val b = toks.filter(md5(c("ng")) >= "8")
+    val incrDir = s"$tmp/bloom_incr"
+    graft.sources.Sinks.writeBloomFilter(
+      a.stat.bloomFilter("ng", graft.engine.LlmOps.bloomExpectedItems,
+        graft.engine.LlmOps.bloomFpp), incrDir, conf)
+    graft.sources.Sinks.refreshBloomFilter(spark, incrDir, b, "ng")
+    val fullDir = s"$tmp/bloom_full"
+    graft.sources.Sinks.writeBloomFilter(
+      toks.stat.bloomFilter("ng", graft.engine.LlmOps.bloomExpectedItems,
+        graft.engine.LlmOps.bloomFpp), fullDir, conf)
+    assert(bytesOf(incrDir) === bytesOf(fullDir),
+      "OR-merge refresh diverged from a union rebuild")
+    // replay: OR is idempotent — re-delivering batch b changes no byte
+    graft.sources.Sinks.refreshBloomFilter(spark, incrDir, b, "ng")
+    assert(bytesOf(incrDir) === bytesOf(fullDir), "replayed refresh changed the filter")
+  }
+
   test("salted aggregation equals direct aggregation") {
     import spark.implicits._
     val salted = graft.engine.LogOps.saltedAgg.build(spark, sfDir)
