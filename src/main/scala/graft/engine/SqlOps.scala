@@ -559,10 +559,65 @@ object SqlOps {
     sql("sql_excess_volume_suppliers", text)(text)
   }
 
+  /** TPC-H Q9-shaped product-type profit: per (supplier nation, order
+    * year) profit on one part-name family — the 5-relation join whose
+    * point is that the profit expression spans BOTH fact-side prices and
+    * dim-side costs, so join order matters (part's name filter must prune
+    * the fact first; nation broadcasts last). The fixture lacks
+    * partsupp.ps_supplycost, so 0.6 × p_retailprice × quantity stands in
+    * for cost. Profit is quantized to exact BIGINTs before the SUM (the
+    * suite's fold-order-free revenue discipline — profit can be negative,
+    * and ROUND-half-away agrees on both engines for either sign).
+    */
+  val productProfit: Q = {
+    val text =
+      """SELECT n_name, o_year, ROUND(profit4 / 1e4, 2) AS profit
+        |FROM (
+        |  SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)
+        |          - 0.6 * p_retailprice * l_quantity) * 10000, 0) AS BIGINT)) AS profit4
+        |  FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_name LIKE '%blue%'
+        |  GROUP BY 1, 2) t
+        |ORDER BY n_name, o_year DESC""".stripMargin
+    sql("sql_product_profit", text)(text)
+  }
+
+  /** TPC-H Q11-shaped value concentration: the (part) holdings worth more
+    * than a fixed fraction of a nation group's TOTAL — the
+    * scalar-subquery-in-HAVING shape (the group filter compares against a
+    * global aggregate over the same derived view, which Catalyst plans as
+    * a single-row broadcast over the reused rollup, never a re-scan).
+    * Values are exact quantized BIGINTs and the fraction test is the
+    * integer cross-product SUM(val)·1000 > total, so no group can flip on
+    * a double ulp. The fixture lacks partsupp; lineitem revenue per
+    * (supplier, part) stands in for stock value.
+    */
+  val valueConcentration: Q = {
+    val text =
+      """WITH v AS (
+        |  SELECT l_suppkey, l_partkey,
+        |    SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS val4
+        |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+        |  GROUP BY 1, 2)
+        |SELECT l_partkey, CAST(SUM(val4) AS BIGINT) AS value4
+        |FROM v
+        |GROUP BY l_partkey
+        |HAVING SUM(val4) * 1000 > (SELECT SUM(val4) FROM v)
+        |ORDER BY value4 DESC, l_partkey""".stripMargin
+    sql("sql_value_concentration", text)(text)
+  }
+
   val all: Seq[Q] = Seq(shippingPriority, notInNulls, localSupplierVolume, marketShare,
     recursiveReach, orderPriority, customerDistribution,
     topSupplier, largeOrders, dormantCustomers, returnedItems,
     forecastRevenue, volumeShipping, promoRevenue, smallQuantityRevenue,
     discountedRevenue, waitingSuppliers, minCostSupplier,
-    partsSupplierCount, excessVolumeSuppliers)
+    partsSupplierCount, excessVolumeSuppliers, productProfit, valueConcentration)
 }
