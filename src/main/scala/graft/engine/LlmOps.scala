@@ -1125,6 +1125,60 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** D-family (decontamination, REVERSED report): per EVAL document, how
+    * compromised it is — its distinct 8-grams, how many also occur
+    * anywhere in the train side, and the contaminated fraction. This is
+    * the direction a benchmark owner reads (the GPT-3-appendix "dirty
+    * eval doc" table): [[decontaminate]] lists the train docs to drop;
+    * this lists the eval items whose scores can no longer be trusted if
+    * they are NOT dropped. Same join discipline at 100 TB — the train
+    * side collapses to DISTINCT grams-that-hit via the broadcast eval
+    * probe (one scan, no train-text shuffle), and the per-eval-doc
+    * rollup runs over eval-sized rows.
+    */
+  val evalContamination = Q(
+    "llm_eval_contamination",
+    """WITH g AS (
+      |  SELECT doc_id, source, ng FROM (
+      |    SELECT doc_id, source, unnest(list_distinct(list_transform(
+      |        range(1, len(string_split(lower(text), ' ')) - 6),
+      |        i -> array_to_string(string_split(lower(text), ' ')[i:i+7], ' ')))) AS ng
+      |    FROM documents) t),
+      |ev AS (SELECT doc_id, ng FROM g WHERE source = 'src0'),
+      |hit_grams AS (
+      |  SELECT DISTINCT g.ng FROM g
+      |  JOIN (SELECT DISTINCT ng FROM ev) e USING (ng)
+      |  WHERE g.source <> 'src0'),
+      |per_doc AS (
+      |  SELECT ev.doc_id, COUNT(*) AS n_grams,
+      |    CAST(SUM(CASE WHEN h.ng IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+      |  FROM ev LEFT JOIN hit_grams h ON ev.ng = h.ng
+      |  GROUP BY 1)
+      |SELECT doc_id, n_grams, n_contaminated,
+      |  ROUND(n_contaminated * 1.0 / n_grams, 4) AS frac_contaminated
+      |FROM per_doc
+      |WHERE n_contaminated > 0
+      |ORDER BY frac_contaminated DESC, doc_id""".stripMargin) { (s, dir) =>
+    val grams = docGrams(s, dir)
+    val ev = grams.filter(col("source") === "src0").select("doc_id", "ng")
+    // distinct TRAIN grams that hit the eval vocabulary: the eval side
+    // broadcasts (benchmarks are KBs), the train side is one scan + hash
+    // probe collapsing to hit-vocabulary-sized rows
+    val hitGrams = grams.filter(col("source") =!= "src0")
+      .join(broadcast(ev.select("ng").distinct()), Seq("ng"))
+      .select("ng").distinct()
+      .withColumn("hit", lit(1))
+    ev.join(hitGrams, Seq("ng"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_contaminated"))
+      .filter(col("n_contaminated") > 0)
+      .withColumn("frac_contaminated",
+        round(col("n_contaminated") * lit(1.0) / col("n_grams"), 4))
+      .select("doc_id", "n_grams", "n_contaminated", "frac_contaminated")
+      .orderBy(col("frac_contaminated").desc, col("doc_id"))
+  }
+
   /** (doc_id, source, ng): distinct word-8-grams per document — the shared
     * derivation behind [[decontaminate]] and [[bloomDecontaminate]].
     * Tokenizes once into a materialized column (same O(len²) trap as the
@@ -2286,7 +2340,7 @@ object LlmOps {
   val all: Seq[Q] = Seq(
     dedupExact, dedupHash, jaccardPairs, shingleJaccard, knnCosine, annLsh,
     annIvf, nearDupCosine, embedNorm, minhashPairs, tfidf, approxDistinct,
-    approxPercentile, nearDupClusters, decontaminate, quantizeInt8, approxTopK,
+    approxPercentile, nearDupClusters, decontaminate, evalContamination, quantizeInt8, approxTopK,
     embedDimStats, embedNormalize, dupSpanFraction, dupSpanRemoval, centroidAssign,
     embedOutliers, semDedup, embedCorrPairs, nearDupFilter, kmeansEmbed,
     bloomDecontaminate, bloomDecontaminateIndexed, annIvfPq, hardNegatives, incrementalDedup,
