@@ -90,7 +90,11 @@ object Plans {
     "sql_parts_supplier_count" -> "TPC-H Q16 shape: NOT IN over null-free supplier keys plans as a plain LEFT ANTI join (never the null-aware form); the count-distinct rollup partial-aggregates onto (brand, type, size) keys",
     "sql_excess_volume_suppliers" -> "TPC-H Q20 shape: nested IN-chain — part filter broadcasts into the fact scan, the HAVING rollup partial-aggregates onto (supp, part) keys, and both IN levels decorrelate to semi joins",
     "llm_neardup_filter" -> "served from the standing shingle-pair store: no Generate (explode) node anywhere — the postings expansion ran once at store build; the plan is a pair-store scan + distinct + one cheap documents pass for the per-source stats",
-    "llm_neardup_clusters" -> "pair set read from the standing store (no re-shingle); the size-adaptive gate then union-finds ≤100k measured pairs driver-side or runs the pointer-jumping loop — the dumped plan is the cluster-size rollup over the labels")
+    "llm_neardup_clusters" -> "pair set read from the standing store (no re-shingle); the size-adaptive gate then union-finds ≤100k measured pairs driver-side or runs the pointer-jumping loop — the dumped plan is the cluster-size rollup over the labels",
+    "llm_bloom_decontaminate_indexed" -> "decontamination served from the persisted filter: the standing ~1.2 MB bytes deserialize and broadcast; the plan is ONE train-gram scan + map-side membership probe — no eval tokenize, no filter-build stages",
+    "llm_eval_contamination" -> "reversed decontamination: eval grams broadcast into the train scan, train collapses to DISTINCT hit grams, and the per-eval-doc rollup runs over eval-sized rows — train text never shuffles",
+    "sql_product_profit" -> "TPC-H Q9 shape: the part-name filter prunes the fact first, dims broadcast, and the mixed price/cost profit expression folds as exact BIGINTs before the (nation, year) rollup",
+    "sql_value_concentration" -> "TPC-H Q11 shape: the HAVING's global total is a single-row broadcast over the reused (supp, part) rollup — never a re-scan; the fraction test is an integer cross-product")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
