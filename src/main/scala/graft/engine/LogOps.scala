@@ -2465,9 +2465,17 @@ object LogOps {
     * corpus-sized work is one map-side-combined count. No closed-form
     * (1−α)^−k prefix trick: that overflows double past ~700 days, while
     * the fold is exact for any history length. Cross-engine FP
-    * determinism: both engines fold the same day order with the same
-    * `α·x + (1−α)·s` arithmetic (IEEE ops are commutative in the operand
-    * order used), pinned by the DuckDB recursive-CTE oracle.
+    * determinism: both engines fold the same exact BIGINT counts in the
+    * same day order with the same `α·x + (1−α)·s` arithmetic, so the
+    * unrounded doubles are bit-identical — but ROUND(x, 4) itself is
+    * implementation-defined at a midpoint (Spark rounds the double's
+    * exact decimal expansion via BigDecimal; DuckDB multiplies by 10⁴ in
+    * floats first), and sf0.1 produces one value close enough to a .00005
+    * boundary to split them. The display rounding is therefore spelled
+    * floor(x·10⁴ + 0.5)/10⁴ VERBATIM on both sides: every step is a
+    * deterministic IEEE op on identical inputs, so the rounded value is
+    * bit-identical by construction (counts are non-negative, so the
+    * +0.5/floor form is exactly round-half-up).
     */
   val ewmaDaily = Q(
     "log_ewma_daily",
@@ -2485,7 +2493,7 @@ object LogOps {
       |  UNION ALL
       |  SELECT i.event_type, i.day, i.n, i.k, 0.3 * i.n + 0.7 * r.ewma
       |  FROM idx i JOIN rec r ON i.event_type = r.event_type AND i.k = r.k + 1)
-      |SELECT event_type, day, n, ROUND(ewma, 4) AS ewma
+      |SELECT event_type, day, n, FLOOR(ewma * 10000 + 0.5) / 10000 AS ewma
       |FROM rec ORDER BY event_type, day""".stripMargin) { (s, dir) =>
     Tables.events(s, dir)
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
@@ -2502,7 +2510,7 @@ object LogOps {
           |""".stripMargin).as("ser"))
       .select(col("event_type"), explode(col("ser")).as("e"))
       .select(col("event_type"), col("e.day").as("day"), col("e.n").as("n"),
-        round(col("e.ewma"), 4).as("ewma"))
+        (floor(col("e.ewma") * 10000 + 0.5) / 10000).as("ewma"))
       .orderBy("event_type", "day")
   }
 
