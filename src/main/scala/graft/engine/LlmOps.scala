@@ -254,6 +254,34 @@ object LlmOps {
 
   private val shingleJaccardThreshold = 0.5
 
+  /** PPJoin/AllPairs prefix filtering (Bayardo et al. WWW'07, Xiao et al.
+    * WWW'08 — public literature): under a GLOBAL total order over keys, two
+    * sets with |A∩B| ≥ α must share an element inside the first
+    * |x| − α + 1 elements of each sorted set. For Jaccard ≥ τ the overlap
+    * bound is α(x) = ⌈τ·|x|⌉ (since |A∩B| ≥ τ·|A∪B| ≥ τ·max(|A|,|B|)), so
+    * posting only each doc's (|x| − ⌈τ·|x|⌉ + 1)-prefix generates a
+    * candidate SUPERSET of every qualifying pair at a fraction of the
+    * postings volume. The order is (df ASC, key ASC) — rarest-first, the
+    * AllPairs heuristic: hot keys fall out of prefixes, so the Σdf² of the
+    * prefix postings shrinks superlinearly vs the full expansion
+    * (PropertySpec proves the superset contract; the ε in the ceil guards
+    * the fp product from landing one ulp ABOVE an exact integer — under-
+    * rounding only lengthens the prefix, which stays correct).
+    * Input must be distinct (doc_id, `key`) rows; output is the prefix
+    * postings, same shape.
+    */
+  private[graft] def prefixPostings(postings: DataFrame, key: String,
+                                    tau: Double): DataFrame = {
+    val dfc = postings.groupBy(key).agg(count(lit(1)).as("df"))
+    val prefLen = (size(col("a"))
+      - ceil(lit(tau) * size(col("a")) - lit(1e-9)) + lit(1)).cast("int")
+    postings.join(dfc, Seq(key))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col(key)))).as("a"))
+      .select(col("doc_id"), explode(slice(col("a"), lit(1), prefLen)).as("p"))
+      .select(col("doc_id"), col(s"p.$key").as(key))
+  }
+
   /** Whole-corpus shingle-Jaccard pair set (id_a, id_b, jaccard ≥ θ) — the
     * pipeline behind [[shingleJaccard]], factored out so the STANDING pair
     * store ([[graft.sources.Stores.shinglePairs]]) builds exactly the rows
@@ -261,20 +289,179 @@ object LlmOps {
     * snapshot is computed once and consumed many times (filter decision,
     * transitive clusters, audits), so the downstream consumers probe the
     * store instead of re-running this postings expansion per query.
+    *
+    * The pair scan is ADAPTIVE (see [[shinglePairsFrom]]): dense bitset
+    * popcount for closed vocabularies, prefix-filtered inverted index +
+    * exact verify for open ones — both compute the identical exact pair
+    * set, and the oracle SQL deliberately keeps the naive self-join
+    * spelling so hash parity proves whichever path ran is lossless.
     */
-  private[graft] def shinglePairsOf(s: SparkSession, dir: String): DataFrame = {
-    val sh0 = bigramShingles(Tables.documents(s, dir))
+  private[graft] def shinglePairsOf(s: SparkSession, dir: String): DataFrame =
+    shinglePairsFrom(bigramShingles(Tables.documents(s, dir)))
+
+  /** [[shinglePairsOf]] over an arbitrary (doc_id, sh) shingle relation —
+    * the shared core of the whole-corpus build and spec-level replays.
+    *
+    * ADAPTIVE by measured vocabulary size (one metadata-sized count on the
+    * already-checkpointed capped postings): an OPEN vocabulary (Heaps'-law
+    * text — most shingles rare) goes through the prefix-filtered inverted
+    * index, where candidate volume tracks the rare-key df² mass; a CLOSED
+    * vocabulary (≤ [[denseVocabMax]] distinct capped shingles — log
+    * templates, enum-ish fields, saturated word soups) is the inverted
+    * index's worst case (every key is hot, nearly all pairs co-occur:
+    * measured 10.3 M co-occurring of 12.5 M possible on the 5 000-doc /
+    * 931-shingle fixture), so it takes [[densePairs]] — exact bitset
+    * popcount over a block grid, no candidate materialization at all.
+    * Both paths compute the identical exact pair set.
+    */
+  private[graft] def shinglePairsFrom(sh0raw: DataFrame): DataFrame = {
     // localCheckpoint before fan-out, as in [[jaccardPairs]]: the
-    // shingling pipeline is consumed by the size relation and the pair
-    // expansion and must not re-run per consumer.
-    val sh = dfCapped(sh0, "sh", shingleDfFrac, shingleDfAbs).localCheckpoint()
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = pairCounts(sh, "sh")
+    // shingling pipeline is consumed by the vocabulary census and the
+    // pair scan and must not re-run per consumer.
+    val sh0 = sh0raw.localCheckpoint()
+    val nDocs = sh0.agg(countDistinct("doc_id").as("n_docs"))
+    // SURVIVING vocabulary census (dfCapped's keep-list, kept as a DF):
+    // vocabulary-sized, so for the dense decision it collects to the
+    // driver only when it fits the dense bound anyway
+    val census = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") <= least(lit(shingleDfFrac) * col("n_docs"), lit(shingleDfAbs)))
+      .select("sh")
+    // limit(denseVocabMax+1) bounds the driver collect: we only need to
+    // know WHETHER the vocabulary exceeds the dense bound, never to hold
+    // an open vocabulary on the driver
+    val vocabProbe = census.limit(denseVocabMax.toInt + 1)
+      .orderBy("sh").as(org.apache.spark.sql.Encoders.STRING).collect()
+    if (vocabProbe.length <= denseVocabMax)
+      densePairs(sh0, vocabProbe, shingleJaccardThreshold)
+    else {
+      // open vocabulary: materialize the capped postings once (they fan
+      // out to the doc-set relation and the prefix expansion)
+      val sh = sh0.join(census, Seq("sh"), "left_semi").localCheckpoint()
+      prefixVerifiedPairs(sh, shingleJaccardThreshold)
+    }
+  }
+
+  /** Open-vocabulary pair scan: prefix-filtered candidate generation +
+    * exact array-intersect verify. `postings` must be distinct, df-capped
+    * (doc_id, sh) rows, already materialized (it fans out to three
+    * consumers).
+    */
+  private[graft] def prefixVerifiedPairs(postings: DataFrame, tau: Double): DataFrame = {
+    // full per-doc shingle sets (sorted arrays) for the exact verify;
+    // checkpointed because both join sides of the verify consume it
+    val docSets = postings.groupBy("doc_id")
+      .agg(sort_array(collect_list("sh")).as("shs"), count(lit(1)).as("n"))
+      .localCheckpoint()
+    val cand = pairCounts(prefixPostings(postings, "sh", tau), "sh")
+      .select("id_a", "id_b")
+    verifyJaccardPairs(cand, docSets, tau)
+  }
+
+  /** Vocabulary-size bound for [[densePairs]]: 4096 bits = 64 longs =
+    * 512 bytes per doc mask — small enough that a block's masks sit in a
+    * task comfortably, large enough to catch every closed-vocab corpus the
+    * inverted index degenerates on.
+    */
+  private[graft] val denseVocabMax = 4096L
+
+  /** Closed-vocabulary exact Jaccard pair scan: each doc's capped shingle
+    * set becomes a fixed-width BITMASK over the (≤ [[denseVocabMax]])-term
+    * vocabulary, and a block-grid self-join evaluates every unordered doc
+    * pair exactly once with a popcount(AND) kernel — ~`words` long-ops per
+    * pair, all inside whole-stage codegen, versus a hash intersection over
+    * string arrays. No candidate pair set is ever materialized or
+    * shuffled: only the ≥ τ survivors leave the join stage (256 rows where
+    * the inverted-index formulation aggregated 10.3 M candidate rows).
+    *
+    * Scale: the grid shuffles each mask `blocks` times (n·B rows of
+    * ~0.5 KB — for 10⁶ docs × 32 blocks ≈ 16 GB spread over the cluster),
+    * and per-cell work is (n/B)² kernels, embarrassingly parallel across
+    * the B(B+1)/2 cells. On a closed vocabulary ANY exact method is
+    * Ω(co-occurring pairs) ≈ Ω(n²) — this path makes the per-pair constant
+    * ~25 long-ops instead of a shuffled+aggregated candidate row. The
+    * explicit hash-repartition on `cell` pins the join's parallelism: the
+    * grid's shuffle is byte-light, so AQE would otherwise coalesce the
+    * whole O(n²) kernel stage into a couple of tasks.
+    */
+  private[graft] def densePairs(postings: DataFrame, vocabSorted: Array[String],
+                                tau: Double, blocks: Int = 32): DataFrame = {
+    val spark = postings.sparkSession
+    if (vocabSorted.isEmpty)
+      // no shingle survived the cap → no pair can share one
+      return postings.select(col("doc_id").as("id_a"), col("doc_id").as("id_b"),
+        lit(0.0).as("jaccard")).filter(lit(false))
+    val words = (vocabSorted.length + 63) / 64
+    val n = spark.sessionState.conf.numShufflePartitions
+    // dense term ids from the driver-side (≤ denseVocabMax) sorted
+    // vocabulary; the inner join below applies the df-cap (capped-out
+    // shingles simply miss) and assigns ids in the same pass
+    import spark.implicits._
+    val vocab = broadcast(
+      vocabSorted.zipWithIndex.toSeq.toDF("sh", "vid"))
+    // the mask builds as `words` bit_or aggregation columns — a fully
+    // codegen'd hash aggregate (no collect_list array, no interpreted
+    // set-bit lambda), one long per 64 vocabulary terms
+    val wordAggs = (0 until words).map(w =>
+      expr(s"bit_or(IF(vid div 64 = $w, shiftleft(1L, vid % 64), 0L))").as(s"m$w"))
+    val masks = postings.join(vocab, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), wordAggs: _*)
+      .select(col("doc_id"), col("n"),
+        array((0 until words).map(w => col(s"m$w")): _*).as("mask"),
+        pmod(col("doc_id"), lit(blocks)).cast("int").as("blk"))
+      .localCheckpoint() // two consumers: both grid sides
+    // cell (i, j), i ≤ j: a doc in block p sits on the LEFT of cells
+    // (p, j ≥ p) and on the RIGHT of cells (i ≤ p, p), so an unordered
+    // cross-block pair meets in exactly one cell with one orientation;
+    // same-block pairs meet in (p, p) both ways and the doc_id< filter
+    // keeps one.
+    val lhs = masks.withColumn("cell",
+      explode(expr(s"transform(sequence(blk, ${blocks - 1}), j -> blk * $blocks + j)")))
+    val rhs = masks.withColumn("cell",
+      explode(expr(s"transform(sequence(0, blk), i -> i * $blocks + blk)")))
+    // the popcount kernel UNROLLED over the word count (known at plan
+    // time): higher-order functions (zip_with/aggregate) evaluate their
+    // lambdas interpreted, outside whole-stage codegen — measured ~2 s of
+    // the whole query on 12.5 M pairs — while this flat sum of
+    // bit_count(x & y) terms compiles into the generated join loop
+    val c = expr((0 until words)
+      .map(w => s"bit_count(a.mask[$w] & b.mask[$w])")
+      .mkString("CAST(", " + ", " AS BIGINT)"))
+    val jac = col("c").cast("double") / (col("a.n") + col("b.n") - col("c"))
+    val cond = col("a.cell") === col("b.cell") &&
+      (col("a.blk") =!= col("b.blk") || col("a.doc_id") < col("b.doc_id"))
+    // explicit hash-repartition + shuffled hash join: the repartition is
+    // pinned at `n` partitions because the grid's shuffle is byte-light
+    // and AQE would otherwise coalesce the whole O(n²) kernel stage into
+    // a couple of tasks; shuffle_hash (not SMJ) because cells don't need
+    // sorting. (A broadcast grid side was tried and measured 10× SLOWER
+    // than this shape on 12.5 M pairs — the BHJ probe path loses the
+    // tight codegen'd SHJ loop — so the join is shuffled even when the
+    // replicated side would fit a broadcast.)
+    lhs.repartition(n, col("cell")).as("a")
+      .join(rhs.repartition(n, col("cell")).hint("shuffle_hash").as("b"), cond)
+      .withColumn("c", c)
+      .filter(jac >= tau)
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"),
+        round(jac, 4).as("jaccard"))
+  }
+
+  /** Exact verify of candidate (id_a, id_b) pairs against full per-doc
+    * sorted shingle arrays (`docSets`: doc_id, shs, n): true intersection
+    * via `array_intersect`, Jaccard ≥ τ filter, ROUND(…, 4) — the same
+    * output contract as the unfiltered expansion.
+    */
+  private[graft] def verifyJaccardPairs(cand: DataFrame, docSets: DataFrame,
+                                        tau: Double): DataFrame = {
+    val c = size(array_intersect(col("sa.shs"), col("sb.shs"))).cast("long")
     val jac = col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c"))
-    inter
-      .join(sz.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(sz.as("sb"), col("id_b") === col("sb.doc_id"))
-      .filter(jac >= shingleJaccardThreshold)
+    cand
+      .join(docSets.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(docSets.as("sb"), col("id_b") === col("sb.doc_id"))
+      .withColumn("c", c)
+      .filter(jac >= tau)
       .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))
   }
 

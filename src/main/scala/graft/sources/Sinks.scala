@@ -84,9 +84,12 @@ object Sinks {
     * table's vec_ids before appending, so a re-delivered (or overlapping)
     * batch appends only its genuinely-new vectors instead of silently
     * duplicating code rows. The guard reads ONE int column of the standing
-    * codes — the 32×-compressed index, not the vector corpus — and the
-    * anti-join broadcasts the batch side, so the cost stays an index scan
-    * even at 100 TB of raw vectors.
+    * codes — the 32×-compressed index, not the vector corpus. Note the
+    * guard's real cost: Spark can only broadcast the BUILD (right) side of
+    * a LEFT ANTI join, which here is the standing vec_id set — broadcast
+    * while it fits the threshold, a shuffled anti-join past it. Either
+    * way the scan is of the compressed index's one int column, never the
+    * 100 TB of raw vectors.
     */
   def refreshPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                      newVectors: DataFrame): Unit = {
@@ -612,6 +615,13 @@ object Sinks {
     * uniquely among the refreshes here, a REPLAYED batch is harmless (OR
     * is idempotent), so this one needs no exactly-once contract.
     * Rewrite cost is the fixed filter size, never corpus size.
+    *
+    * Crash-safe under the store's "completion marker written LAST"
+    * contract: the standing `_SUCCESS` is DELETED before the payload
+    * rewrite starts and recreated only after the merged bytes are fully
+    * on disk (inside [[writeBloomFilter]]), so a crash mid-rewrite leaves
+    * a marker-less store that [[graft.sources.Stores]] rebuilds instead
+    * of a truncated filter readers would trust.
     */
   def refreshBloomFilter(spark: org.apache.spark.sql.SparkSession, path: String,
                          newItems: DataFrame, itemCol: String,
@@ -620,6 +630,8 @@ object Sinks {
     val conf = spark.sparkContext.hadoopConfiguration
     val standing = readBloomFilter(path, conf)
     standing.mergeInPlace(newItems.stat.bloomFilter(itemCol, expectedItems, fpp))
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+    marker.getFileSystem(conf).delete(marker, false)
     writeBloomFilter(standing, path, conf)
   }
 

@@ -27,7 +27,13 @@ import org.apache.spark.sql.SparkSession
   */
 object Stores {
 
-  private val VERSION = "v3" // v3: posting docstats gained (lang, source) facet columns
+  // v3: posting docstats gained (lang, source) facet columns.
+  // v4: pqTrainEncode's codebook build changed (md5-sampled driver-side
+  //     Lloyd replaced the distributed average), producing different
+  //     codebook/code bytes for the same corpus — the version bump forces
+  //     any pre-change standing pq_index (and every other store, cheaply)
+  //     to rebuild instead of silently serving the old-algorithm index.
+  private val VERSION = "v4"
   private val memo = scala.collection.concurrent.TrieMap.empty[String, String]
   private val buildLock = new Object
 

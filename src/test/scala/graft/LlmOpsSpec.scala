@@ -579,6 +579,72 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(store === raw)
   }
 
+  test("adaptive pair scan: dense bitset and prefix-verified paths both equal " +
+    "the naive expansion on a τ-boundary corpus") {
+    // doc sets engineered around the τ = 0.5 boundary: (1,2) J = 3/5 = 0.6
+    // (in), (1,3) J = 2/6 ≈ 0.33 (out), (4,5) J = 1/2 = 0.5 (boundary, in),
+    // (6,7) identical J = 1 (in), 8 disjoint (no pair), 9 single-shingle
+    // subset of 1 (J = 1/4 out)
+    val sets = Map(
+      1L -> Seq("a b", "b c", "c d", "d e"),
+      2L -> Seq("a b", "b c", "c d", "x y"),
+      3L -> Seq("a b", "b c", "q r", "r s"),
+      4L -> Seq("k l", "l m"),
+      5L -> Seq("k l"),
+      6L -> Seq("p q", "q r"),
+      7L -> Seq("p q", "q r"),
+      8L -> Seq("u v"),
+      9L -> Seq("a b"))
+    val postings = sets.toSeq.flatMap { case (d, ss) => ss.map(d -> _) }
+      .toDF("doc_id", "sh")
+    val tau = 0.5
+    // naive reference, driver-side: exact Jaccard over every doc pair
+    val expect = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = sets(a).toSet.intersect(sets(b).toSet).size
+      if inter > 0
+      j = inter.toDouble / (sets(a).size + sets(b).size - inter)
+      if j >= tau
+    } yield (a, b, BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    assert(expect === Set((1L, 2L, 0.6), (4L, 5L, 0.5), (6L, 7L, 1.0)))
+    val vocab = sets.values.flatten.toSeq.distinct.sorted.toArray
+    val dense = LlmOps.densePairs(postings, vocab, tau)
+      .as[(Long, Long, Double)].collect().toSet
+    val prefixed = LlmOps.prefixVerifiedPairs(postings.localCheckpoint(), tau)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(dense === expect, "dense bitset path diverged from the naive scan")
+    assert(prefixed === expect, "prefix-verified path diverged from the naive scan")
+  }
+
+  test("prefix filtering: candidates are a superset of every τ-qualifying pair " +
+    "on randomized corpora") {
+    // the PPJoin/AllPairs lemma, checked against the ACTUAL Spark
+    // implementation on seeded random set systems with a skewed key
+    // distribution (low ids hot — prefixes must still never lose a pair)
+    val rnd = new scala.util.Random(42)
+    for (round <- 1 to 4; tau <- Seq(0.3, 0.5, 0.8)) {
+      val vocabSize = 12 + rnd.nextInt(30)
+      val sets: Map[Long, Set[String]] = (1L to 30L).map { d =>
+        val n = 1 + rnd.nextInt(8)
+        d -> Seq.fill(n)("t" + (rnd.nextInt(rnd.nextInt(vocabSize) + 1))).toSet
+      }.toMap
+      val postings = sets.toSeq.flatMap { case (d, ss) => ss.toSeq.map(d -> _) }
+        .toDF("doc_id", "sh")
+      val qualifying = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        inter = sets(a).intersect(sets(b)).size
+        if inter > 0
+        if inter.toDouble / (sets(a).size + sets(b).size - inter) >= tau
+      } yield (a, b)).toSet
+      val cands = LlmOps.pairCounts(
+          LlmOps.prefixPostings(postings, "sh", tau), "sh")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val lost = qualifying -- cands
+      assert(lost.isEmpty,
+        s"round $round τ=$tau: prefix filtering lost qualifying pairs $lost")
+    }
+  }
+
   test("neardup filter: dropped total equals the distinct lower-id-pair targets") {
     val expectedDrops = LlmOps.shingleJaccard.build(spark, sfDir)
       .select("id_b").distinct().count()
