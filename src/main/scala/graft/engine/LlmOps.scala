@@ -297,7 +297,53 @@ object LlmOps {
     * spelling so hash parity proves whichever path ran is lossless.
     */
   private[graft] def shinglePairsOf(s: SparkSession, dir: String): DataFrame =
-    shinglePairsFrom(bigramShingles(Tables.documents(s, dir)))
+    shinglePairsOfDocs(Tables.documents(s, dir))
+
+  /** [[shinglePairsOf]] over an explicit documents relation (doc_id, text
+    * …) — the entry the pair-store REFRESH spec drives with corpus splits.
+    */
+  private[graft] def shinglePairsOfDocs(docs: DataFrame): DataFrame =
+    shinglePairsFrom(bigramShingles(docs))
+
+  /** The NEW pair rows an APPEND batch of documents adds to a standing
+    * pair set built over `exist`: batch×existing cross pairs (an
+    * inverted-index join whose big side is touched once and never
+    * self-joins — the [[incrementalDedup]] discipline) plus batch-internal
+    * pairs. Shingle df-caps are evaluated on the UNION census, so when the
+    * cap keep-set is stable across the append (no shingle crosses a cap
+    * boundary — always true when caps are non-binding, the fixtures'
+    * regime), standing ∪ delta is row-identical to a full rebuild over
+    * exist ∪ batch; a cap-boundary crossing would change EXISTING pairs
+    * too, which no append-only refresh can express — that is the
+    * scheduled-rebuild case, same contract as [[graft.sources.Sinks
+    * .refreshPqIndex]]'s frozen codebook.
+    */
+  private[graft] def shinglePairsDelta(exist: DataFrame, batch: DataFrame): DataFrame = {
+    val shx0 = bigramShingles(exist).localCheckpoint()
+    val shb0 = bigramShingles(batch).localCheckpoint()
+    val all = shx0.unionByName(shb0)
+    val nDocs = all.agg(countDistinct("doc_id").as("n_docs"))
+    val keep = all.groupBy("sh").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") <= least(lit(shingleDfFrac) * col("n_docs"), lit(shingleDfAbs)))
+      .select("sh")
+    val shx = shx0.join(keep, Seq("sh"), "left_semi").localCheckpoint()
+    val shb = shb0.join(keep, Seq("sh"), "left_semi").localCheckpoint()
+    val szx = shx.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val szb = shb.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = shb.select(col("doc_id").as("bid"), col("sh"))
+      .join(shx.select(col("doc_id").as("xid"), col("sh")), Seq("sh"))
+      .groupBy("bid", "xid").agg(count(lit(1)).as("c"))
+    val jac = col("c").cast("double") / (col("bn") + col("xn") - col("c"))
+    val cross = inter
+      .join(szb.select(col("doc_id").as("bid"), col("n").as("bn")), Seq("bid"))
+      .join(szx.select(col("doc_id").as("xid"), col("n").as("xn")), Seq("xid"))
+      .filter(jac >= shingleJaccardThreshold)
+      .select(least(col("bid"), col("xid")).as("id_a"),
+        greatest(col("bid"), col("xid")).as("id_b"),
+        round(jac, 4).as("jaccard"))
+    cross.unionByName(prefixVerifiedPairs(shb, shingleJaccardThreshold))
+  }
 
   /** [[shinglePairsOf]] over an arbitrary (doc_id, sh) shingle relation —
     * the shared core of the whole-corpus build and spec-level replays.

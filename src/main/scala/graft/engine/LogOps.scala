@@ -3191,7 +3191,8 @@ object LogOps {
   val searchFacetsIndexed = Q("log_search_facets_indexed", searchFacetsSql) { (s, dir) =>
     val store = graft.sources.Stores.postingStore(s, dir)
     val hits = graft.sources.Sinks.probePostings(s, store, Seq("spark", "join"))
-    val facets = s.read.parquet(s"$store/docstats").select("doc_id", "lang", "source")
+    val facets = graft.sources.Sinks.storeDocstats(s, store)
+      .select("doc_id", "lang", "source")
     hits.join(facets, "doc_id")
       .select(explode(array(
         struct(lit("lang").as("facet"), col("lang").as("value")),

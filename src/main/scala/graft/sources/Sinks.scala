@@ -103,6 +103,39 @@ object Sinks {
       .parquet(s"$path/codes")
   }
 
+  /** Incremental refresh of the standing shingle-Jaccard PAIR store
+    * ([[graft.sources.Stores.shinglePairs]]) for an APPEND batch of new
+    * documents: the batch's new pairs — batch×existing cross pairs plus
+    * batch-internal pairs, computed by
+    * [[graft.engine.LlmOps.shinglePairsDelta]] — APPEND as new files; the
+    * standing pair files are never read for rewriting, so refresh cost
+    * tracks the batch (one linear shingling pass over the existing corpus
+    * plus a batch-bounded join), never the quadratic pair expansion the
+    * store exists to amortize.
+    *
+    * Replay-safe: the delta is anti-joined against the standing pair KEYS
+    * (metadata-sized — the pair set, not the corpus) before appending, so
+    * a re-delivered batch appends nothing. A genuinely new batch cannot
+    * lose rows to the guard: every delta pair involves at least one batch
+    * doc, and standing pairs only relate pre-batch docs.
+    *
+    * Exactness contract (spec-proved on the fixture split): standing ∪
+    * delta ≡ full rebuild whenever the df-cap keep-set is stable across
+    * the append — a cap-boundary crossing changes pairs among EXISTING
+    * docs, which no append-only refresh can express; that is the
+    * scheduled-rebuild case, like [[refreshPqIndex]]'s frozen codebook.
+    */
+  def refreshShinglePairs(spark: org.apache.spark.sql.SparkSession, path: String,
+                          existingDocs: DataFrame, newDocs: DataFrame): Unit = {
+    val standing = spark.read.parquet(path).select("id_a", "id_b")
+    graft.engine.LlmOps.shinglePairsDelta(existingDocs, newDocs)
+      .join(standing, Seq("id_a", "id_b"), "left_anti")
+      .repartition(1)
+      .write.mode("append")
+      .option("compression", "zstd")
+      .parquet(path)
+  }
+
   /** Range-clustered event layout + FILE-LEVEL ZONE MAP: rewrites the log
     * with `repartitionByRange(ts)` + an in-file sort, so each output file
     * covers one narrow disjoint time span, then records per-file
@@ -230,6 +263,13 @@ object Sinks {
     filter(split(lower(col("text")), " "), t => t =!= "")
 
   def writePostings(docs: DataFrame, path: String, buckets: Int = 64): Unit = {
+    // a (re)build folds the whole corpus — clear any standing streaming
+    // segments first, or their rows would double-count against the new base
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(s"$path/seg"))
     val toks = postingToks
     docs
       .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
@@ -293,7 +333,7 @@ object Sinks {
       .write.mode("append")
       .option("compression", "zstd")
       .parquet(s"$path/docstats")
-    writeSized(spark.read.parquet(s"$path/docstats")
+    writeSized(storeDocstats(spark, path) // segment-aware: N/avgdl count streamed docs too
       .agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
       .withColumn("buckets", lit(buckets)),
       s"$path/meta", 1)
@@ -372,7 +412,7 @@ object Sinks {
       (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
     val lengthNorm = lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))
     tf.join(broadcast(dfc), "tok") // |terms| rows
-      .join(spark.read.parquet(s"$path/docstats"), "doc_id")
+      .join(storeDocstats(spark, path), "doc_id")
       .withColumn("contrib",
         idf * (col("tf").cast("double") * (k1 + 1)) / (col("tf") + lengthNorm))
       .groupBy("doc_id")
@@ -407,6 +447,9 @@ object Sinks {
   /** Store scan pruned to the query terms' partitions: resolves the bucket
     * modulus from the store's own meta, hashes each term with the writer's
     * `hash`, and filters on the PARTITION column before the term filter.
+    * Committed streaming segments ([[ingestPostingsSegment]]) union in,
+    * each pruned to the same buckets (all segments share the store's
+    * modulus — it is read from meta at ingest time).
     */
   private def prunedPostings(spark: org.apache.spark.sql.SparkSession,
                              path: String, normTerms: Seq[String]): DataFrame = {
@@ -416,9 +459,90 @@ object Sinks {
     val bucketIds = normTerms.toDF("t")
       .select(pmod(hash(col("t")), lit(buckets)).as("b"))
       .as[Int].collect().toSeq.distinct
-    spark.read.parquet(s"$path/postings")
-      .filter(col("tok_bucket").isin(bucketIds: _*)) // partition pruning
-      .filter(col("tok").isin(normTerms: _*))
+    val roots =
+      (if (new java.io.File(s"$path/postings").exists()) Seq(s"$path/postings") else Nil) ++
+        committedSegments(path).map(s => s"$s/postings")
+    require(roots.nonEmpty, s"posting store at $path has no postings")
+    roots.map(spark.read.parquet(_)
+        .filter(col("tok_bucket").isin(bucketIds: _*)) // partition pruning
+        .filter(col("tok").isin(normTerms: _*)))
+      .reduce(_ unionByName _)
+  }
+
+  /** Streaming-ingest step for a [[writePostings]] store: the batch lands
+    * as an IMMUTABLE PER-BATCH SEGMENT under `$path/seg/b=<batchId>/`
+    * (postings partitioned by the store's own tok_bucket modulus + a
+    * docstats side table), with a `_COMMIT` marker written LAST — the
+    * Lucene/LSM segment discipline. Probes union the base store with every
+    * COMMITTED segment, so a half-written segment is invisible.
+    *
+    * Idempotent under at-least-once replay BY CONSTRUCTION: a re-delivered
+    * batch overwrites its own `b=<batchId>` directory with identical rows
+    * — unlike [[refreshPostings]]'s in-place append, which is why that
+    * entry point demands caller-owned exactly-once while this one is the
+    * streaming-safe shape ([[graft.streaming.Streaming.startPostingsSink]]
+    * drives it from foreachBatch). The store meta (N, avgdl — BM25's
+    * normalizers) is recomputed over base + committed segments after the
+    * commit marker; a crash between marker and meta rewrite is repaired by
+    * the replay. A stream-only store (no [[writePostings]] base) works:
+    * the first segment creates the meta with `buckets`.
+    *
+    * At 100 TB: segment count grows with batches — the standing answer is
+    * periodic compaction (a scheduled [[writePostings]] rebuild folding
+    * segments to zero, exactly the term dict's delta contract); probe cost
+    * meanwhile grows only by the segments' pruned-bucket rows.
+    */
+  def ingestPostingsSegment(spark: org.apache.spark.sql.SparkSession, path: String,
+                            newDocs: DataFrame, batchId: Long,
+                            buckets: Int = 64): Unit = {
+    val bucketsEff =
+      if (new java.io.File(s"$path/meta/_SUCCESS").exists())
+        spark.read.parquet(s"$path/meta").select("buckets").head.getInt(0)
+      else buckets
+    val seg = s"$path/seg/b=$batchId"
+    val toks = postingToks
+    newDocs
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+      .withColumn("tok_bucket", pmod(hash(col("tok")), lit(bucketsEff)))
+      .repartition(col("tok_bucket"))
+      .write.mode("overwrite")
+      .option("compression", "zstd")
+      .partitionBy("tok_bucket")
+      .parquet(s"$seg/postings")
+    newDocs.select(col("doc_id"), size(toks).cast("long").as("dl"),
+        col("lang"), col("source"))
+      .repartition(1)
+      .write.mode("overwrite")
+      .option("compression", "zstd")
+      .parquet(s"$seg/docstats")
+    // the segment becomes visible to probes HERE — everything above is
+    // invisible scratch until this marker exists
+    new java.io.File(s"$seg/_COMMIT").createNewFile(): Unit
+    writeSized(storeDocstats(spark, path)
+      .agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+      .withColumn("buckets", lit(bucketsEff)),
+      s"$path/meta", 1)
+  }
+
+  /** Committed streaming segments of a posting store (dirs with _COMMIT). */
+  private def committedSegments(path: String): Seq[String] = {
+    val root = new java.io.File(s"$path/seg")
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("b=") &&
+        new java.io.File(d, "_COMMIT").exists())
+      .map(_.getAbsolutePath).sorted.toSeq
+  }
+
+  /** The store's full docstats view: base side table (absent in a
+    * stream-only store) unioned with every committed segment's.
+    */
+  private[graft] def storeDocstats(spark: org.apache.spark.sql.SparkSession,
+                                   path: String): DataFrame = {
+    val parts =
+      (if (new java.io.File(s"$path/docstats").exists()) Seq(s"$path/docstats") else Nil) ++
+        committedSegments(path).map(s => s"$s/docstats")
+    require(parts.nonEmpty, s"posting store at $path has no docstats")
+    parts.map(spark.read.parquet(_)).reduce(_ unionByName _)
   }
 
   /** Token-SORTED term dictionary + string zone map — the layout a PREFIX

@@ -184,7 +184,9 @@ object Stores {
     * metadata-sized (id_a, id_b, jaccard) rows instead of re-deriving
     * them. `llm_shingle_jaccard` itself stays raw-scan as the lifecycle's
     * build proof; the corpus fingerprint in the path guarantees a
-    * regenerated corpus rebuilds rather than serving stale pairs.
+    * regenerated corpus rebuilds rather than serving stale pairs. Append
+    * batches fold in through [[Sinks.refreshShinglePairs]] (refresh ≡
+    * rebuild and replay idempotence are spec-proved).
     */
   def shinglePairs(spark: SparkSession, dataDir: String): String = {
     val path = storeRoot(dataDir, "documents.parquet", "shingle_pairs")

@@ -325,6 +325,9 @@ object Streaming {
 
   // ---- T6 applied to ingestion: streaming multiline record stitching ----
 
+  /** Document-shaped stream row for the search-index ingest sink. */
+  final case class Doc(doc_id: Long, text: String, lang: String, source: String)
+
   final case class RawLine(source: String, doc_id: Long, line_no: Int, line: String)
   final case class StitchState(header: String, nLines: Long, nChars: Long, recordNo: Long)
   final case class StitchedRecord(source: String, record_id: Long, n_lines: Long,
@@ -739,6 +742,31 @@ object Streaming {
       deleteRecursively(new java.io.File(s"$path/v=$v"))
     }
   }
+
+  /** T11 (search-index ingest sink): streaming documents folded into a
+    * standing [[graft.sources.Sinks.writePostings]] posting store — the
+    * live-log-search loop: lines stream in, and conjunctive / BM25 /
+    * phrase probes answer from the store seconds later with zero corpus
+    * rescans. Each micro-batch lands as an immutable per-batch SEGMENT via
+    * [[graft.sources.Sinks.ingestPostingsSegment]]; idempotence under
+    * at-least-once replay is by construction (a re-delivered batch
+    * overwrites its own `b=<batchId>` segment with identical rows — the
+    * segment analog of the MVCC version protocol above), and probes only
+    * see segments whose `_COMMIT` marker exists. StreamingSpec proves the
+    * stream-fed store answers conjunctive/BM25/phrase probes identically
+    * to a batch-built [[graft.sources.Sinks.writePostings]] store over the
+    * same docs, and that a crash re-delivery changes nothing.
+    */
+  def startPostingsSink(docs: DataFrame, path: String,
+                        checkpoint: String,
+                        buckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Sinks.ingestPostingsSegment(
+          batch.sparkSession, path, batch, batchId, buckets)
+      }
+      .start()
 
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)

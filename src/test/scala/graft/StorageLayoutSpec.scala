@@ -273,6 +273,36 @@ class StorageLayoutSpec extends SparkSpecBase {
            rows(spark.read.parquet(s"$fullDir/meta")))
   }
 
+  test("shingle-pair store: incremental refresh of appended docs equals a full " +
+    "rebuild, leaves standing files byte-stable, and a replayed batch is a no-op") {
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+    val exist = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val dir = s"$tmp/shingle_pairs_incr"
+    graft.sources.Sinks.writeSized(
+      graft.engine.LlmOps.shinglePairsOfDocs(exist), dir, 2)
+    def sig() = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length, f.lastModified)).sorted.toSeq
+    val before = sig()
+    graft.sources.Sinks.refreshShinglePairs(spark, dir, exist, batch)
+    // standing pair files untouched, new delta files appended
+    val after = sig()
+    assert(before.toSet.subsetOf(after.toSet) && after.size > before.size,
+      "refresh rewrote or dropped standing pair files")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // refresh ≡ rebuild over the union corpus
+    assert(rows(spark.read.parquet(dir)) ===
+      rows(graft.engine.LlmOps.shinglePairsOfDocs(docs)),
+      "refreshed store diverged from a full rebuild")
+    // replay: the anti-join guard appends nothing for a re-delivered batch
+    graft.sources.Sinks.refreshShinglePairs(spark, dir, exist, batch)
+    assert(rows(spark.read.parquet(dir)) ===
+      rows(graft.engine.LlmOps.shinglePairsOfDocs(docs)),
+      "replayed refresh changed the pair rows")
+  }
+
   test("term dict: prefix probe prunes to covering files and equals the raw scan") {
     import org.apache.spark.sql.functions.{countDistinct, desc, explode, lower, split}
     val dir = s"$tmp/term_dict"

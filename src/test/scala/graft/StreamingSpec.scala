@@ -526,6 +526,64 @@ class StreamingSpec extends SparkSpecBase {
     assert(totals === direct)
   }
 
+  test("postings sink: stream-fed store answers conjunctive/BM25/phrase probes " +
+    "identically to a batch-built store; crash re-delivery changes nothing") {
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+    val docRows = docs
+      .select("doc_id", "text", "lang", "source")
+      .as[Streaming.Doc].collect().toSeq
+    val (exist, batchDocs) = docRows.partition(_.doc_id % 5 != 0)
+    val (b1, b2) = batchDocs.splitAt(batchDocs.length / 2)
+    val base = java.nio.file.Files.createTempDirectory("graft-postings-sink").toString
+
+    // base store from the standing corpus, then two streamed micro-batches
+    val streamStore = s"$base/stream_store"
+    graft.sources.Sinks.writePostings(exist.toDF(), streamStore, buckets = 16)
+    val input = MemoryStream[Streaming.Doc](spark)
+    val q = Streaming.startPostingsSink(input.toDF(), streamStore, s"$base/ckpt")
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+
+    // the reference: one batch build over ALL docs
+    val fullStore = s"$base/full_store"
+    graft.sources.Sinks.writePostings(docRows.toDF(), fullStore, buckets = 16)
+    val terms = Seq("spark", "join", "window")
+    def rows(df: DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    def probeAll(store: String): Seq[Seq[String]] = Seq(
+      rows(graft.sources.Sinks.probePostings(spark, store, terms)),
+      rows(graft.sources.Sinks.probePostingsBm25(spark, store, terms, k = 20)),
+      rows(graft.sources.Sinks.probePostingsPhrase(spark, store, "slow", "join")),
+      rows(graft.sources.Sinks.probePostingsTfAny(spark, store, terms)))
+    val streamed = probeAll(streamStore)
+    assert(streamed === probeAll(fullStore),
+      "stream-fed store diverged from the batch-built store")
+    assert(streamed.head.nonEmpty, "probe returned nothing — vacuous parity")
+    // meta (BM25 normalizers) identical too: N and avgdl count streamed docs
+    assert(rows(spark.read.parquet(s"$streamStore/meta")) ===
+      rows(spark.read.parquet(s"$fullStore/meta")))
+
+    // crash re-delivery: re-drive the LAST batch with its batchId — the
+    // segment overwrites itself, probes and meta must not move
+    graft.sources.Sinks.ingestPostingsSegment(spark, streamStore, b2.toDF(), 1L)
+    assert(probeAll(streamStore) === streamed,
+      "replaying a delivered batch changed the store's answers")
+    assert(rows(spark.read.parquet(s"$streamStore/meta")) ===
+      rows(spark.read.parquet(s"$fullStore/meta")))
+
+    // stream-only store (no batch base): the first segment creates meta
+    val onlyStore = s"$base/stream_only"
+    val input2 = MemoryStream[Streaming.Doc](spark)
+    val q2 = Streaming.startPostingsSink(input2.toDF(), onlyStore, s"$base/ckpt2",
+      buckets = 16)
+    try {
+      input2.addData(docRows); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(probeAll(onlyStore) === probeAll(fullStore),
+      "stream-only store diverged from the batch-built store")
+  }
+
   test("file stream source reads the events fixture incrementally") {
     val out = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
     // copy the sf0.001 events through the batch normalizer to get µs ts
