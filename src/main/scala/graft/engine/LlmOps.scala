@@ -1225,13 +1225,21 @@ object LlmOps {
       .orderBy("vec_id")
   }
 
-  /** D2 perf path (no oracle — xxhash64 seeds are engine-specific):
-    * MinHash + LSH banding. 16 hash slots → 4 bands of 4; docs colliding
-    * on any band become candidate pairs; the signature-agreement fraction
-    * estimates Jaccard. Candidate generation is a hash-equi-join on
-    * (band, band_hash) — no cross product at any scale.
+  /** D2 perf path: MinHash + LSH banding. 16 hash slots → 4 bands of 4;
+    * docs colliding on any band become candidate pairs; the
+    * signature-agreement fraction estimates Jaccard. Candidate generation
+    * is a hash-equi-join on (band, band_key) — no cross product at any
+    * scale.
+    *
+    * ORACLE-CHECKED (was no-oracle through round 8): the slot hashes are
+    * the repo's md5-prefix idiom (`('0x' || substr(md5(j ':' tok), 1, 8))
+    * ::BIGINT` ≡ Spark's `conv(substring(md5(…), 1, 8), 16, 10)`) instead
+    * of the engine-specific xxhash64 family, and the band bucket key is
+    * the ':'-joined slot-value STRING rather than a second hash — both
+    * engines derive identical signatures, buckets, pairs, and estimates,
+    * so the whole sub-linear pipeline sits under the hard hash gate.
     */
-  val minhashPairs = Q.noOracle("llm_minhash_pairs") { (s, dir) =>
+  val minhashPairs: Q = {
     val nHash = 16
     val bands = 4
     val rowsPerBand = nHash / bands
@@ -1244,39 +1252,85 @@ object LlmOps {
     // discriminating signal. The cap bounds work per bucket, so the whole
     // operator stays linear in corpus size at any scale.
     val maxBucket = 50
-    val tok = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
-      .filter(col("tok") =!= "")
-    // 16 independent hash slots from one xxhash64 via per-slot salt.
-    val sigCols = (0 until nHash).map(j =>
-      min(xxhash64(concat(lit(j.toString), lit(":"), col("tok")))).as(s"h$j"))
-    val sig = tok.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-    val banded = sig.select(
-      col("doc_id"),
-      array((0 until nHash).map(j => col(s"h$j")): _*).as("sig"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"h$j")): _*)): _*))
-        .as(Seq("band_idx", "band_hash")))
-    val smallBuckets = banded
-      .groupBy("band_idx", "band_hash").agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") <= maxBucket)
-      .select("band_idx", "band_hash")
-    val inBucket = banded.join(smallBuckets, Seq("band_idx", "band_hash"))
-    val pairs = inBucket.as("a")
-      .join(inBucket.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .dropDuplicates("id_a", "id_b")
-    pairs
-      .withColumn("est_jaccard",
-        round(aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / nHash, 4))
-      .select("id_a", "id_b", "est_jaccard")
-      .orderBy("id_a", "id_b")
+    val slotSql = (0 until nHash).map(j =>
+      s"    MIN(('0x' || substr(md5('$j:' || tok), 1, 8))::BIGINT) AS h$j").mkString(",\n")
+    val bandKeySql = (0 until bands).map { b =>
+      val key = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(j => s"h$j").mkString(" || ':' || ")
+      s"      WHEN $b THEN $key"
+    }.mkString("\n")
+    val matchSql = (0 until nHash)
+      .map(j => s"CASE WHEN sa.h$j = sb.h$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val sql =
+      s"""WITH tok AS (
+         |  SELECT doc_id, tok FROM (
+         |    SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+         |    FROM documents) t
+         |  WHERE tok <> ''),
+         |sig AS MATERIALIZED (
+         |  SELECT doc_id,
+         |$slotSql
+         |  FROM tok GROUP BY doc_id),
+         |banded AS MATERIALIZED (
+         |  SELECT doc_id, band_idx,
+         |    CASE band_idx
+         |$bandKeySql
+         |    END AS band_key
+         |  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band_idx) b),
+         |ok AS (
+         |  SELECT band_idx, band_key FROM banded
+         |  GROUP BY 1, 2 HAVING COUNT(*) <= $maxBucket),
+         |inb AS (SELECT banded.* FROM banded JOIN ok USING (band_idx, band_key)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM inb a JOIN inb b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |    AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |  ROUND(CAST($matchSql AS DOUBLE) / $nHash, 4) AS est_jaccard
+         |FROM pairs
+         |JOIN sig sa ON pairs.id_a = sa.doc_id
+         |JOIN sig sb ON pairs.id_b = sb.doc_id
+         |ORDER BY id_a, id_b""".stripMargin
+    Q("llm_minhash_pairs", sql) { (s, dir) =>
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
+        .filter(col("tok") =!= "")
+      // 16 independent md5-derived hash slots (the deterministic-coin
+      // idiom both engines compute identically — see agg_sample_estimate)
+      val sigCols = (0 until nHash).map(j =>
+        min(conv(substring(md5(concat(lit(s"$j:"), col("tok"))), 1, 8), 16, 10)
+          .cast("bigint")).as(s"h$j"))
+      val sig = tok.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      val banded = sig.select(
+        col("doc_id"),
+        array((0 until nHash).map(j => col(s"h$j")): _*).as("sig"),
+        posexplode(array((0 until bands).map(b =>
+          concat_ws(":", (b * rowsPerBand until (b + 1) * rowsPerBand)
+            .map(j => col(s"h$j").cast("string")): _*)): _*))
+          .as(Seq("band_idx", "band_key")))
+      val smallBuckets = banded
+        .groupBy("band_idx", "band_key").agg(count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") <= maxBucket)
+        .select("band_idx", "band_key")
+      val inBucket = banded.join(smallBuckets, Seq("band_idx", "band_key"))
+      val pairs = inBucket.as("a")
+        .join(inBucket.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+        .dropDuplicates("id_a", "id_b")
+      pairs
+        .withColumn("est_jaccard",
+          round(aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v).cast("double") / nHash, 4))
+        .select("id_a", "id_b", "est_jaccard")
+        .orderBy("id_a", "id_b")
+    }
   }
 
   /** D6: TF-IDF, top-3 terms per document. Pure composition: tokenize →
@@ -2504,19 +2558,63 @@ object LlmOps {
     * λ rather than a tighter bound a clustered production corpus would
     * reach in fewer rounds.
     *
-    * Determinism (why this is dump-stable without an oracle): the
-    * covariance entries are exact-integer-derived doubles; every matvec
-    * sum folds ascending-index left-to-right in single-threaded Scala;
-    * the iteration count is fixed; the sign convention (component of
-    * largest |loading|, first index on ties, made positive) pins the
-    * eigenvector's orientation. No SQL oracle: DuckDB's SUM folds in its
-    * own order and power iteration is not SQL-expressible without
-    * defined-order list machinery — LlmOpsSpec instead pins the
-    * eigen-residual ‖Cv − λv‖∞, λ ≥ max diagonal variance, unit norm, and
-    * run-to-run identity.
+    * ORACLE-CHECKED (was no-oracle through round 8), via the
+    * kmeans/PageRank MATERIALIZED-CTE precedent: the 16 fixed rounds
+    * unroll as paired matvec/normalize CTEs over the SAME
+    * exact-integer-derived covariance the Spark side collects
+    * (`llm_embed_pca_cov`'s CTE chain, unrounded). The two engines fold
+    * their matvec sums in different orders, but power iteration is
+    * contractive (perturbations decay by λ₂/λ₁ per round, they never
+    * amplify), so the ≲1e-14 relative fold-order drift sits eight orders
+    * of magnitude under the 6-decimal dump — the same measure-zero
+    * midpoint argument `llm_kmeans` is green under. The sign convention
+    * (component of largest |loading|, first dim on ties, made positive)
+    * and the Rayleigh quotient replicate in SQL verbatim; LlmOpsSpec
+    * additionally pins the eigen-residual ‖Cv − λv‖∞, λ ≥ max diagonal
+    * variance, unit norm, and run-to-run identity.
     */
-  val embedPca = Q.noOracle("llm_embed_pca") { (s, dir) =>
-    val d = 64
+  val embedPca: Q = {
+    val dims = 64
+    def matvec(out: String, vin: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT m.i AS dim, SUM(m.cov * v.x) AS y
+         |  FROM cm m JOIN $vin v ON m.j = v.dim GROUP BY m.i)""".stripMargin
+    def normalize(r: Int): String =
+      s"""v$r AS MATERIALIZED (
+         |  SELECT dim, y / (SELECT sqrt(SUM(y * y)) FROM y$r) AS x FROM y$r)""".stripMargin
+    val rounds = (1 to 16)
+      .map(r => matvec(s"y$r", s"v${r - 1}") + ",\n" + normalize(r))
+      .mkString(",\n")
+    val sql =
+      s"""WITH px AS (
+         |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+         |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 100000, 0) AS BIGINT) AS q
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT a.dim AS d_i, b.dim AS d_j, COUNT(*) AS n,
+         |    SUM(a.q) AS si, SUM(b.q) AS sj, SUM(a.q * b.q) AS sij
+         |  FROM px a JOIN px b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+         |  GROUP BY 1, 2),
+         |cov AS (
+         |  SELECT d_i, d_j,
+         |    CAST(n * sij - si * sj AS DOUBLE) / (CAST(n AS DOUBLE) * n) / 1e10 AS cov
+         |  FROM p),
+         |cm AS MATERIALIZED (
+         |  SELECT d_i AS i, d_j AS j, cov FROM cov
+         |  UNION ALL
+         |  SELECT d_j AS i, d_i AS j, cov FROM cov WHERE d_i <> d_j),
+         |v0 AS (SELECT CAST(range AS BIGINT) AS dim, 0.125 AS x FROM range($dims)),
+         |$rounds,
+         |${matvec("cvf", "v16")},
+         |lam AS (
+         |  SELECT SUM(c.y * v.x) AS l FROM cvf c JOIN v16 v ON c.dim = v.dim),
+         |sgn AS (
+         |  SELECT CASE WHEN x < 0 THEN -1.0 ELSE 1.0 END AS sg
+         |  FROM v16 ORDER BY abs(x) DESC, dim LIMIT 1)
+         |SELECT v.dim, ROUND(s.sg * v.x, 6) + 0 AS loading, ROUND(t.l, 6) + 0 AS lambda
+         |FROM v16 v CROSS JOIN sgn s CROSS JOIN lam t ORDER BY v.dim""".stripMargin
+    Q("llm_embed_pca", sql) { (s, dir) =>
+      val d = dims
     // The 2080 co-moment cells ARE metadata: one collect, then the 16
     // matvec rounds run driver-side in Scala — microseconds, versus 16
     // sequential Spark jobs (each a localCheckpoint) whose cost was pure
@@ -2568,6 +2666,7 @@ object LlmOps {
       .map { case (x, k) => (k.toLong, r6(x), r6(lambda)) }
       .toDF("dim", "loading", "lambda")
       .orderBy("dim")
+    }
   }
 
   val all: Seq[Q] = Seq(
