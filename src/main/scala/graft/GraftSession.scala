@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** One-call library entry point: everything a user needs to query a corpus
   * root through either API.
@@ -27,6 +28,72 @@ object GraftSession {
     engine.Tables.prepare(spark)
     engine.SqlOps.registerViews(spark, dir)
     functions.GraftFunctions.register(spark)
+    spark
+  }
+
+  /** [[open]] plus the STANDING STORES as SQL-queryable views — the
+    * interactive analog of a log-search engine's query API: an ad-hoc
+    * `spark.sql` user answers a conjunctive search, a BM25 input scan, a
+    * range quantile, a prefix completion, or a near-dup decision from the
+    * persisted indexes, with ZERO corpus scans in the query plan
+    * (GraftSessionSpec pins both flagship plans; the registered
+    * `log_sql_search_served` / `log_sql_sketch_served` queries put the
+    * surface under the driver's DuckDB hash gate).
+    *
+    * Stores build lazily on the FIRST open per corpus fingerprint (the
+    * [[graft.sources.Stores]] build-once registry); every later open —
+    * including a fresh session over the same unchanged corpus — attaches
+    * the standing files without reading a corpus byte. Views registered:
+    *
+    *  - `graft_postings` (tok, doc_id, pos, tok_bucket) — positional
+    *    postings, `tok_bucket`-partitioned, committed streaming segments
+    *    unioned in. Prune with
+    *    `tok_bucket IN (pmod(hash('<term>'), <buckets>))` — constant-folds
+    *    into the scan's PartitionFilters; `<buckets>` from
+    *    `graft_search_meta`.
+    *  - `graft_docstats` (doc_id, dl, lang, source) — per-doc index-time
+    *    metadata: BM25 length normalizer + facet dimensions.
+    *  - `graft_search_meta` (n_docs, avgdl, buckets) — one-row corpus
+    *    stats + the store's bucket modulus.
+    *  - `graft_term_dict` (tok, df, cf) — vocabulary with document /
+    *    collection frequencies, LSM base + delta merged at view time.
+    *  - `graft_latency_sketch` (event_type, bucket, n, day) — DDSketch
+    *    log-γ bucket counts, day-partitioned; a date predicate on `day`
+    *    prunes whole directories.
+    *  - `graft_daily_rollup` (event_type, n, sum_value, day) — the
+    *    materialized daily aggregate.
+    *  - `graft_shingle_pairs` (id_a, id_b, jaccard) — the standing
+    *    near-dup pair set.
+    *  - `graft_pq_codebook` / `graft_pq_codes` — the IVF-PQ ANN index
+    *    halves (centroid table + encoded corpus).
+    */
+  def openStores(spark: SparkSession, dir: String): SparkSession = {
+    open(spark, dir)
+    val post = sources.Stores.postingStore(spark, dir)
+    sources.Sinks.storePostings(spark, post)
+      .createOrReplaceTempView("graft_postings")
+    sources.Sinks.storeDocstats(spark, post)
+      .createOrReplaceTempView("graft_docstats")
+    spark.read.parquet(s"$post/meta")
+      .createOrReplaceTempView("graft_search_meta")
+    val td = sources.Stores.termDict(spark, dir)
+    val dictBase = spark.read.parquet(s"$td/dict")
+    val dict = // the probeTermDict read half of the LSM discipline
+      if (!new java.io.File(s"$td/delta").exists()) dictBase
+      else dictBase.unionByName(spark.read.parquet(s"$td/delta"))
+        .groupBy("tok").agg(sum("df").as("df"), sum("cf").as("cf"))
+    dict.createOrReplaceTempView("graft_term_dict")
+    spark.read.parquet(sources.Stores.latencySketch(spark, dir))
+      .createOrReplaceTempView("graft_latency_sketch")
+    spark.read.parquet(sources.Stores.dailyRollup(spark, dir))
+      .createOrReplaceTempView("graft_daily_rollup")
+    spark.read.parquet(sources.Stores.shinglePairs(spark, dir))
+      .createOrReplaceTempView("graft_shingle_pairs")
+    val pq = sources.Stores.pqIndex(spark, dir)
+    spark.read.parquet(s"$pq/codebook")
+      .createOrReplaceTempView("graft_pq_codebook")
+    spark.read.parquet(s"$pq/codes")
+      .createOrReplaceTempView("graft_pq_codes")
     spark
   }
 }

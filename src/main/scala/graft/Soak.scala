@@ -79,8 +79,23 @@ object Soak {
     if (tables("documents")) {
       val docs = spark.read.parquet(s"$src/documents.parquet")
       val dN = docs.count()
+      // SPARK_GRAFT_SOAK_DOC_MODE=tag → every TOKEN gets a per-replica
+      // prefix, so each replica's shingle vocabulary is disjoint from every
+      // other's: a factor× BIGGER corpus (factor× the vocabulary, factor×
+      // the true pair volume, zero cross-replica pairs) instead of a
+      // factor×-duplicated one. Verbatim replication (the default, what
+      // the dedup soaks want) makes every doc a factor-clique of
+      // Jaccard-1.0 near-dups, so a pair scan's OUTPUT would be quadratic
+      // BY CONSTRUCTION and measure nothing about the algorithm — the
+      // same reasoning as the embeddings rotate mode below.
+      val tag = sys.env.get("SPARK_GRAFT_SOAK_DOC_MODE").contains("tag")
       replicate(docs, factor) { (d, rep) =>
-        d.withColumn("doc_id", col("doc_id") + rep * lit(dN))
+        val shifted = d.withColumn("doc_id", col("doc_id") + rep * lit(dN))
+        if (!tag) shifted
+        else shifted.withColumn("text",
+          array_join(transform(split(col("text"), " "),
+            t => when(t === "", t)
+              .otherwise(concat(lit("r"), rep.cast("string"), lit("_"), t))), " "))
       }.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     }
 
@@ -295,6 +310,97 @@ object Soak {
         val (rowsSk, tSk) = timed(fn(spark, d).collect().length)
         println(f"STORE latency_sketch $label%-4s events=$evN%9d store_rows=${store.count()}%8d " +
           f"files_opened=$openedSk/${store.inputFiles.length} rows=$rowsSk probe=$tSk%.3f s")
+      }
+    }
+
+    // §6i: shingle-pair STORE sweep at ×factor (SPARK_GRAFT_SOAK_ONLY=
+    // pair_store_sweep, SOAK_TABLES=documents SOAK_DOC_MODE=tag): measures
+    // the round-8 store end to end at scale — build cost (wall + shuffle
+    // bytes), candidate volume vs possible-pairs (the PPJoin prefix
+    // filter's pruning, §6f-style), store size, and the two consumers'
+    // warm probe latency. Tag-mode replication makes replicas'
+    // vocabularies disjoint, so true pair volume grows ×factor (linear)
+    // while possible pairs grow ×factor² — exactly the gap the prefix
+    // filter must hold open. At ×factor the capped vocabulary exceeds
+    // [[graft.engine.LlmOps.denseVocabMax]], so this sweep exercises the
+    // OPEN-vocabulary (prefix-filtered) path the 100 TB case would take.
+    if (only.exists(_.contains("pair_store_sweep"))) {
+      def timed[T](f: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val gb = 1024.0 * 1024 * 1024
+      for ((label, d) <- Seq("x1" -> src, s"x$factor" -> dir)) {
+        val docsN = spark.read.parquet(s"$d/documents.parquet").count()
+        // capped-postings census: vocabulary size decides dense vs prefix
+        val sh0 = graft.engine.LlmOps.bigramShingles(
+          graft.engine.Tables.documents(spark, d)).localCheckpoint()
+        val nDocs = sh0.agg(countDistinct("doc_id")).head.getLong(0)
+        val capped = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= least(
+            lit(graft.engine.LlmOps.shingleDfFrac) * nDocs,
+            lit(graft.engine.LlmOps.shingleDfAbs)))
+        val vocab = capped.count()
+        // prefix-filter candidate volume (the §6f-style evidence): only
+        // meaningful on the open-vocab path, but cheap enough to measure
+        // at both scales for the trend line
+        val cappedPostings = sh0.join(capped.select("sh"), Seq("sh"), "left_semi")
+          .localCheckpoint()
+        drainListenerBus()
+        val w0 = shufWrite
+        val (cand, tCand) = timed(graft.engine.LlmOps.pairCounts(
+          graft.engine.LlmOps.prefixPostings(cappedPostings, "sh", 0.5), "sh").count())
+        drainListenerBus()
+        val candShuf = (shufWrite - w0) / gb
+        // store build (fingerprint is fresh after replication → real build)
+        val w1 = shufWrite
+        val (storePath, tBuild) = timed(graft.sources.Stores.shinglePairs(spark, d))
+        drainListenerBus()
+        val buildShuf = (shufWrite - w1) / gb
+        val pairs = spark.read.parquet(storePath).count()
+        val storeBytes = {
+          def sz(f: java.io.File): Long =
+            if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(sz).sum
+            else f.length
+          sz(new java.io.File(storePath))
+        }
+        // consumers, warm then timed
+        for (qn <- Seq("llm_neardup_filter", "llm_neardup_clusters")) {
+          val fn = SparkEntry.queries(qn)
+          fn(spark, d).count() // warm
+          val (rows, tq) = timed(fn(spark, d).count())
+          println(f"PAIRSTORE $label%-5s $qn%-22s rows=$rows%8d probe=$tq%7.2f s")
+        }
+        val possible = docsN * (docsN - 1) / 2
+        println(f"PAIRSTORE $label%-5s docs=$docsN%8d vocab=$vocab%9d " +
+          f"possible=$possible%15d candidates=$cand%12d (${cand.toDouble / possible}%.2e) " +
+          f"cand_t=$tCand%7.2f s cand_shufW=$candShuf%.2f GiB")
+        println(f"PAIRSTORE $label%-5s build=$tBuild%7.2f s build_shufW=$buildShuf%.2f GiB " +
+          f"store_pairs=$pairs%10d store_bytes=${storeBytes / 1024.0 / 1024}%.2f MiB")
+      }
+    }
+
+    // §6i: Bloom STORE sweep at ×factor (SPARK_GRAFT_SOAK_ONLY=
+    // bloom_store_sweep, SOAK_TABLES=documents, VERBATIM replication):
+    // the filter is sized by the EVAL side (distinct 8-grams of src0),
+    // which verbatim replication leaves unchanged — so the claim under
+    // test is that the standing filter stays a fixed ~1.2 MB broadcast
+    // while the train corpus it probes grows ×factor, and probe cost
+    // grows linearly (map-side, no shuffle of train text).
+    if (only.exists(_.contains("bloom_store_sweep"))) {
+      def timed[T](f: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+      }
+      for ((label, d) <- Seq("x1" -> src, s"x$factor" -> dir)) {
+        val docsN = spark.read.parquet(s"$d/documents.parquet").count()
+        val grams = graft.engine.LlmOps.evalGramsOf(spark, d).count()
+        val (path, tBuild) = timed(graft.sources.Stores.bloomFilter(spark, d))
+        val bytes = new java.io.File(s"$path/bloom.bin").length
+        val fn = SparkEntry.queries("llm_bloom_decontaminate_indexed")
+        fn(spark, d).count() // warm
+        val (rows, tq) = timed(fn(spark, d).count())
+        println(f"BLOOMSTORE $label%-5s docs=$docsN%8d eval_grams=$grams%9d " +
+          f"build=$tBuild%6.2f s filter=${bytes / 1024.0 / 1024}%.2f MiB " +
+          f"probe=$tq%6.2f s rows=$rows")
       }
     }
 

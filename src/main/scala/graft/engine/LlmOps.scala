@@ -214,7 +214,7 @@ object LlmOps {
   /** Spark twin of [[shingleSelectSql]]: distinct bigram shingles per doc.
     * The token array is a materialized alias — an inlined split() tree
     * inside the lambda re-tokenizes per position, O(len²) per doc. */
-  private[engine] def bigramShingles(df: DataFrame): DataFrame = {
+  private[graft] def bigramShingles(df: DataFrame): DataFrame = {
     val toks = split(lower(col("text")), " ")
     df.select(col("doc_id"), toks.as("ts"))
       .select(col("doc_id"), explode(array_distinct(transform(
@@ -226,8 +226,8 @@ object LlmOps {
   /** Shingle df-cap parameters, shared across every consumer (Spark
     * [[dfCapped]] calls and the oracle CTEs) so the cap can be tuned in
     * exactly one place. */
-  private val shingleDfFrac = 0.1
-  private val shingleDfAbs = 2000L
+  private[graft] val shingleDfFrac = 0.1
+  private[graft] val shingleDfAbs = 2000L
 
   /** Shared oracle-SQL CTE chain for the shingle-Jaccard pipeline
     * (shingling → df-cap → sizes → pair intersection counts). ONE source

@@ -1833,8 +1833,12 @@ object LogOps {
     * `term1 AND term2 AND term3` without touching non-matching lines.
     * Per-doc term frequencies ride along for ranking.
     */
-  val invertedSearch = Q(
-    "log_inverted_search",
+  /** The conjunctive-search oracle SQL — ONE source of truth shared by the
+    * raw-scan [[invertedSearch]], the store-served [[indexedSearch]], and
+    * the SQL-surface [[sqlSearchServed]]: all three formulations must be
+    * answer-identical, and the driver hash-proves each against this.
+    */
+  private val conjunctiveSearchSql =
     """WITH toks AS (
       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
       |  FROM documents),
@@ -1846,7 +1850,10 @@ object LogOps {
       |  FROM toks)
       |SELECT doc_id, tf_spark, tf_join, tf_window
       |FROM tf WHERE tf_spark > 0 AND tf_join > 0 AND tf_window > 0
-      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      |ORDER BY doc_id""".stripMargin
+
+  val invertedSearch = Q(
+    "log_inverted_search", conjunctiveSearchSql) { (s, dir) =>
     val terms = Seq("spark", "join", "window")
     val postings = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
@@ -1879,19 +1886,7 @@ object LogOps {
     * query terms' posting sizes, not the corpus.
     */
   val indexedSearch = Q(
-    "log_indexed_search",
-    """WITH toks AS (
-      |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
-      |  FROM documents),
-      |tf AS (
-      |  SELECT doc_id,
-      |    CAST(len(list_filter(ts, t -> t = 'spark')) AS BIGINT) AS tf_spark,
-      |    CAST(len(list_filter(ts, t -> t = 'join')) AS BIGINT) AS tf_join,
-      |    CAST(len(list_filter(ts, t -> t = 'window')) AS BIGINT) AS tf_window
-      |  FROM toks)
-      |SELECT doc_id, tf_spark, tf_join, tf_window
-      |FROM tf WHERE tf_spark > 0 AND tf_join > 0 AND tf_window > 0
-      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    "log_indexed_search", conjunctiveSearchSql) { (s, dir) =>
     val terms = Seq("spark", "join", "window")
     val store = graft.sources.Stores.postingStore(s, dir)
     // pivot columns derive from `terms` — a term edit can't silently
@@ -3202,6 +3197,71 @@ object LogOps {
       .orderBy("facet", "value")
   }
 
+  /** The INTERACTIVE SQL SURFACE over the standing search index
+    * ([[graft.GraftSession.openStores]]): the same conjunctive search as
+    * [[indexedSearch]], but expressed as plain `spark.sql` text over the
+    * `graft_postings` view — what an ad-hoc user types at a SQL prompt.
+    * The bucket modulus is read from `graft_search_meta` (one metadata
+    * row — the documented two-step an interactive user performs), and the
+    * IN-list of constant-folded `pmod(hash(term), buckets)` literals lands
+    * in the scan's PartitionFilters, so the SQL user gets the SAME
+    * pruned-directory plan as the programmatic probe and the corpus text
+    * is never read (GraftSessionSpec pins both). SHARED oracle with the
+    * raw-scan formulation: the driver hash-proves SQL surface ≡ raw scan.
+    */
+  val sqlSearchServed = Q(
+    "log_sql_search_served", conjunctiveSearchSql) { (s, dir) =>
+    graft.GraftSession.openStores(s, dir)
+    val buckets = s.table("graft_search_meta").select("buckets").head.getInt(0)
+    val terms = Seq("spark", "join", "window")
+    val bucketIn = terms.map(t => s"pmod(hash('$t'), $buckets)").mkString(", ")
+    val termIn = terms.map(t => s"'$t'").mkString(", ")
+    // pivot columns derive from `terms` (the indexedSearch discipline)
+    val pivots = terms.map(t => s"MAX(IF(tok = '$t', tf, NULL)) AS tf_$t").mkString(",\n        ")
+    s.sql(
+      s"""WITH tf AS (
+         |  SELECT doc_id, tok, COUNT(*) AS tf
+         |  FROM graft_postings
+         |  WHERE tok_bucket IN ($bucketIn) AND tok IN ($termIn)
+         |  GROUP BY doc_id, tok)
+         |SELECT doc_id,
+         |        $pivots
+         |FROM tf GROUP BY doc_id HAVING COUNT(1) = ${terms.length}
+         |ORDER BY doc_id""".stripMargin)
+  }
+
+  /** SQL surface over the standing DDSketch store: the same range-quantile
+    * report as [[latencySketchServed]], expressed as plain `spark.sql`
+    * text over the `graft_latency_sketch` view — merge is SUM over the
+    * date-pruned day partitions, then the cumulative rank walk, exactly
+    * the DataFrame pipeline's arithmetic (same γ, zero sentinel, midpoint
+    * estimate, ROUND + 0.0 sign normalization) so all three formulations
+    * stay bit-identical. SHARED oracle with the raw-scan formulation; the
+    * events table never appears in the plan (GraftSessionSpec pins it).
+    */
+  val sqlSketchServed = Q(
+    "log_sql_sketch_served", latencySketchRangeSql) { (s, dir) =>
+    graft.GraftSession.openStores(s, dir)
+    s.sql(
+      s"""WITH merged AS (
+         |  SELECT event_type, bucket, SUM(n) AS n
+         |  FROM graft_latency_sketch
+         |  WHERE day >= DATE'2024-01-08' AND day < DATE'2024-01-22'
+         |  GROUP BY event_type, bucket),
+         |ranked AS (
+         |  SELECT event_type, bucket, n,
+         |    SUM(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+         |    SUM(n) OVER (PARTITION BY event_type) AS total,
+         |    CASE WHEN bucket = $sketchZeroBucket THEN 0.0D
+         |         ELSE 2.0D * power(1.02D, bucket) / 2.02D END AS est
+         |  FROM merged)
+         |SELECT event_type, MAX(total) AS n_events,
+         |  ROUND(MIN(CASE WHEN cum * 100 >= total * 50 THEN est END), 4) + 0.0D AS p50_est,
+         |  ROUND(MIN(CASE WHEN cum * 100 >= total * 95 THEN est END), 4) + 0.0D AS p95_est,
+         |  ROUND(MIN(CASE WHEN cum * 100 >= total * 99 THEN est END), 4) + 0.0D AS p99_est
+         |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
     errorRateDaily, grepRegex, grepMulti, regexExtract, regexReplace, stringFuncs,
     parseFields, timeBuckets, jsonExtract, tokenize, saltedAgg,
@@ -3219,5 +3279,6 @@ object LogOps {
     rollupServed, ewmaDaily, zonemapScan, pointLookup,
     schemaInfer, slaBurn, cusumChangepoint, alertRules, newTemplates, corrMatrix,
     booleanSearch, searchFacets, booleanSearchIndexed, searchFacetsIndexed,
-    latencySketchRange, latencySketchServed, schemaDrift, termSuggest)
+    latencySketchRange, latencySketchServed, schemaDrift, termSuggest,
+    sqlSearchServed, sqlSketchServed)
 }

@@ -488,9 +488,9 @@ object Sinks {
     * the first segment creates the meta with `buckets`.
     *
     * At 100 TB: segment count grows with batches — the standing answer is
-    * periodic compaction (a scheduled [[writePostings]] rebuild folding
-    * segments to zero, exactly the term dict's delta contract); probe cost
-    * meanwhile grows only by the segments' pruned-bucket rows.
+    * periodic [[compactPostings]] (folds segments back into the base
+    * layout, exactly the term dict's delta contract); probe cost meanwhile
+    * grows only by the segments' pruned-bucket rows.
     */
   def ingestPostingsSegment(spark: org.apache.spark.sql.SparkSession, path: String,
                             newDocs: DataFrame, batchId: Long,
@@ -524,6 +524,64 @@ object Sinks {
       s"$path/meta", 1)
   }
 
+  /** Segment COMPACTION of a [[writePostings]] store: folds every
+    * committed streaming segment ([[ingestPostingsSegment]]) back into the
+    * base layout and removes them — the scheduled maintenance the segment
+    * contract defers to (probe cost grows with segment count; compaction
+    * bounds the fan-in, the Lucene/LSM merge step). The merged postings +
+    * docstats are STAGED to sibling directories first, so the expensive
+    * pass never holds the store inconsistent; the swap then runs under the
+    * store's completion-marker contract: `meta/_SUCCESS` is deleted before
+    * the first destructive step and meta is rewritten LAST, so a crash at
+    * ANY point mid-swap leaves a marker-less store that
+    * [[graft.sources.Stores]] rebuilds from the corpus instead of a
+    * half-swapped layout that would double-count (segments folded in but
+    * still visible) or under-count (segments dropped before the fold
+    * landed). StorageLayoutSpec proves probe invariance: conjunctive /
+    * BM25 / phrase answers are identical before and after, segments gone,
+    * and equal to a batch-built store over the union corpus.
+    *
+    * At 100 TB: compaction rewrites the base — that is its definition, as
+    * with any LSM merge — so it is scheduled (e.g. when segment count
+    * crosses a probe-latency budget), not per-batch; the rewrite is one
+    * shuffle-free pass per tok_bucket partition.
+    */
+  def compactPostings(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    if (committedSegments(path).isEmpty) return // nothing to fold
+    val buckets = spark.read.parquet(s"$path/meta")
+      .select("buckets").head.getInt(0)
+    // stage the merged layout beside the live one (probes never see these)
+    storePostings(spark, path)
+      .repartition(col("tok_bucket"))
+      .write.mode("overwrite")
+      .option("compression", "zstd")
+      .partitionBy("tok_bucket")
+      .parquet(s"$path/postings_staged")
+    storeDocstats(spark, path)
+      .repartition(1)
+      .write.mode("overwrite")
+      .option("compression", "zstd")
+      .parquet(s"$path/docstats_staged")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    // marker OFF → any crash below leaves a store Stores rebuilds, never trusts
+    rm(new java.io.File(s"$path/meta/_SUCCESS"))
+    rm(new java.io.File(s"$path/postings"))
+    rm(new java.io.File(s"$path/docstats"))
+    require(new java.io.File(s"$path/postings_staged")
+      .renameTo(new java.io.File(s"$path/postings")), s"swap failed: $path/postings")
+    require(new java.io.File(s"$path/docstats_staged")
+      .renameTo(new java.io.File(s"$path/docstats")), s"swap failed: $path/docstats")
+    rm(new java.io.File(s"$path/seg"))
+    // meta LAST: restores the completion marker over the compacted layout
+    writeSized(spark.read.parquet(s"$path/docstats")
+      .agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+      .withColumn("buckets", lit(buckets)),
+      s"$path/meta", 1)
+  }
+
   /** Committed streaming segments of a posting store (dirs with _COMMIT). */
   private def committedSegments(path: String): Seq[String] = {
     val root = new java.io.File(s"$path/seg")
@@ -531,6 +589,24 @@ object Sinks {
       .filter(d => d.isDirectory && d.getName.startsWith("b=") &&
         new java.io.File(d, "_COMMIT").exists())
       .map(_.getAbsolutePath).sorted.toSeq
+  }
+
+  /** The store's full postings relation: base partitions (absent in a
+    * stream-only store) unioned with every committed segment's — the
+    * UNPRUNED view behind the SQL surface's `graft_postings`
+    * ([[graft.GraftSession.openStores]]). Unlike [[prunedPostings]] no
+    * term filter is applied here; a SQL user prunes with the partition
+    * column (`tok_bucket IN (pmod(hash('<term>'), <buckets>))`, modulus
+    * from the store meta) and the filter distributes over the union, so
+    * each side's scan keeps directory pruning.
+    */
+  private[graft] def storePostings(spark: org.apache.spark.sql.SparkSession,
+                                   path: String): DataFrame = {
+    val roots =
+      (if (new java.io.File(s"$path/postings").exists()) Seq(s"$path/postings") else Nil) ++
+        committedSegments(path).map(s => s"$s/postings")
+    require(roots.nonEmpty, s"posting store at $path has no postings")
+    roots.map(spark.read.parquet(_)).reduce(_ unionByName _)
   }
 
   /** The store's full docstats view: base side table (absent in a

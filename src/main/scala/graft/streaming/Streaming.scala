@@ -768,6 +768,71 @@ object Streaming {
       }
       .start()
 
+  /** T12 (near-dup pair ingest sink): streaming documents folded into a
+    * standing shingle-pair store ([[graft.sources.Stores.shinglePairs]]
+    * layout) — live near-dup detection: docs stream in, and the
+    * filter/cluster consumers probe an up-to-date (id_a, id_b, jaccard)
+    * pair set seconds later without ever re-running the corpus-wide
+    * expansion. Each micro-batch lands its DOCS as an immutable segment
+    * under `docsPath/b=<batchId>` (with a `_COMMIT` marker written last),
+    * so the ingest step always knows the accumulated corpus; the batch's
+    * delta pairs then append via
+    * [[graft.sources.Sinks.refreshShinglePairs]] with existing = `baseDocs`
+    * ∪ segments committed STRICTLY BEFORE this batch.
+    *
+    * Idempotent under at-least-once replay twice over: a re-delivered
+    * batch (a) overwrites its own doc segment with identical rows and (b)
+    * re-derives the SAME existing set (strictly-before excludes its own
+    * segment — which also prevents the batch pairing against itself), so
+    * the pair append's standing-key anti-join drops every re-derived pair.
+    * StreamingSpec proves stream-fed ≡ batch-built over the union corpus
+    * and replay stability. `baseDocs` must carry the same columns as the
+    * stream (doc_id, text, lang, source) and the standing store must exist
+    * (build it with [[graft.sources.Sinks.writeSized]] over
+    * [[graft.engine.LlmOps.shinglePairsOfDocs]], or via the Stores
+    * registry). The df-cap stability contract is refreshShinglePairs';
+    * a cap-boundary crossing is the scheduled-rebuild case there too.
+    */
+  def startShinglePairsSink(docs: DataFrame, baseDocs: DataFrame,
+                            pairsPath: String, docsPath: String,
+                            checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        shinglePairsIngestBatch(baseDocs, batch, pairsPath, docsPath, batchId)
+      }
+      .start()
+
+  /** One pair-ingest step (factored out so the replay spec can drive a
+    * crash re-delivery directly). See [[startShinglePairsSink]].
+    */
+  def shinglePairsIngestBatch(baseDocs: DataFrame, batch: DataFrame,
+                              pairsPath: String, docsPath: String,
+                              batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val seg = s"$docsPath/b=$batchId"
+    batch.write.mode("overwrite")
+      .option("compression", "zstd").parquet(s"$seg/data")
+    new java.io.File(s"$seg/_COMMIT").createNewFile(): Unit
+    // strictly-before: replays re-derive the same existing set, and the
+    // batch can never pair against its own just-landed segment
+    val prior = committedDocSegments(docsPath).filter(_._1 < batchId)
+    val existing = (baseDocs +: prior.map(p => spark.read.parquet(s"${p._2}/data")))
+      .reduce(_ unionByName _)
+    graft.sources.Sinks.refreshShinglePairs(spark, pairsPath, existing,
+      spark.read.parquet(s"$seg/data"))
+  }
+
+  /** Committed doc segments of a pair-ingest sink (dirs with _COMMIT). */
+  private def committedDocSegments(path: String): Seq[(Long, String)] = {
+    val root = new java.io.File(path)
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("b=") &&
+        new java.io.File(d, "_COMMIT").exists())
+      .map(d => (d.getName.stripPrefix("b=").toLong, d.getAbsolutePath))
+      .sortBy(_._1).toSeq
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(): Unit

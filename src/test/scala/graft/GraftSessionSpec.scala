@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+/** The interactive SQL surface over the standing stores
+  * ([[GraftSession.openStores]]): a SQL-only user must get index-served
+  * answers — same results as the programmatic probes, with ZERO corpus
+  * scans in the plan. These are the plan pins behind the registered
+  * `log_sql_search_served` / `log_sql_sketch_served` queries (whose
+  * VALUES the driver separately hash-proves against the raw-scan oracles).
+  */
+class GraftSessionSpec extends SparkSpecBase {
+
+  private def scansOf(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] =
+    df.queryExecution.sparkPlan.collect { case f: FileSourceScanExec => f }
+
+  private def scanRoots(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    scansOf(df).flatMap(_.relation.location.rootPaths.map(_.toString))
+
+  test("SQL-only conjunctive search: answers from the index, zero corpus scans, bucket-pruned") {
+    val df = engine.LogOps.sqlSearchServed.build(spark, sfDir)
+    val roots = scanRoots(df)
+    assert(roots.nonEmpty)
+    // every scan reads standing-store files — never the corpus dir (the
+    // store PATH embeds the sanitized corpus dir name, so the check is
+    // "under the store root", not a substring of the corpus path)
+    assert(roots.forall(_.contains("/graft_stores/")), roots.mkString("; "))
+    // the constant-folded pmod(hash(term), buckets) IN-list must land in
+    // PartitionFilters (directory pruning), not a post-scan filter
+    val postingScan = scansOf(df)
+      .find(_.relation.location.rootPaths.exists(_.toString.contains("postings")))
+      .getOrElse(fail("no postings scan in plan"))
+    assert(postingScan.partitionFilters.exists(_.toString.contains("tok_bucket")),
+      postingScan.partitionFilters.mkString("; "))
+    // ... and actually open fewer files than the whole store
+    val opened = postingScan.relation.location
+      .listFiles(postingScan.partitionFilters, Nil).map(_.files.size).sum
+    val store = sources.Stores.postingStore(spark, sfDir)
+    val total = spark.read.parquet(s"$store/postings").inputFiles.length
+    assert(opened < total, s"SQL probe read $opened of $total files")
+    // same answer as the programmatic store probe
+    val got = df.collect().map(_.toString).toSeq
+    val want = engine.LogOps.indexedSearch.build(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(got === want)
+  }
+
+  test("SQL-only range-p95: answers from the sketch store, zero corpus scans, day-pruned") {
+    val df = engine.LogOps.sqlSketchServed.build(spark, sfDir)
+    val roots = scanRoots(df)
+    assert(roots.nonEmpty)
+    assert(roots.forall(_.contains("/graft_stores/")), roots.mkString("; "))
+    val scan = scansOf(df).head
+    // the date range must prune day= directories at the scan
+    assert(scan.partitionFilters.exists(_.toString.contains("day")),
+      scan.partitionFilters.mkString("; "))
+    val got = df.collect().map(_.toString).toSeq
+    val want = engine.LogOps.latencySketchServed.build(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(got === want)
+  }
+
+  test("graft_term_dict view: LSM base+delta merge matches probeTermDict") {
+    GraftSession.openStores(spark, sfDir)
+    val viaSql = spark.sql(
+      """SELECT tok, df FROM graft_term_dict
+        |WHERE tok LIKE 'spar%' ORDER BY df DESC, tok LIMIT 10""".stripMargin)
+      .collect().map(_.toString).toSeq
+    val td = sources.Stores.termDict(spark, sfDir)
+    val viaProbe = sources.Sinks.probeTermDict(spark, td, "spar", 10)
+      .select("tok", "df").collect().map(_.toString).toSeq
+    assert(viaSql === viaProbe)
+    assert(viaSql.nonEmpty)
+  }
+
+  test("openStores registers every documented store view") {
+    GraftSession.openStores(spark, sfDir)
+    val views = Seq("graft_postings", "graft_docstats", "graft_search_meta",
+      "graft_term_dict", "graft_latency_sketch", "graft_daily_rollup",
+      "graft_shingle_pairs", "graft_pq_codebook", "graft_pq_codes")
+    views.foreach { v =>
+      assert(spark.catalog.tableExists(v), s"missing view $v")
+      assert(spark.table(v).columns.nonEmpty, s"empty schema for $v")
+    }
+    // and the near-dup pair view answers a filter decision in one line
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_shingle_pairs WHERE jaccard >= 0.5")
+      .head.getLong(0) > 0)
+  }
+}

@@ -572,6 +572,19 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows(spark.read.parquet(s"$streamStore/meta")) ===
       rows(spark.read.parquet(s"$fullStore/meta")))
 
+    // COMPACTION: fold both segments into the base layout — answers and
+    // meta must not move, the seg dir must be gone, and a second call on
+    // the segment-free store must be a no-op
+    graft.sources.Sinks.compactPostings(spark, streamStore)
+    assert(!new java.io.File(s"$streamStore/seg").exists(),
+      "segments survived compaction")
+    assert(probeAll(streamStore) === streamed,
+      "compaction changed the store's answers")
+    assert(rows(spark.read.parquet(s"$streamStore/meta")) ===
+      rows(spark.read.parquet(s"$fullStore/meta")))
+    graft.sources.Sinks.compactPostings(spark, streamStore)
+    assert(probeAll(streamStore) === streamed)
+
     // stream-only store (no batch base): the first segment creates meta
     val onlyStore = s"$base/stream_only"
     val input2 = MemoryStream[Streaming.Doc](spark)
@@ -582,6 +595,41 @@ class StreamingSpec extends SparkSpecBase {
     } finally q2.stop()
     assert(probeAll(onlyStore) === probeAll(fullStore),
       "stream-only store diverged from the batch-built store")
+  }
+
+  test("shingle-pair sink: stream-fed pair store equals a batch-built one; " +
+    "crash re-delivery changes nothing") {
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source")
+    val docRows = docs.as[Streaming.Doc].collect().toSeq
+    val (exist, batchDocs) = docRows.partition(_.doc_id % 5 != 0)
+    val (b1, b2) = batchDocs.splitAt(batchDocs.length / 2)
+    val base = java.nio.file.Files.createTempDirectory("graft-pair-sink").toString
+    val pairs = s"$base/pairs"
+    graft.sources.Sinks.writeSized(
+      graft.engine.LlmOps.shinglePairsOfDocs(exist.toDF()), pairs, 2)
+
+    val input = MemoryStream[Streaming.Doc](spark)
+    val q = Streaming.startShinglePairsSink(input.toDF(), exist.toDF(),
+      pairs, s"$base/docs", s"$base/ckpt")
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+
+    def rows(df: DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    // stream-fed store ≡ one batch build over ALL docs
+    val want = rows(graft.engine.LlmOps.shinglePairsOfDocs(docRows.toDF()))
+    assert(rows(spark.read.parquet(pairs)) === want,
+      "stream-fed pair store diverged from the batch-built pair set")
+    assert(want.nonEmpty, "no pairs — vacuous parity")
+    // crash re-delivery of the LAST batch (batchId 1): the doc segment
+    // overwrites itself, the existing set re-derives identically, and the
+    // standing-key anti-join appends nothing
+    Streaming.shinglePairsIngestBatch(exist.toDF(), b2.toDF(),
+      pairs, s"$base/docs", 1L)
+    assert(rows(spark.read.parquet(pairs)) === want,
+      "replaying a delivered batch changed the pair store")
   }
 
   test("file stream source reads the events fixture incrementally") {
