@@ -366,26 +366,69 @@ object LlmOps {
     // pair scan and must not re-run per consumer.
     val sh0 = sh0raw.localCheckpoint()
     val nDocs = sh0.agg(countDistinct("doc_id").as("n_docs"))
-    // SURVIVING vocabulary census (dfCapped's keep-list, kept as a DF):
-    // vocabulary-sized, so for the dense decision it collects to the
-    // driver only when it fits the dense bound anyway
+    // SURVIVING vocabulary census (dfCapped's keep-list, kept as a DF
+    // WITH its dfs — they also drive the path decision below):
+    // vocabulary-sized, checkpointed because three consumers read it
+    // (the dense probe, the volume estimate, the keep semi-join)
     val census = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
       .filter(col("df") <= least(lit(shingleDfFrac) * col("n_docs"), lit(shingleDfAbs)))
-      .select("sh")
+      .select("sh", "df")
+      .localCheckpoint()
     // limit(denseVocabMax+1) bounds the driver collect: we only need to
     // know WHETHER the vocabulary exceeds the dense bound, never to hold
     // an open vocabulary on the driver
-    val vocabProbe = census.limit(denseVocabMax.toInt + 1)
+    val vocabProbe = census.select("sh").limit(denseVocabMax.toInt + 1)
       .orderBy("sh").as(org.apache.spark.sql.Encoders.STRING).collect()
     if (vocabProbe.length <= denseVocabMax)
       densePairs(sh0, vocabProbe, shingleJaccardThreshold)
     else {
       // open vocabulary: materialize the capped postings once (they fan
-      // out to the doc-set relation and the prefix expansion)
-      val sh = sh0.join(census, Seq("sh"), "left_semi").localCheckpoint()
-      prefixVerifiedPairs(sh, shingleJaccardThreshold)
+      // out to the doc-set relation and the pair expansion)
+      val sh = sh0.join(census.select("sh"), Seq("sh"), "left_semi").localCheckpoint()
+      // Route by the census-derived co-occurrence volume — ONE
+      // vocabulary-sized aggregate, no corpus pass: P = Σ C(df, 2) is the
+      // pair volume ANY inverted-index method must touch, and N = Σ df is
+      // the capped posting-row count. When P ≫ N (hot keys — a sharded
+      // closed vocabulary, enum-ish fields), the prefix+verify path is
+      // catastrophic: its exact verify joins each of the ~P candidates to
+      // TWO full per-doc shingle arrays, shuffling P × KB-sized rows (the
+      // first ×100 soak attempt filled 240 GB of local disk exactly this
+      // way — SCALE.md §6i). The expansion path touches the same P pairs
+      // as bare 16-byte id rows into a partially-aggregated count, so it
+      // is the safe Ω(P) spelling. When P ≈ N (true Heaps-law open
+      // vocabulary — most dfs tiny), candidates are corpus-linear and the
+      // prefix filter + array verify is the measured-cheaper shape. The
+      // 16× threshold is the avg-df grain where the array-carry starts to
+      // dominate the 16-byte pair rows; both paths are exact, so the
+      // constant tunes cost only, never answers.
+      val Array(p, n) = census
+        .agg(sum(expr("df * (df - 1) / 2")), sum("df"))
+        .head().toSeq.map(v => String.valueOf(v).toDouble).toArray
+      if (p > 16.0 * n) expandedPairs(sh, shingleJaccardThreshold)
+      else prefixVerifiedPairs(sh, shingleJaccardThreshold)
     }
+  }
+
+  /** Hot-key exact Jaccard pair scan WITHOUT candidate arrays: the classic
+    * inverted-index expansion — [[pairCounts]] over the FULL df-capped
+    * postings yields exact per-pair intersection counts (a pair sharing
+    * zero shingles has jaccard 0 < τ and is correctly absent), joined to
+    * per-doc set sizes for the jaccard. Every moved row is a fixed-width
+    * id/count tuple, so shuffle volume is 16·P bytes where P = Σ C(df, 2)
+    * — the minimum any exact inverted-index method pays — instead of the
+    * verify path's P × serialized-doc-set bytes. Identical output contract
+    * to [[densePairs]] / [[prefixVerifiedPairs]] (LlmOpsSpec pins all
+    * three equal).
+    */
+  private[graft] def expandedPairs(postings: DataFrame, tau: Double): DataFrame = {
+    val sz = postings.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val jac = col("c").cast("double") / (col("na") + col("nb") - col("c"))
+    pairCounts(postings, "sh")
+      .join(sz.select(col("doc_id").as("id_a"), col("n").as("na")), Seq("id_a"))
+      .join(sz.select(col("doc_id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+      .filter(jac >= tau)
+      .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))
   }
 
   /** Open-vocabulary pair scan: prefix-filtered candidate generation +

@@ -612,8 +612,11 @@ class LlmOpsSpec extends SparkSpecBase {
       .as[(Long, Long, Double)].collect().toSet
     val prefixed = LlmOps.prefixVerifiedPairs(postings.localCheckpoint(), tau)
       .as[(Long, Long, Double)].collect().toSet
+    val expanded = LlmOps.expandedPairs(postings.localCheckpoint(), tau)
+      .as[(Long, Long, Double)].collect().toSet
     assert(dense === expect, "dense bitset path diverged from the naive scan")
     assert(prefixed === expect, "prefix-verified path diverged from the naive scan")
+    assert(expanded === expect, "expansion path diverged from the naive scan")
   }
 
   test("prefix filtering: candidates are a superset of every τ-qualifying pair " +
