@@ -94,7 +94,9 @@ object Plans {
     "llm_bloom_decontaminate_indexed" -> "decontamination served from the persisted filter: the standing ~1.2 MB bytes deserialize and broadcast; the plan is ONE train-gram scan + map-side membership probe — no eval tokenize, no filter-build stages",
     "llm_eval_contamination" -> "reversed decontamination: eval grams broadcast into the train scan, train collapses to DISTINCT hit grams, and the per-eval-doc rollup runs over eval-sized rows — train text never shuffles",
     "sql_product_profit" -> "TPC-H Q9 shape: the part-name filter prunes the fact first, dims broadcast, and the mixed price/cost profit expression folds as exact BIGINTs before the (nation, year) rollup",
-    "sql_value_concentration" -> "TPC-H Q11 shape: the HAVING's global total is a single-row broadcast over the reused (supp, part) rollup — never a re-scan; the fraction test is an integer cross-product")
+    "sql_value_concentration" -> "TPC-H Q11 shape: the HAVING's global total is a single-row broadcast over the reused (supp, part) rollup — never a re-scan; the fraction test is an integer cross-product",
+    "log_sql_search_served" -> "the SQL-surface conjunctive search (plain spark.sql over GraftSession.openStores' graft_postings view): the constant-folded pmod(hash(term), buckets) IN-list lands in the scan's PartitionFilters — same pruned-directory plan as the programmatic probe, documents.parquet appears nowhere",
+    "log_sql_sketch_served" -> "the SQL-surface range-quantile report (plain spark.sql over graft_latency_sketch): day= partition filter prunes the standing store's directories, rank walk over pruned bucket rows, zero events scans")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
