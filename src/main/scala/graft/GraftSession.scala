@@ -77,12 +77,10 @@ object GraftSession {
     spark.read.parquet(s"$post/meta")
       .createOrReplaceTempView("graft_search_meta")
     val td = sources.Stores.termDict(spark, dir)
-    val dictBase = spark.read.parquet(s"$td/dict")
-    val dict = // the probeTermDict read half of the LSM discipline
-      if (!new java.io.File(s"$td/delta").exists()) dictBase
-      else dictBase.unionByName(spark.read.parquet(s"$td/delta"))
-        .groupBy("tok").agg(sum("df").as("df"), sum("cf").as("cf"))
-    dict.createOrReplaceTempView("graft_term_dict")
+    // the probeTermDict read half of the LSM discipline — ONE shared
+    // merge definition, so view and programmatic probe can never diverge
+    sources.Sinks.storeTermDict(spark, td)
+      .createOrReplaceTempView("graft_term_dict")
     spark.read.parquet(sources.Stores.latencySketch(spark, dir))
       .createOrReplaceTempView("graft_latency_sketch")
     spark.read.parquet(sources.Stores.dailyRollup(spark, dir))

@@ -357,12 +357,7 @@ object Soak {
         drainListenerBus()
         val buildShuf = (shufWrite - w1) / gb
         val pairs = spark.read.parquet(storePath).count()
-        val storeBytes = {
-          def sz(f: java.io.File): Long =
-            if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(sz).sum
-            else f.length
-          sz(new java.io.File(storePath))
-        }
+        val storeBytes = graft.sources.Fs.sizeBytes(storePath)
         // consumers, warm then timed
         for (qn <- Seq("llm_neardup_filter", "llm_neardup_clusters")) {
           val fn = SparkEntry.queries(qn)
@@ -394,7 +389,7 @@ object Soak {
         val docsN = spark.read.parquet(s"$d/documents.parquet").count()
         val grams = graft.engine.LlmOps.evalGramsOf(spark, d).count()
         val (path, tBuild) = timed(graft.sources.Stores.bloomFilter(spark, d))
-        val bytes = new java.io.File(s"$path/bloom.bin").length
+        val bytes = graft.sources.Fs.sizeBytes(s"$path/bloom.bin")
         val fn = SparkEntry.queries("llm_bloom_decontaminate_indexed")
         fn(spark, d).count() // warm
         val (rows, tq) = timed(fn(spark, d).count())

@@ -20,7 +20,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
+    Files.createDirectories(Paths.get(outDir))
     // Dev loop: SPARK_GRAFT_VERIFY_ONLY=a,b,c restricts the dump (and the
     // oracle json) to the named queries. Unset for the driver's full run.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")

@@ -1,0 +1,147 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+
+/** The ONE filesystem seam for every store / segment / marker codepath.
+  *
+  * Stores, streaming segments and completion markers must behave
+  * identically whether the store root is a local directory (this
+  * sandbox) or HDFS/S3A (where a 100 TB corpus actually lives). A bare
+  * `java.io.File` check on a remote filesystem silently answers
+  * "absent" — the exact hazard [[graft.engine.SqlOps]] documents — so
+  * every existence probe, marker write, recursive delete, directory
+  * listing and rename in the store plumbing routes through this object,
+  * which resolves each path against the Hadoop `FileSystem` of the
+  * active Spark session's configuration (scheme-aware: `s3a://…` and
+  * `/local/path` both do the right thing).
+  *
+  * All operations here are driver-side metadata calls on store-shaped
+  * paths (markers, segment directories, version listings) — never data
+  * moves — so the remote round-trips are O(segments), not O(rows).
+  */
+private[graft] object Fs {
+
+  /** Hadoop configuration of the running session (falls back to a bare
+    * `Configuration` for test paths created before any session exists —
+    * local-FS semantics, same as the old java.io behavior).
+    */
+  private def conf: Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  private def resolve(p: String): (FileSystem, Path) = {
+    val path = new Path(p)
+    (path.getFileSystem(conf), path)
+  }
+
+  def exists(p: String): Boolean = {
+    val (fs, path) = resolve(p)
+    fs.exists(path)
+  }
+
+  /** Recursive delete; absent path is a no-op (matches the old rm). */
+  def delete(p: String): Unit = {
+    val (fs, path) = resolve(p)
+    fs.delete(path, true): Unit
+  }
+
+  def mkdirs(p: String): Unit = {
+    val (fs, path) = resolve(p)
+    fs.mkdirs(path): Unit
+  }
+
+  /** Create an empty marker file (parents included), overwriting. */
+  def touch(p: String): Unit = {
+    val (fs, path) = resolve(p)
+    fs.create(path, true).close()
+  }
+
+  /** Move a directory into place. Refuses an existing destination — the
+    * swap protocols here always delete-then-rename, and a silent merge
+    * (local-FS renameTo onto a dir) would corrupt a store.
+    */
+  def renameDir(src: String, dst: String): Unit = {
+    val (fs, s) = resolve(src)
+    require(!fs.exists(new Path(dst)), s"rename destination exists: $dst")
+    require(fs.rename(s, new Path(dst)), s"rename failed: $src -> $dst")
+  }
+
+  /** ATOMIC single-file replace — the pointer-swap primitive behind the
+    * posting store's generation pointer: write the new content to a
+    * sibling temp file, then `FileContext.rename(..., OVERWRITE)`, which
+    * is atomic on both the local filesystem and HDFS (rename is the one
+    * atomic metadata operation every Hadoop filesystem contract
+    * guarantees). A reader sees the old content or the new content,
+    * never a torn write and never an absent file.
+    */
+  def writeTextAtomic(p: String, content: String): Unit = {
+    val (fs, path) = resolve(p)
+    val tmp = new Path(p + ".tmp")
+    val out = fs.create(tmp, true)
+    out.write(content.getBytes("UTF-8"))
+    out.close()
+    FileContext.getFileContext(path.toUri, conf)
+      .rename(tmp, path, Options.Rename.OVERWRITE)
+  }
+
+  def readText(p: String): String = {
+    val (fs, path) = resolve(p)
+    val in = fs.open(path)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  /** `readText` if the file exists, else None — one round-trip fewer
+    * than exists-then-read is not worth a race; absent-after-check reads
+    * throw and this catches exactly that (FileNotFound), so a pointer
+    * file that appears or vanishes mid-call still yields a consistent
+    * answer.
+    */
+  def readTextIfExists(p: String): Option[String] = {
+    try Some(readText(p))
+    catch { case _: java.io.FileNotFoundException => None }
+  }
+
+  /** Immediate subdirectories of `p` as (name, full path); empty when
+    * `p` is absent — segment/version discovery.
+    */
+  def listSubdirs(p: String): Seq[(String, String)] = {
+    val (fs, path) = resolve(p)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq
+      .filter(_.isDirectory)
+      .map(st => (st.getPath.getName, st.getPath.toString))
+  }
+
+  /** Total bytes under `p` (0 when absent) — soak-report sizing. */
+  def sizeBytes(p: String): Long = {
+    val (fs, path) = resolve(p)
+    if (!fs.exists(path)) 0L else fs.getContentSummary(path).getLength
+  }
+
+  /** Recursive (name, length, mtime) signature lines of every file under
+    * `p` — the store-registry corpus fingerprint input. Driver-side
+    * metadata listing only.
+    */
+  def fileSignatures(p: String): Seq[String] = {
+    val (fs, path) = resolve(p)
+    if (!fs.exists(path)) Seq.empty
+    else {
+      val it = fs.listFiles(path, true)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val st = it.next()
+        out += s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+      }
+      out.toSeq
+    }
+  }
+}

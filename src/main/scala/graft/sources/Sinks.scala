@@ -265,11 +265,7 @@ object Sinks {
   def writePostings(docs: DataFrame, path: String, buckets: Int = 64): Unit = {
     // a (re)build folds the whole corpus — clear any standing streaming
     // segments first, or their rows would double-count against the new base
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(): Unit
-    }
-    rm(new java.io.File(s"$path/seg"))
+    Fs.delete(s"$path/seg")
     val toks = postingToks
     docs
       .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
@@ -460,7 +456,7 @@ object Sinks {
       .select(pmod(hash(col("t")), lit(buckets)).as("b"))
       .as[Int].collect().toSeq.distinct
     val roots =
-      (if (new java.io.File(s"$path/postings").exists()) Seq(s"$path/postings") else Nil) ++
+      (if (Fs.exists(s"$path/postings")) Seq(s"$path/postings") else Nil) ++
         committedSegments(path).map(s => s"$s/postings")
     require(roots.nonEmpty, s"posting store at $path has no postings")
     roots.map(spark.read.parquet(_)
@@ -496,7 +492,7 @@ object Sinks {
                             newDocs: DataFrame, batchId: Long,
                             buckets: Int = 64): Unit = {
     val bucketsEff =
-      if (new java.io.File(s"$path/meta/_SUCCESS").exists())
+      if (Fs.exists(s"$path/meta/_SUCCESS"))
         spark.read.parquet(s"$path/meta").select("buckets").head.getInt(0)
       else buckets
     val seg = s"$path/seg/b=$batchId"
@@ -517,7 +513,7 @@ object Sinks {
       .parquet(s"$seg/docstats")
     // the segment becomes visible to probes HERE — everything above is
     // invisible scratch until this marker exists
-    new java.io.File(s"$seg/_COMMIT").createNewFile(): Unit
+    Fs.touch(s"$seg/_COMMIT")
     writeSized(storeDocstats(spark, path)
       .agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
       .withColumn("buckets", lit(bucketsEff)),
@@ -562,19 +558,13 @@ object Sinks {
       .write.mode("overwrite")
       .option("compression", "zstd")
       .parquet(s"$path/docstats_staged")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(): Unit
-    }
     // marker OFF → any crash below leaves a store Stores rebuilds, never trusts
-    rm(new java.io.File(s"$path/meta/_SUCCESS"))
-    rm(new java.io.File(s"$path/postings"))
-    rm(new java.io.File(s"$path/docstats"))
-    require(new java.io.File(s"$path/postings_staged")
-      .renameTo(new java.io.File(s"$path/postings")), s"swap failed: $path/postings")
-    require(new java.io.File(s"$path/docstats_staged")
-      .renameTo(new java.io.File(s"$path/docstats")), s"swap failed: $path/docstats")
-    rm(new java.io.File(s"$path/seg"))
+    Fs.delete(s"$path/meta/_SUCCESS")
+    Fs.delete(s"$path/postings")
+    Fs.delete(s"$path/docstats")
+    Fs.renameDir(s"$path/postings_staged", s"$path/postings")
+    Fs.renameDir(s"$path/docstats_staged", s"$path/docstats")
+    Fs.delete(s"$path/seg")
     // meta LAST: restores the completion marker over the compacted layout
     writeSized(spark.read.parquet(s"$path/docstats")
       .agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
@@ -583,13 +573,12 @@ object Sinks {
   }
 
   /** Committed streaming segments of a posting store (dirs with _COMMIT). */
-  private def committedSegments(path: String): Seq[String] = {
-    val root = new java.io.File(s"$path/seg")
-    Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith("b=") &&
-        new java.io.File(d, "_COMMIT").exists())
-      .map(_.getAbsolutePath).sorted.toSeq
-  }
+  private def committedSegments(path: String): Seq[String] =
+    Fs.listSubdirs(s"$path/seg")
+      .filter { case (name, dir) =>
+        name.startsWith("b=") && Fs.exists(s"$dir/_COMMIT")
+      }
+      .map(_._2).sorted
 
   /** The store's full postings relation: base partitions (absent in a
     * stream-only store) unioned with every committed segment's — the
@@ -603,7 +592,7 @@ object Sinks {
   private[graft] def storePostings(spark: org.apache.spark.sql.SparkSession,
                                    path: String): DataFrame = {
     val roots =
-      (if (new java.io.File(s"$path/postings").exists()) Seq(s"$path/postings") else Nil) ++
+      (if (Fs.exists(s"$path/postings")) Seq(s"$path/postings") else Nil) ++
         committedSegments(path).map(s => s"$s/postings")
     require(roots.nonEmpty, s"posting store at $path has no postings")
     roots.map(spark.read.parquet(_)).reduce(_ unionByName _)
@@ -615,7 +604,7 @@ object Sinks {
   private[graft] def storeDocstats(spark: org.apache.spark.sql.SparkSession,
                                    path: String): DataFrame = {
     val parts =
-      (if (new java.io.File(s"$path/docstats").exists()) Seq(s"$path/docstats") else Nil) ++
+      (if (Fs.exists(s"$path/docstats")) Seq(s"$path/docstats") else Nil) ++
         committedSegments(path).map(s => s"$s/docstats")
     require(parts.nonEmpty, s"posting store at $path has no docstats")
     parts.map(spark.read.parquet(_)).reduce(_ unionByName _)
@@ -706,17 +695,32 @@ object Sinks {
     val base =
       if (files.isEmpty) spark.read.parquet(s"$path/dict").limit(0)
       else spark.read.parquet(files.toIndexedSeq: _*)
-    val deltaPath = new org.apache.hadoop.fs.Path(s"$path/delta")
-    val fs = deltaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val withDelta =
-      if (!fs.exists(deltaPath)) base
-      else base.unionByName(spark.read.parquet(s"$path/delta"))
-        .groupBy("tok")
-        .agg(sum("df").as("df"), sum("cf").as("cf"))
-    withDelta.filter(col("tok").startsWith(p))
+    mergeTermDictDelta(spark, path, base)
+      .filter(col("tok").startsWith(p))
       .orderBy(col("df").desc, col("tok"))
       .limit(k)
   }
+
+  /** The term-dict store's full (tok, df, cf) relation: the sorted base
+    * dict merged with the LSM delta segment when one exists — the read
+    * half shared by [[probeTermDict]] (over its pruned covering files)
+    * and the SQL surface's `graft_term_dict` view
+    * ([[graft.GraftSession.openStores]]), so the two can never disagree
+    * about whether refreshed vocabulary is visible.
+    */
+  private[graft] def storeTermDict(spark: org.apache.spark.sql.SparkSession,
+                                   path: String): DataFrame =
+    mergeTermDictDelta(spark, path, spark.read.parquet(s"$path/dict"))
+
+  /** Fold the delta segment (if any) into `base` by (df, cf) addition —
+    * the one definition of the dict-LSM merge.
+    */
+  private def mergeTermDictDelta(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, base: DataFrame): DataFrame =
+    if (!Fs.exists(s"$path/delta")) base
+    else base.unionByName(spark.read.parquet(s"$path/delta"))
+      .groupBy("tok")
+      .agg(sum("df").as("df"), sum("cf").as("cf"))
 
   /** DDSketch latency-quantile store: persist (event_type, day, bucket, n)
     * log-γ bucket counts, day-partitioned so a range query prunes whole

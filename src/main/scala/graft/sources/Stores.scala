@@ -42,12 +42,7 @@ object Stores {
     * sort, hashed. Driver-side metadata listing only.
     */
   private def fingerprint(dataDir: String, table: String): String = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq.flatMap(walk)
-      else Seq(f)
-    val sig = walk(new java.io.File(dataDir, table))
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").sorted.mkString("|")
+    val sig = Fs.fileSignatures(s"$dataDir/$table").sorted.mkString("|")
     java.security.MessageDigest.getInstance("MD5")
       .digest((dataDir + "|" + sig).getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
@@ -64,7 +59,7 @@ object Stores {
       // while this thread waited — getOrElseUpdate alone would run both
       // thunks and race two overwrite-mode writers onto one directory
       memo.getOrElseUpdate(key, {
-        if (!new java.io.File(doneMarker).exists()) build
+        if (!Fs.exists(doneMarker)) build
         key
       })
     })
@@ -143,7 +138,7 @@ object Stores {
       path.split('/').takeRight(2).head.takeRight(16) // the corpus fingerprint
     buildLock.synchronized {
       if (!spark.catalog.tableExists(name)) {
-        if (new java.io.File(s"$path/_SUCCESS").exists()) {
+        if (Fs.exists(s"$path/_SUCCESS")) {
           // files stand from an earlier JVM/session: re-attach catalog
           // bucket metadata without rewriting a byte
           val schema = load().schema.toDDL

@@ -688,7 +688,7 @@ object Streaming {
     // retire versions older than the one just read — the pre-state must
     // survive until THIS version commits, in case this batch replays
     prev.filter(_ < prev.maxOption.getOrElse(Long.MinValue)).foreach { v =>
-      deleteRecursively(new java.io.File(s"$path/v=$v"))
+      graft.sources.Fs.delete(s"$path/v=$v")
     }
   }
 
@@ -739,7 +739,7 @@ object Streaming {
     // retire versions older than the one just read — the pre-state must
     // survive until THIS version commits, in case this batch replays
     prev.filter(_ < prev.maxOption.getOrElse(Long.MinValue)).foreach { v =>
-      deleteRecursively(new java.io.File(s"$path/v=$v"))
+      graft.sources.Fs.delete(s"$path/v=$v")
     }
   }
 
@@ -813,7 +813,7 @@ object Streaming {
     val seg = s"$docsPath/b=$batchId"
     batch.write.mode("overwrite")
       .option("compression", "zstd").parquet(s"$seg/data")
-    new java.io.File(s"$seg/_COMMIT").createNewFile(): Unit
+    graft.sources.Fs.touch(s"$seg/_COMMIT")
     // strictly-before: replays re-derive the same existing set, and the
     // batch can never pair against its own just-landed segment
     val prior = committedDocSegments(docsPath).filter(_._1 < batchId)
@@ -824,28 +824,21 @@ object Streaming {
   }
 
   /** Committed doc segments of a pair-ingest sink (dirs with _COMMIT). */
-  private def committedDocSegments(path: String): Seq[(Long, String)] = {
-    val root = new java.io.File(path)
-    Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith("b=") &&
-        new java.io.File(d, "_COMMIT").exists())
-      .map(d => (d.getName.stripPrefix("b=").toLong, d.getAbsolutePath))
-      .sortBy(_._1).toSeq
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete(): Unit
-  }
+  private def committedDocSegments(path: String): Seq[(Long, String)] =
+    graft.sources.Fs.listSubdirs(path)
+      .filter { case (name, dir) =>
+        name.startsWith("b=") && graft.sources.Fs.exists(s"$dir/_COMMIT")
+      }
+      .map { case (name, dir) => (name.stripPrefix("b=").toLong, dir) }
+      .sortBy(_._1)
 
   /** Committed version ids of a keyed-upsert table (dirs with _SUCCESS). */
-  def tableVersions(path: String): Seq[Long] = {
-    val root = new java.io.File(path)
-    Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v=") &&
-        new java.io.File(f, "_SUCCESS").exists())
-      .map(_.getName.stripPrefix("v=").toLong).toSeq.sorted
-  }
+  def tableVersions(path: String): Seq[Long] =
+    graft.sources.Fs.listSubdirs(path)
+      .filter { case (name, dir) =>
+        name.startsWith("v=") && graft.sources.Fs.exists(s"$dir/_SUCCESS")
+      }
+      .map(_._1.stripPrefix("v=").toLong).sorted
 
   /** Current contents of a keyed-upsert table: its latest version. */
   def readKeyedTable(spark: SparkSession, path: String): DataFrame =

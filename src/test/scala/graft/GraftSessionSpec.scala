@@ -73,6 +73,35 @@ class GraftSessionSpec extends SparkSpecBase {
     assert(viaSql.nonEmpty)
   }
 
+  test("term-dict view relation: a freshly written delta is visible through the " +
+    "shared merge path, identically to probeTermDict") {
+    // openStores registers `graft_term_dict` from Sinks.storeTermDict — the
+    // SAME merge definition probeTermDict applies over its pruned files.
+    // Pin that a delta written AFTER the base build is visible through both
+    // faces with identical merged counts (the remote-FS hazard was exactly
+    // this view silently serving the delta-less base).
+    import org.apache.spark.sql.functions.{col => c}
+    val dir = java.nio.file.Files.createTempDirectory("graft_dictview").toString
+    val docs = engine.Tables.documents(spark, sfDir)
+    sources.Sinks.writeTermDict(docs, dir)
+    import spark.implicits._
+    val delta = Seq(
+      (900001L, "zqx zqx zqxspark", "en", "src0"),
+      (900002L, "zqx other words", "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+    sources.Sinks.refreshTermDict(spark, dir, delta)
+    val viaView = sources.Sinks.storeTermDict(spark, dir)
+      .filter(c("tok").startsWith("zqx"))
+      .orderBy(c("df").desc, c("tok"))
+      .select("tok", "df", "cf").collect().map(_.toString).toSeq
+    val viaProbe = sources.Sinks.probeTermDict(spark, dir, "zqx", 10)
+      .select("tok", "df", "cf").collect().map(_.toString).toSeq
+    assert(viaView === viaProbe)
+    assert(viaView.exists(_.contains("zqx")), "delta vocabulary invisible to the view")
+    // merged counts, not delta-only: zqx appears in 2 delta docs, 3 times
+    assert(viaView.head === "[zqx,2,3]", viaView.mkString("; "))
+  }
+
   test("openStores registers every documented store view") {
     GraftSession.openStores(spark, sfDir)
     val views = Seq("graft_postings", "graft_docstats", "graft_search_meta",
