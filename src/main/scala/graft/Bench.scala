@@ -108,12 +108,25 @@ object Bench {
     // "rebenched" so the artifact shows its work instead of silently
     // replacing a reading.
     val stabilize = sys.env.get("SPARK_GRAFT_BENCH_STABILIZE").forall(_ != "0")
+    // Second, dispersion-INDEPENDENT trigger: when all five in-suite runs
+    // land uniformly high (median ≈ min), the ratio test sees clean
+    // dispersion and a fully contaminated reading would ship unflagged —
+    // so the top-3 slowest queries are re-benched unconditionally. An
+    // honest reading costs one confirming re-run; a contaminated one is
+    // corrected, and either way both values are disclosed.
+    val meds = firstPass.collect {
+      case (n, t, _) if t.nonEmpty => n -> t(t.size / 2)
+    }.toMap
+    val topSlow: Set[String] =
+      if (!stabilize) Set.empty
+      else meds.toSeq.filter(_._2 > 0.15).sortBy(-_._2).take(3).map(_._1).toSet
     val results: Seq[(String, Option[Double], Option[String], Option[(Double, Double)])] =
       firstPass.map { case (name, times, err) =>
         if (times.isEmpty) (name, None, err.orElse(Some("no runs completed")), None)
         else {
           val med = times(times.size / 2)
-          if (!stabilize || med <= 0.15 || med <= times.head * 1.5)
+          if (!stabilize || med <= 0.15 ||
+              (med <= times.head * 1.5 && !topSlow(name)))
             (name, Some(med), err, None)
           else {
             System.gc()
@@ -122,7 +135,9 @@ object Bench {
             if (re.isEmpty) (name, Some(med), err.orElse(reErr), None)
             else {
               val reMed = re(re.size / 2)
-              (name, Some(reMed), err, Some((med, reMed)))
+              // reErr folds in even on success: a partially failing
+              // rebench must surface in errors/flaky, not vanish
+              (name, Some(reMed), err.orElse(reErr), Some((med, reMed)))
             }
           }
         }

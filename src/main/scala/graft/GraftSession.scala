@@ -74,7 +74,9 @@ object GraftSession {
       .createOrReplaceTempView("graft_postings")
     sources.Sinks.storeDocstats(spark, post)
       .createOrReplaceTempView("graft_docstats")
-    spark.read.parquet(s"$post/meta")
+    // one-row (n_docs, avgdl, buckets) snapshot combined from the current
+    // generation's meta + visible segments' segmeta at open time
+    sources.Sinks.storeMeta(spark, post)
       .createOrReplaceTempView("graft_search_meta")
     val td = sources.Stores.termDict(spark, dir)
     // the probeTermDict read half of the LSM discipline — ONE shared

@@ -399,6 +399,74 @@ object Soak {
       }
     }
 
+    // §6j: STREAMING-INGEST sweep at ×factor (SPARK_GRAFT_SOAK_ONLY=
+    // stream_ingest_sweep, SOAK_TABLES=documents, tag replication for the
+    // pair half — verbatim would make every streamed doc a factor-clique
+    // and measure clique size, not the ingest). The batch soaks above
+    // cover store BUILDS; this one covers the ingest loop the streaming
+    // sinks drive: per-segment landing cost as segments accumulate, probe
+    // latency vs segment count, the compaction fold that bounds it
+    // (answers must not move), and the pair-store delta appends.
+    if (only.exists(_.contains("stream_ingest_sweep"))) {
+      def timed[T](f: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text", "lang", "source")
+      val base = docs.filter(col("doc_id") % 10 =!= 0).localCheckpoint()
+      val stream = docs.filter(col("doc_id") % 10 === 0)
+      val batches = 12
+      // probe terms from the corpus itself (tag mode rewrites tokens, so
+      // fixed literals would probe an empty vocabulary)
+      val terms = base
+        .select(explode(filter(split(lower(col("text")), " "), t => t =!= "")).as("t"))
+        .groupBy("t").count().orderBy(col("count").desc, col("t")).limit(3)
+        .collect().map(_.getString(0)).toSeq
+      // ---- postings half ----
+      val store = s"$dir/stream_postings"
+      graft.sources.Fs.delete(store)
+      val (_, tBuild) = timed(graft.sources.Sinks.writePostings(base, store))
+      println(f"STREAMINGEST postings base build=$tBuild%7.2f s terms=${terms.mkString(",")}")
+      def probe(tag: String): Long = {
+        graft.sources.Sinks.probePostings(spark, store, terms).count() // warm
+        val (conj, tc) = timed(graft.sources.Sinks.probePostings(spark, store, terms).count())
+        val (_, tb) = timed(graft.sources.Sinks.probePostingsBm25(spark, store, terms, 20).count())
+        val segs = graft.sources.Sinks.visibleSegmentCount(spark, store)
+        println(f"STREAMINGEST postings $tag%-14s segs=$segs%3d conj=$tc%6.2f s bm25=$tb%6.2f s rows=$conj")
+        conj
+      }
+      probe("segs-0")
+      for (b <- 0 until batches) {
+        val slice = stream.filter(pmod(col("doc_id") / 10, lit(batches)) === b)
+        val (_, ti) = timed(
+          graft.sources.Sinks.ingestPostingsSegment(spark, store, slice, b))
+        println(f"STREAMINGEST postings ingest b=$b%2d $ti%6.2f s")
+        if (b == batches / 2 - 1) probe("segs-mid")
+      }
+      val before = probe("segs-full")
+      val (_, tCompact) = timed(graft.sources.Sinks.compactPostings(spark, store))
+      val after = probe("compacted")
+      println(f"STREAMINGEST postings compact=$tCompact%7.2f s " +
+        f"probe_invariant=${before == after}")
+      // ---- pair-store half ----
+      val pairs = s"$dir/stream_pairs"
+      val segDocs = s"$dir/stream_pairs_docs"
+      graft.sources.Fs.delete(pairs)
+      graft.sources.Fs.delete(segDocs)
+      val (_, tPair) = timed(graft.sources.Sinks.writeSized(
+        graft.engine.LlmOps.shinglePairsOfDocs(base), pairs, 4))
+      println(f"STREAMINGEST pairs base build=$tPair%7.2f s " +
+        f"rows=${spark.read.parquet(pairs).count()}")
+      for (b <- 0 until batches) {
+        val slice = stream.filter(pmod(col("doc_id") / 10, lit(batches)) === b)
+        val (_, ti) = timed(graft.streaming.Streaming.shinglePairsIngestBatch(
+          base, slice, pairs, segDocs, b))
+        val (n, tq) = timed(spark.read.parquet(pairs)
+          .filter(col("jaccard") >= 0.5).count())
+        println(f"STREAMINGEST pairs ingest b=$b%2d $ti%6.2f s probe=$tq%5.2f s store_rows=$n")
+      }
+    }
+
     heavy.filter(n => only.forall(_.contains(n))).foreach { name =>
       val fn = SparkEntry.queries(name)
       try { fn(spark, dir).count() } catch { case _: Throwable => () } // warm

@@ -1037,6 +1037,74 @@ object LlmOps {
     pqSearch(s, dir, cb, codes)
   }
 
+  /** The plain-SQL face of the standing ANN index — what an ad-hoc user
+    * types against the `graft_pq_codebook` / `graft_pq_codes` views
+    * ([[graft.GraftSession.openStores]]): ADC scoring as a per-subspace
+    * distance-lookup join + deterministic fold + windowed top-k, the
+    * search/sketch SQL-surface pattern extended to vectors. The query
+    * vectors arrive INLINE as a VALUES relation — the application-request
+    * shape: an ANN caller holds its query vector; it is not fetched from
+    * the corpus, and the final plan reads ONLY the two index views (zero
+    * embeddings scans, GraftSessionSpec-pinned). Every arithmetic step —
+    * the zip_with L2², the sorted code→d2 map build, the `sequence(0,
+    * pqM−1)` fold whose fixed order pins float addition, the (approx_d2,
+    * vec_id) rank — transliterates [[pqAdcShortlist]], so the SQL text is
+    * row-identical to the programmatic shortlist (spec-pinned), the same
+    * bit-for-bit discipline as `log_sql_search_served` /
+    * `log_sql_sketch_served`. No oracle for the same reason as its twins:
+    * the codebook is engine-local (md5-sampled driver Lloyd), so DuckDB
+    * cannot rederive the index; correctness is carried by the shortlist
+    * identity + the recall floors CI-pinned on the in-memory twin.
+    */
+  val sqlAnnServed = Q.noOracle("llm_sql_ann_served") { (s, dir) =>
+    graft.GraftSession.openStores(s, dir)
+    import s.implicits._
+    // the "request": 10 query vectors, normalized + sliced driver-side and
+    // inlined as literals (Double.toString round-trips exactly, so the
+    // parsed doubles are bit-identical to the programmatic path's)
+    val qsv = pqNormSubvectors(s, dir).filter(col("vec_id") < sqlAnnQueries)
+      .select(col("vec_id"), col("sub"), col("sv"))
+      .as[(Long, Int, Seq[Double])].collect().sortBy(t => (t._1, t._2))
+    val values = qsv.map { case (q, sub, sv) =>
+      s"(${q}L, $sub, array(${sv.map(d => s"${d}D").mkString(", ")}))"
+    }.mkString(",\n        ")
+    s.sql(
+      s"""WITH qsv (q_id, sub, qsv) AS (VALUES
+         |        $values),
+         |dtab AS (
+         |  SELECT q.q_id, q.sub, cb.code,
+         |    aggregate(zip_with(q.qsv, cb.c, (x, y) -> (x - y) * (x - y)),
+         |              0.0D, (a, x) -> a + x) AS d2
+         |  FROM qsv q JOIN graft_pq_codebook cb ON cb.sub = q.sub),
+         |sm AS (
+         |  SELECT q_id, sub,
+         |    map_from_entries(array_sort(collect_list(struct(code, d2)))) AS sm
+         |  FROM dtab GROUP BY q_id, sub),
+         |tabs AS (
+         |  SELECT q_id, map_from_entries(collect_list(struct(sub, sm))) AS tabs
+         |  FROM sm GROUP BY q_id),
+         |scored AS (
+         |  SELECT t.q_id, c.vec_id,
+         |    aggregate(sequence(0, ${pqM - 1}), 0.0D,
+         |      (acc, sub) -> acc + element_at(element_at(t.tabs, sub),
+         |                                     element_at(c.codes, sub + 1))) AS approx_d2
+         |  FROM tabs t JOIN graft_pq_codes c ON c.vec_id <> t.q_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |                       ORDER BY approx_d2 ASC, vec_id ASC) AS arn
+         |  FROM scored)
+         |SELECT q_id, vec_id, arn FROM ranked
+         |WHERE arn <= $pqShortlist
+         |ORDER BY q_id, arn""".stripMargin)
+  }
+
+  /** Query count of the SQL ANN face — small enough that the inlined
+    * VALUES text stays a few KB; the programmatic twin in the spec runs
+    * [[pqAdcShortlist]] with the same bound.
+    */
+  private[graft] val sqlAnnQueries = 10L
+
   /** (vec_id, sub, sv): unit-normalized subvector rows — the shared input
     * of PQ training, encode, and the query-side ADC tables.
     */
@@ -1167,10 +1235,19 @@ object LlmOps {
     * re-rank. Takes the index as plain frames so a parquet round-trip of
     * the index is search-equivalent (spec-pinned).
     */
-  private[graft] def pqSearch(s: SparkSession, dir: String,
-                              cb: DataFrame, codes: DataFrame): DataFrame = {
+  /** The compressed-domain HALF of the PQ query path: ADC tables from the
+    * codebook for queries `vec_id < maxQ`, then the top-[[pqShortlist]]
+    * shortlist per query over the code table — (q_id, vec_id, arn), no
+    * float fetch, no re-rank. Factored out so the plain-SQL face
+    * ([[sqlAnnServed]]) can be pinned row-identical to exactly this stage
+    * (the deterministic `sequence(0, pqM-1)` fold makes the sum order —
+    * and therefore every last-ulp tie — reproducible across both forms).
+    */
+  private[graft] def pqAdcShortlist(s: SparkSession, dir: String,
+                                    cb: DataFrame, codes: DataFrame,
+                                    maxQ: Long = 100): DataFrame = {
     // ADC tables: map<sub, map<code, ‖q_sub − c‖²>> per query, broadcast.
-    val dtabs = pqNormSubvectors(s, dir).filter(col("vec_id") < 100)
+    val dtabs = pqNormSubvectors(s, dir).filter(col("vec_id") < maxQ)
       .select(col("vec_id").as("q_id"), col("sub"), col("sv").as("qsv"))
       .join(broadcast(cb), Seq("sub"))
       .withColumn("d2", l2sqCol(col("qsv"), col("c")))
@@ -1181,9 +1258,9 @@ object LlmOps {
       // map build is insertion-order-independent anyway
       .agg(map_from_entries(collect_list(struct(col("sub"), col("sm")))).as("tabs"))
     // ADC scan → top-`pqShortlist` candidates per query in the COMPRESSED
-    // domain (the cheap part: pqM map lookups per pair, no float math)…
+    // domain (the cheap part: pqM map lookups per pair, no float math)
     val wAdc = Window.partitionBy("q_id").orderBy(col("approx_d2").asc, col("vec_id").asc)
-    val shortlist = broadcast(dtabs)
+    broadcast(dtabs)
       .join(codes, col("vec_id") =!= col("q_id"))
       .withColumn("approx_d2",
         aggregate(sequence(lit(0), lit(pqM - 1)), lit(0.0),
@@ -1191,7 +1268,12 @@ object LlmOps {
             element_at(element_at(col("tabs"), sub), element_at(col("codes"), sub + 1))))
       .withColumn("arn", row_number().over(wAdc))
       .filter(col("arn") <= pqShortlist)
-      .select("q_id", "vec_id")
+      .select("q_id", "vec_id", "arn")
+  }
+
+  private[graft] def pqSearch(s: SparkSession, dir: String,
+                              cb: DataFrame, codes: DataFrame): DataFrame = {
+    val shortlist = pqAdcShortlist(s, dir, cb, codes).select("q_id", "vec_id")
     // …then exact-cosine re-rank of the shortlist against the ORIGINAL
     // vectors — the FAISS refine step. Only queries × shortlist rows (not
     // the corpus) pay full-precision math; the fetch is a broadcast
@@ -2719,5 +2801,5 @@ object LlmOps {
     embedDimStats, embedNormalize, dupSpanFraction, dupSpanRemoval, centroidAssign,
     embedOutliers, semDedup, embedCorrPairs, nearDupFilter, kmeansEmbed,
     bloomDecontaminate, bloomDecontaminateIndexed, annIvfPq, hardNegatives, incrementalDedup,
-    annIvfPqIndexed, embedPcaCov, embedPca)
+    annIvfPqIndexed, sqlAnnServed, embedPcaCov, embedPca)
 }

@@ -3039,19 +3039,34 @@ object LogOps {
     */
   private[graft] val sketchZeroBucket = -1000000L
 
-  /** The canonical log-γ bucket index over `value` (γ = 1.02) — ONE
-    * definition shared by every sketch producer so a persisted bucket can
-    * never disagree with the query-side rank walk.
+  /** DDSketch γ — THE accuracy parameter. Every producer (bucket index),
+    * every estimator (midpoint), and every SQL face (the oracle text and
+    * the `graft_latency_sketch` view query) interpolates from this val
+    * and [[sketchGammaDiv]]; a γ change is a two-val edit, never a hunt
+    * for stray literals that would silently fork the SQL surface from
+    * the store.
+    */
+  private[graft] val sketchGamma = 1.02
+
+  /** γ + 1, the midpoint divisor — kept as its own DECIMAL literal (not
+    * computed as `sketchGamma + 1`) so the Spark-side double is
+    * bit-identical to what DuckDB parses from the same interpolated text.
+    */
+  private[graft] val sketchGammaDiv = 2.02
+
+  /** The canonical log-γ bucket index over `value` — ONE definition
+    * shared by every sketch producer so a persisted bucket can never
+    * disagree with the query-side rank walk.
     */
   private[graft] def sketchBucketCol =
     when(col("value") <= 0, lit(sketchZeroBucket))
-      .otherwise(ceil(log(col("value")) / log(lit(1.02))).cast("long"))
+      .otherwise(ceil(log(col("value")) / log(lit(sketchGamma))).cast("long"))
 
   /** Midpoint value estimate for a bucket id: 2γᵇ/(γ+1); 0 for the zero
     * sentinel. */
   private def sketchEstCol =
     when(col("bucket") === sketchZeroBucket, lit(0.0))
-      .otherwise(lit(2.0) * pow(lit(1.02), col("bucket")) / lit(2.02))
+      .otherwise(lit(2.0) * pow(lit(sketchGamma), col("bucket")) / lit(sketchGammaDiv))
 
   /** Range merge + rank walk over (event_type, day, bucket, n) sketch rows:
     * prune to the report's date range, SUM counts per (type, bucket) —
@@ -3088,10 +3103,10 @@ object LogOps {
     * a full rescan would.
     */
   private val latencySketchRangeSql =
-    """WITH daily AS (
+    s"""WITH daily AS (
       |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-      |    CASE WHEN value <= 0 THEN -1000000
-      |         ELSE CAST(CEILING(ln(value) / ln(1.02)) AS BIGINT) END AS bucket,
+      |    CASE WHEN value <= 0 THEN $sketchZeroBucket
+      |         ELSE CAST(CEILING(ln(value) / ln($sketchGamma)) AS BIGINT) END AS bucket,
       |    COUNT(*) AS n
       |  FROM events
       |  GROUP BY 1, 2, 3),
@@ -3104,8 +3119,8 @@ object LogOps {
       |  SELECT event_type, bucket, n,
       |    CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY bucket) AS BIGINT) AS cum,
       |    CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS total,
-      |    CASE WHEN bucket = -1000000 THEN 0.0
-      |         ELSE 2 * power(1.02, bucket) / 2.02 END AS est
+      |    CASE WHEN bucket = $sketchZeroBucket THEN 0.0
+      |         ELSE 2 * power($sketchGamma, bucket) / $sketchGammaDiv END AS est
       |  FROM merged)
       |SELECT event_type, MAX(total) AS n_events,
       |  ROUND(MIN(CASE WHEN cum * 100 >= total * 50 THEN est END), 4) + 0 AS p50_est,
@@ -3253,7 +3268,7 @@ object LogOps {
          |    SUM(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
          |    SUM(n) OVER (PARTITION BY event_type) AS total,
          |    CASE WHEN bucket = $sketchZeroBucket THEN 0.0D
-         |         ELSE 2.0D * power(1.02D, bucket) / 2.02D END AS est
+         |         ELSE 2.0D * power(${sketchGamma}D, bucket) / ${sketchGammaDiv}D END AS est
          |  FROM merged)
          |SELECT event_type, MAX(total) AS n_events,
          |  ROUND(MIN(CASE WHEN cum * 100 >= total * 50 THEN est END), 4) + 0.0D AS p50_est,

@@ -244,10 +244,10 @@ object StreamOps {
     */
   val latencySketchHourly = Q(
     "stream_latency_sketch_1h",
-    """WITH b AS (
+    s"""WITH b AS (
       |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
-      |    CASE WHEN value <= 0 THEN -1000000
-      |         ELSE CAST(CEILING(ln(value) / ln(1.02)) AS BIGINT) END AS bucket,
+      |    CASE WHEN value <= 0 THEN ${LogOps.sketchZeroBucket}
+      |         ELSE CAST(CEILING(ln(value) / ln(${LogOps.sketchGamma})) AS BIGINT) END AS bucket,
       |    COUNT(*) AS n
       |  FROM events GROUP BY 1, 2, 3),
       |r AS (
@@ -255,16 +255,16 @@ object StreamOps {
       |    CAST(SUM(n) OVER (PARTITION BY ws, event_type ORDER BY bucket)
       |      AS BIGINT) AS cum,
       |    CAST(SUM(n) OVER (PARTITION BY ws, event_type) AS BIGINT) AS total,
-      |    CASE WHEN bucket = -1000000 THEN 0.0
-      |         ELSE 2 * power(1.02, bucket) / 2.02 END AS est
+      |    CASE WHEN bucket = ${LogOps.sketchZeroBucket} THEN 0.0
+      |         ELSE 2 * power(${LogOps.sketchGamma}, bucket) / ${LogOps.sketchGammaDiv} END AS est
       |  FROM b)
       |SELECT ws, event_type, MAX(total) AS n_events,
       |  ROUND(MIN(CASE WHEN cum * 100 >= total * 95 THEN est END), 4) + 0 AS p95_est
       |FROM r GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin) { (s, dir) =>
     val byBucket = Window.partitionBy("ws", "event_type").orderBy("bucket")
     val whole = Window.partitionBy("ws", "event_type")
-    val est = when(col("bucket") === -1000000L, lit(0.0))
-      .otherwise(lit(2.0) * pow(lit(1.02), col("bucket")) / lit(2.02))
+    val est = when(col("bucket") === LogOps.sketchZeroBucket, lit(0.0))
+      .otherwise(lit(2.0) * pow(lit(LogOps.sketchGamma), col("bucket")) / lit(LogOps.sketchGammaDiv))
     Streaming.hourlySketchCounts(Tables.events(s, dir))
       .withColumn("cum", sum("n").over(byBucket))
       .withColumn("total", sum("n").over(whole))

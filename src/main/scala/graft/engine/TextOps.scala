@@ -641,10 +641,12 @@ object TextOps {
     // coalescing; per-row probe work is bounded by the block cap.
     val n = s.sessionState.conf.numShufflePartitions
     val a = blocked.repartition(n).select(col("lang"), col("n_tok"),
-      col("doc_id").as("id_a"), col("text").as("text_a"))
+      col("doc_id").as("id_a"), col("text").as("text_a"),
+      length(col("text")).as("len_a"))
     val b = blocked.select(col("lang"), col("n_tok"),
-      col("doc_id").as("id_b"), col("text").as("text_b"))
-    val mx = greatest(length(col("text_a")), length(col("text_b")))
+      col("doc_id").as("id_b"), col("text").as("text_b"),
+      length(col("text")).as("len_b"))
+    val mx = greatest(col("len_a"), col("len_b"))
     // Banded kernel: Spark's 3-arg levenshtein bails out (-1) once the
     // distance provably exceeds the threshold, turning the O(len²) kernel
     // into O(threshold·len) for the dissimilar majority. The +1 slack makes
@@ -652,15 +654,27 @@ object TextOps {
     // exact confirm below — the same `1 − d/mx ≥ floor` double arithmetic
     // the oracle runs — decides every boundary case, never the band.
     val tSlack = (lit(1.0 - levSimMin) * mx).cast("int") + lit(1)
-    val dist = call_function("levenshtein", col("text_a"), col("text_b"), tSlack)
-    val sim = lit(1.0) - dist.cast("double") / mx.cast("double")
     // mx > 0 is structural: two empty-text docs give sim = 0/0 = NaN, which
     // Spark's NaN-is-greatest ordering would pass through `>= levSimMin`
-    // while the oracle's NULL division filters the row.
-    a.join(b, Seq("lang", "n_tok"))
-      .filter(col("id_a") < col("id_b") && mx > 0 && dist >= 0 && sim >= levSimMin)
+    // while the oracle's NULL division filters the row. The length-
+    // difference bound (lev ≥ |len_a − len_b|, so a pair outside the band
+    // by lengths alone can never clear the sim floor) prunes KERNEL-FREE —
+    // every conjunct here is integer arithmetic on precomputed lengths.
+    val cheap = a.join(b, Seq("lang", "n_tok"))
+      .filter(col("id_a") < col("id_b") && mx > 0 &&
+        mx - least(col("len_a"), col("len_b")) <= tSlack)
+    // The O(threshold·len) kernel must run ONCE per surviving pair — see
+    // [[graft.functions.MaterializeOnce]]: without it the optimizer
+    // inlines the alias into the filter (and from there into the join
+    // condition), re-running the kernel 2-3× per pair and BEFORE the
+    // cheap id/length prunes (measured 2.8 → 5 s at sf0.1).
+    val sim = lit(1.0) - col("dist_raw").cast("double") / mx.cast("double")
+    cheap
+      .withColumn("dist_raw", graft.functions.MaterializeOnce(
+        call_function("levenshtein", col("text_a"), col("text_b"), tSlack)))
+      .filter(col("dist_raw") >= 0 && sim >= levSimMin)
       .select(col("id_a"), col("id_b"),
-        dist.cast("long").as("dist"), round(sim, 4).as("sim"))
+        col("dist_raw").cast("long").as("dist"), round(sim, 4).as("sim"))
       .orderBy("id_a", "id_b")
   }
 
@@ -1081,32 +1095,94 @@ object TextOps {
     * rounds — at 100 TB every round is a corpus scan, so production
     * budgets rounds (or subsamples) up front.
     *
-    * No oracle by design: gradient partial sums are
-    * float-summation-order sensitive (the same last-ulp drift every
-    * distributed GD accepts), so weights aren't bitwise reproducible
-    * across engines; the spec pins what IS invariant — monotone
-    * loss descent and high accuracy on a separable corpus.
+    * Oracle (migrated from no-oracle in round 10): the [[qcRounds]] GD
+    * rounds unroll as MATERIALIZED CTEs — the `llm_embed_pca` pattern —
+    * with every float expression transliterated in Spark's evaluation
+    * order (the dot product's left fold, the (p−y)·xᵢ gradient average,
+    * the ε-clamped log loss), so both engines walk the same weight
+    * trajectory. The per-round gradient averages are the one
+    * order-sensitive fold (each engine sums its own partition order);
+    * after 8 rounds that drift is ~1e-12 relative against outputs
+    * compared at 9 significant digits post-4dp-round — measured
+    * hash-identical at sf0.01 and sf0.1. The spec separately pins the
+    * engine-side invariants (monotone loss descent, separable-corpus
+    * accuracy).
     */
-  val qualityClassifier = Q.noOracle("text_quality_classifier") { (s, dir) =>
+  val qualityClassifier = Q(
+    "text_quality_classifier", qcOracleSql) { (s, dir) =>
     val (w, _) = qcTrain(s, dir, qcRounds)
     qcFeatures(s, dir).crossJoin(broadcast(w))
       .withColumn("z", aggregate(zip_with(col("x"), col("w"), _ * _), lit(0.0), _ + _))
       .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("z"))))
       .agg(
         count(lit(1)).as("n_docs"),
-        round(avg(logLoss(col("y"), col("p"))), 4).as("log_loss"),
-        round(avg(when((col("p") >= 0.5) === (col("y") >= 0.5), 1.0)
-          .otherwise(0.0)), 4).as("train_acc"),
-        round(avg("y"), 4).as("pos_rate"))
+        (round(avg(logLoss(col("y"), col("p"))), 4) + lit(0.0)).as("log_loss"),
+        (round(avg(when((col("p") >= 0.5) === (col("y") >= 0.5), 1.0)
+          .otherwise(0.0)), 4) + lit(0.0)).as("train_acc"),
+        (round(avg("y"), 4) + lit(0.0)).as("pos_rate"))
       // Weights dumped as four scalar columns (not array<double>): the
       // driver's dump checker sorts columns with pandas, and array cells
       // are unhashable there — same reason agg_collect_list serializes
-      // via to_json. Scalars also diff cleanly round-over-round.
+      // via to_json. Scalars also diff cleanly round-over-round; the
+      // `+ 0.0` normalizes a −0.0 round on both sides identically.
       .crossJoin(broadcast(w.select(
-        round(element_at(col("w"), 1), 4).as("w0"),
-        round(element_at(col("w"), 2), 4).as("w1"),
-        round(element_at(col("w"), 3), 4).as("w2"),
-        round(element_at(col("w"), 4), 4).as("w3"))))
+        (round(element_at(col("w"), 1), 4) + lit(0.0)).as("w0"),
+        (round(element_at(col("w"), 2), 4) + lit(0.0)).as("w1"),
+        (round(element_at(col("w"), 3), 4) + lit(0.0)).as("w2"),
+        (round(element_at(col("w"), 4), 4) + lit(0.0)).as("w3"))))
+  }
+
+  /** The unrolled-CTE DuckDB twin of [[qcTrain]] + the final report: one
+    * `g<r>`/`w<r>` CTE pair per GD round. Expression-order discipline:
+    * the dot product is written `((x0*a0 + x1*a1) + x2*a2) + x3*a3` —
+    * exactly the left fold Spark's `aggregate(zip_with(...))` evaluates
+    * (the fold's `0.0 +` head is exact) — and the clamp/log-loss mirrors
+    * [[logLoss]] including its ε literals.
+    */
+  private def qcOracleSql: String = {
+    val z = "(((x0 * w.a0 + x1 * w.a1) + x2 * w.a2) + x3 * w.a3)"
+    def round(r: Int): String =
+      s"""g$r AS MATERIALIZED (
+         |  SELECT AVG((p - y) * x0) AS g0, AVG((p - y) * x1) AS g1,
+         |         AVG((p - y) * x2) AS g2, AVG((p - y) * x3) AS g3
+         |  FROM (SELECT f.*, 1.0 / (1.0 + exp(-$z)) AS p
+         |        FROM feats f CROSS JOIN w${r - 1} w)),
+         |w$r AS MATERIALIZED (
+         |  SELECT a0 - $qcLr * g0 AS a0, a1 - $qcLr * g1 AS a1,
+         |         a2 - $qcLr * g2 AS a2, a3 - $qcLr * g3 AS a3
+         |  FROM w${r - 1}, g$r)""".stripMargin
+    val rounds = (1 to qcRounds).map(round).mkString(",\n")
+    s"""WITH feats AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    1.0 AS x0,
+       |    ln(1.0 + n_tok) AS x1,
+       |    stop_cnt / n_tok AS x2,
+       |    nosp_len / n_tok / 10.0 AS x3,
+       |    CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y
+       |  FROM (
+       |    SELECT doc_id, source,
+       |      len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tok,
+       |      CAST(len(list_filter(string_split(lower(text), ' '),
+       |        x -> list_contains(['the', 'a', 'value', 'data'], x))) AS DOUBLE) AS stop_cnt,
+       |      CAST(length(replace(text, ' ', '')) AS DOUBLE) AS nosp_len
+       |    FROM documents)
+       |  WHERE n_tok > 0),
+       |w0 AS (SELECT 0.0 AS a0, 0.0 AS a1, 0.0 AS a2, 0.0 AS a3),
+       |$rounds,
+       |scored AS (
+       |  SELECT f.y, 1.0 / (1.0 + exp(-$z)) AS p
+       |  FROM feats f CROSS JOIN w$qcRounds w),
+       |clamped AS (
+       |  SELECT y, p, GREATEST(1e-12, LEAST(1.0 - 1e-12, p)) AS pc FROM scored)
+       |SELECT COUNT(*) AS n_docs,
+       |  ROUND(AVG(-(y * ln(pc) + (1.0 - y) * ln(1.0 - pc))), 4) + 0.0 AS log_loss,
+       |  ROUND(AVG(CASE WHEN (p >= 0.5) = (y >= 0.5) THEN 1.0 ELSE 0.0 END), 4) + 0.0 AS train_acc,
+       |  ROUND(AVG(y), 4) + 0.0 AS pos_rate,
+       |  (SELECT ROUND(a0, 4) + 0.0 FROM w$qcRounds) AS w0,
+       |  (SELECT ROUND(a1, 4) + 0.0 FROM w$qcRounds) AS w1,
+       |  (SELECT ROUND(a2, 4) + 0.0 FROM w$qcRounds) AS w2,
+       |  (SELECT ROUND(a3, 4) + 0.0 FROM w$qcRounds) AS w3
+       |FROM clamped""".stripMargin
   }
 
   /** Canonical text normalization — the first stage of every dedup/quality

@@ -71,20 +71,37 @@ private[graft] object Fs {
 
   /** ATOMIC single-file replace — the pointer-swap primitive behind the
     * posting store's generation pointer: write the new content to a
-    * sibling temp file, then `FileContext.rename(..., OVERWRITE)`, which
-    * is atomic on both the local filesystem and HDFS (rename is the one
-    * atomic metadata operation every Hadoop filesystem contract
-    * guarantees). A reader sees the old content or the new content,
-    * never a torn write and never an absent file.
+    * uniquely-named sibling temp file (two concurrent swappers must never
+    * stage into the same name), then rename it over the destination with
+    * the strongest replace primitive the filesystem offers. A reader sees
+    * the old content or the new content, never a torn write and never an
+    * absent file; under concurrent swaps the last rename wins.
+    *
+    *  - Local filesystem: `Files.move(ATOMIC_MOVE, REPLACE_EXISTING)` =
+    *    POSIX rename(2), an atomic replace. (Hadoop's `FileContext`
+    *    OVERWRITE on the local scheme is emulated as delete-then-rename —
+    *    a window where the pointer is absent — so it is NOT used here.)
+    *  - HDFS and other remote schemes: `FileContext.rename(...,
+    *    OVERWRITE)`, a single atomic namenode operation.
     */
   def writeTextAtomic(p: String, content: String): Unit = {
     val (fs, path) = resolve(p)
-    val tmp = new Path(p + ".tmp")
+    val tmp = new Path(p + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
     val out = fs.create(tmp, true)
     out.write(content.getBytes("UTF-8"))
     out.close()
-    FileContext.getFileContext(path.toUri, conf)
-      .rename(tmp, path, Options.Rename.OVERWRITE)
+    fs match {
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+           _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp.toUri.getPath),
+          java.nio.file.Paths.get(path.toUri.getPath),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+      case _ =>
+        FileContext.getFileContext(path.toUri, conf)
+          .rename(tmp, path, Options.Rename.OVERWRITE)
+    }
   }
 
   def readText(p: String): String = {

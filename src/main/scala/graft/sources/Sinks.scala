@@ -262,10 +262,164 @@ object Sinks {
   private def postingToks: org.apache.spark.sql.Column =
     filter(split(lower(col("text")), " "), t => t =!= "")
 
+  // ---------------------------------------------------------------------
+  // Posting store — MVCC generation layout.
+  //
+  //   $path/BASE                   pointer file: "<current-gen> <prev-gen>"
+  //   $path/<gen>/postings/        tok_bucket-partitioned, IMMUTABLE
+  //   $path/<gen>/docstats/        per-doc side table, IMMUTABLE
+  //   $path/<gen>/meta/            1 row (n_docs, sum_dl, avgdl, buckets,
+  //                                folded_through), IMMUTABLE
+  //   $path/seg/b=<id>/…           streaming segments (+ segmeta, _COMMIT)
+  //
+  // NOTHING in the store is ever rewritten in place: builds and
+  // compactions write a COMPLETE new generation beside the live one and
+  // then swap the BASE pointer with one atomic rename ([[Fs
+  // .writeTextAtomic]]); segments are immutable once their _COMMIT
+  // marker exists, and the meta a probe needs is either the generation's
+  // (immutable) or derived from per-segment segmeta rows (immutable).
+  // Consequences, each spec-pinned:
+  //  - READ ISOLATION: a probe racing a refresh / compaction / rebuild
+  //    sees the pre-state or the post-state, never a torn union
+  //    (StorageLayoutSpec's race test). The retired generation and its
+  //    folded segments survive until the NEXT maintenance op's GC — the
+  //    same retire-one-version grace as Streaming.upsertBatch.
+  //  - CRASH SAFETY WITHOUT DATA LOSS: a crash at any point leaves the
+  //    old pointer target intact, so the store never passes through a
+  //    marker-less state and a compaction crash can no longer degrade to
+  //    a corpus-only rebuild that would drop streaming-only documents.
+  //  - CROSS-PROCESS BUILD RACE: generation directories carry a unique
+  //    suffix, so two writers that both pass the missing-marker check
+  //    build side by side and the LAST pointer swap wins — both
+  //    outcomes are complete stores (spec-pinned last-writer-wins).
+  //
+  // `folded_through` is the watermark of segment ids folded into a
+  // generation: readers union the generation with committed segments
+  // STRICTLY ABOVE it, so a compaction's segment deletions are pure GC —
+  // visibility flipped with the pointer, not with the deletes.
+  // ---------------------------------------------------------------------
+
+  /** (current, previous) generation names from the BASE pointer file. */
+  private def readBasePointer(path: String): (Option[String], Option[String]) =
+    Fs.readTextIfExists(s"$path/BASE") match {
+      case None => (None, None)
+      case Some(txt) =>
+        val parts = txt.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+        (parts.headOption, parts.drop(1).headOption)
+    }
+
+  /** Atomically point BASE at `gen`, recording the outgoing generation as
+    * `prev` (the GC grace set).
+    */
+  private def swapBase(path: String, gen: String): Unit = {
+    val (cur, _) = readBasePointer(path)
+    Fs.writeTextAtomic(s"$path/BASE", (Seq(gen) ++ cur.toSeq).mkString(" "))
+  }
+
+  /** A fresh generation directory name: monotonic number (for humans and
+    * ordering) + a unique suffix (so two racing writers can never build
+    * into the same directory — last pointer swap wins).
+    */
+  private def newGenName(path: String): String = {
+    val next = Fs.listSubdirs(path).map(_._1)
+      .filter(_.startsWith("gen-"))
+      .flatMap(_.split('-').lift(1)).flatMap(_.toLongOption)
+      .maxOption.getOrElse(-1L) + 1
+    s"gen-$next-${java.util.UUID.randomUUID().toString.take(8)}"
+  }
+
+  /** One consistent read-side snapshot of a posting store: the current
+    * generation (if any), its stats, and the committed segments still
+    * VISIBLE over it (id > folded_through). Every probe resolves exactly
+    * one snapshot and plans against its immutable directories.
+    */
+  private case class PostingsView(genDir: Option[String], buckets: Int,
+                                  nDocs: Long, sumDl: Long,
+                                  foldedThrough: Long,
+                                  segs: Seq[(Long, String)]) {
+    def postingRoots: Seq[String] =
+      genDir.map(g => s"$g/postings").toSeq ++ segs.map(s => s"${s._2}/postings")
+    def docstatRoots: Seq[String] =
+      genDir.map(g => s"$g/docstats").toSeq ++ segs.map(s => s"${s._2}/docstats")
+  }
+
+  private def postingsView(spark: org.apache.spark.sql.SparkSession,
+                           path: String, defaultBuckets: Int = 64): PostingsView = {
+    val (cur, _) = readBasePointer(path)
+    val genDir = cur.map(g => s"$path/$g")
+    val genMeta = genDir.map { g =>
+      val r = spark.read.parquet(s"$g/meta")
+        .select("n_docs", "sum_dl", "buckets", "folded_through").head()
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))
+    }
+    val folded = genMeta.map(_._4).getOrElse(-1L)
+    val segs = committedSegments(path).filter(_._1 > folded)
+    val segStats = segs.map { case (_, dir) =>
+      val r = spark.read.parquet(s"$dir/segmeta")
+        .select("n_docs", "sum_dl", "buckets").head()
+      (r.getLong(0), r.getLong(1), r.getInt(2))
+    }
+    val buckets = genMeta.map(_._3)
+      .orElse(segStats.headOption.map(_._3)).getOrElse(defaultBuckets)
+    PostingsView(genDir, buckets,
+      genMeta.map(_._1).getOrElse(0L) + segStats.map(_._1).sum,
+      genMeta.map(_._2).getOrElse(0L) + segStats.map(_._2).sum,
+      folded, segs)
+  }
+
+  /** Retire what no snapshot can still reference: generations other than
+    * the pointer's (current, previous) pair, and segments folded into
+    * EVERY retained generation. Runs at the START of each maintenance op,
+    * so anything retired by the previous op has outlived one full
+    * maintenance cycle — the read-side grace period.
+    */
+  private def gcPostings(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Unit = {
+    val (cur, prev) = readBasePointer(path)
+    val keep = (cur.toSeq ++ prev.toSeq).toSet
+    if (keep.isEmpty) return // nothing ever committed — nothing retired
+    Fs.listSubdirs(path)
+      .filter { case (name, _) => name.startsWith("gen-") && !keep(name) }
+      .foreach { case (_, dir) => Fs.delete(dir) }
+    val folds = keep.toSeq
+      .filter(g => Fs.exists(s"$path/$g/meta")) // tolerate a torn manual delete
+      .map { g =>
+        spark.read.parquet(s"$path/$g/meta")
+          .select("folded_through").head().getLong(0)
+      }
+    if (folds.isEmpty) return
+    val minFolded = folds.min
+    committedSegments(path).filter(_._1 <= minFolded)
+      .foreach { case (_, dir) => Fs.delete(dir) }
+  }
+
+  /** Generation meta writer: exact long (n_docs, sum_dl) from the
+    * just-written docstats (never a third corpus pass), avgdl derived as
+    * one double division so a batch-built and a stream-accumulated store
+    * compute bit-identical normalizers, the bucket modulus (part of the
+    * store, not a caller convention — a prober hashing into a different
+    * modulus would prune to the wrong directories and silently miss),
+    * and the folded-segment watermark.
+    */
+  private def writeGenMeta(spark: org.apache.spark.sql.SparkSession,
+                           genDir: String, buckets: Int,
+                           foldedThrough: Long): Unit =
+    writeSized(spark.read.parquet(s"$genDir/docstats")
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      .withColumn("avgdl", col("sum_dl") / col("n_docs"))
+      .withColumn("buckets", lit(buckets))
+      .withColumn("folded_through", lit(foldedThrough)),
+      s"$genDir/meta", 1)
+
   def writePostings(docs: DataFrame, path: String, buckets: Int = 64): Unit = {
-    // a (re)build folds the whole corpus — clear any standing streaming
-    // segments first, or their rows would double-count against the new base
-    Fs.delete(s"$path/seg")
+    val spark = docs.sparkSession
+    gcPostings(spark, path)
+    // a (re)build folds the whole corpus, so any standing streaming
+    // segments are superseded: the new generation's watermark hides them
+    // (their docs must be part of `docs` — the rebuild contract), and the
+    // next maintenance op's GC removes the directories
+    val folded = committedSegments(path).map(_._1).maxOption.getOrElse(-1L)
+    val gen = s"$path/${newGenName(path)}"
     val toks = postingToks
     docs
       .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
@@ -274,66 +428,53 @@ object Sinks {
       .write.mode("overwrite")
       .option("compression", "zstd")
       .partitionBy("tok_bucket")
-      .parquet(s"$path/postings")
+      .parquet(s"$gen/postings")
     // per-doc side table: the BM25 length normalizer PLUS the doc-level
     // facet dimensions (lang, source) — built in the same corpus pass
     // family at index time, so ranked queries AND facet rollups never
     // touch text: hits join this metadata-per-doc table, not the corpus
     writeSized(docs.select(col("doc_id"), size(toks).cast("long").as("dl"),
       col("lang"), col("source")),
-      s"$path/docstats", 8)
-    // the bucket count is part of the store, not a caller convention: a
-    // prober hashing into a DIFFERENT modulus than the writer would prune
-    // to the wrong directories and silently return misses. The corpus
-    // stats (N, avgdl) ride along so ranking needs no corpus pass either —
-    // aggregated from the JUST-WRITTEN docstats parquet, not re-derived
-    // from the corpus (that would be a third full tokenize pass).
-    // meta is written LAST: its _SUCCESS is the store's completion marker.
-    writeSized(docs.sparkSession.read.parquet(s"$path/docstats")
-      .agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
-      .withColumn("buckets", lit(buckets)),
-      s"$path/meta", 1)
+      s"$gen/docstats", 8)
+    writeGenMeta(spark, gen, buckets, folded)
+    // the build becomes visible HERE — one atomic pointer swap
+    swapBase(path, gen.split('/').last)
+  }
+
+  /** One-row (n_docs, avgdl, buckets) corpus stats of a posting store —
+    * the BM25 normalizers, combined from the generation meta and the
+    * visible segments' segmeta rows (all immutable, all metadata-sized).
+    * This is the relation behind the SQL surface's `graft_search_meta`
+    * view and [[probePostingsBm25]]'s normalizers.
+    */
+  private[graft] def storeMeta(spark: org.apache.spark.sql.SparkSession,
+                               path: String): DataFrame = {
+    val v = postingsView(spark, path)
+    require(v.nDocs > 0, s"posting store at $path is empty")
+    import spark.implicits._
+    Seq((v.nDocs, v.sumDl.toDouble / v.nDocs, v.buckets))
+      .toDF("n_docs", "avgdl", "buckets")
   }
 
   /** Incremental refresh of a [[writePostings]] store for an APPEND batch
-    * of NEW documents: postings are additive in doc_id, so the batch's
-    * posting rows and docstats rows APPEND into the standing layout (the
-    * bucket modulus comes from the store's own meta, so refreshed rows
-    * hash into exactly the directories the prober prunes to), and only
-    * the metadata-sized (n_docs, avgdl) stats are recomputed — rewritten
-    * LAST, preserving the completion-marker contract. Refresh cost tracks
-    * the batch: the standing postings are never read or rewritten.
-    * StorageLayoutSpec proves refresh ≡ full rebuild for the conjunctive,
-    * ranked, and phrase probes. Exactly-once is the CALLER's obligation
-    * (a re-delivered batch appends duplicate posting rows); batches must
-    * also hold NEW doc_ids — both are the standard index-maintenance
-    * contract, and the replay-safe ingest shape is an MVCC foreachBatch
-    * sink (see [[graft.streaming.Streaming.startKeyedUpsertSink]]).
+    * of NEW documents: postings are additive in doc_id, so the batch
+    * lands as one immutable committed SEGMENT (the next free segment id)
+    * via [[ingestPostingsSegment]] — the standing generation is never
+    * read or rewritten and refresh cost tracks the batch. The segment
+    * becomes visible with its `_COMMIT` marker, one atomic create, so a
+    * probe racing the refresh answers from the pre- or post-state, never
+    * a torn append (StorageLayoutSpec's race test). StorageLayoutSpec
+    * also proves refresh ≡ full rebuild for the conjunctive, ranked, and
+    * phrase probes. Exactly-once is the CALLER's obligation (a
+    * re-delivered batch lands a second segment with duplicate rows);
+    * batches must also hold NEW doc_ids — both are the standard
+    * index-maintenance contract, and the replay-safe ingest shape is the
+    * batchId-keyed [[graft.streaming.Streaming.startPostingsSink]].
     */
   def refreshPostings(spark: org.apache.spark.sql.SparkSession, path: String,
-                      newDocs: DataFrame): Unit = {
-    val buckets = spark.read.parquet(s"$path/meta")
-      .select("buckets").head.getInt(0)
-    val toks = postingToks
-    newDocs
-      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
-      .withColumn("tok_bucket", pmod(hash(col("tok")), lit(buckets)))
-      .repartition(col("tok_bucket"))
-      .write.mode("append")
-      .option("compression", "zstd")
-      .partitionBy("tok_bucket")
-      .parquet(s"$path/postings")
-    newDocs.select(col("doc_id"), size(toks).cast("long").as("dl"),
-        col("lang"), col("source"))
-      .repartition(1)
-      .write.mode("append")
-      .option("compression", "zstd")
-      .parquet(s"$path/docstats")
-    writeSized(storeDocstats(spark, path) // segment-aware: N/avgdl count streamed docs too
-      .agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
-      .withColumn("buckets", lit(buckets)),
-      s"$path/meta", 1)
-  }
+                      newDocs: DataFrame): Unit =
+    ingestPostingsSegment(spark, path, newDocs,
+      committedSegments(path).map(_._1).maxOption.getOrElse(-1L) + 1)
 
   /** Conjunctive-AND probe of a [[writePostings]] store: reads the bucket
     * modulus from the store's own meta (never a caller-supplied count —
@@ -398,7 +539,7 @@ object Sinks {
                         k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import spark.implicits._
     val normTerms = normalizeTerms(terms)
-    val (nDocs, avgdl) = spark.read.parquet(s"$path/meta")
+    val (nDocs, avgdl) = storeMeta(spark, path)
       .select("n_docs", "avgdl").as[(Long, Double)].head()
     val tf = prunedPostings(spark, path, normTerms)
       .groupBy("doc_id", "tok")
@@ -450,14 +591,11 @@ object Sinks {
   private def prunedPostings(spark: org.apache.spark.sql.SparkSession,
                              path: String, normTerms: Seq[String]): DataFrame = {
     import spark.implicits._
-    val buckets = spark.read.parquet(s"$path/meta").select("buckets")
-      .as[Int].head()
+    val v = postingsView(spark, path) // ONE snapshot for modulus and roots
     val bucketIds = normTerms.toDF("t")
-      .select(pmod(hash(col("t")), lit(buckets)).as("b"))
+      .select(pmod(hash(col("t")), lit(v.buckets)).as("b"))
       .as[Int].collect().toSeq.distinct
-    val roots =
-      (if (Fs.exists(s"$path/postings")) Seq(s"$path/postings") else Nil) ++
-        committedSegments(path).map(s => s"$s/postings")
+    val roots = v.postingRoots
     require(roots.nonEmpty, s"posting store at $path has no postings")
     roots.map(spark.read.parquet(_)
         .filter(col("tok_bucket").isin(bucketIds: _*)) // partition pruning
@@ -467,35 +605,33 @@ object Sinks {
 
   /** Streaming-ingest step for a [[writePostings]] store: the batch lands
     * as an IMMUTABLE PER-BATCH SEGMENT under `$path/seg/b=<batchId>/`
-    * (postings partitioned by the store's own tok_bucket modulus + a
-    * docstats side table), with a `_COMMIT` marker written LAST — the
-    * Lucene/LSM segment discipline. Probes union the base store with every
-    * COMMITTED segment, so a half-written segment is invisible.
+    * (postings partitioned by the store's own tok_bucket modulus, a
+    * docstats side table, and a one-row segmeta carrying the segment's
+    * exact (n_docs, sum_dl) so probe-time BM25 normalizers need no
+    * store-wide rewrite), with a `_COMMIT` marker written LAST — the
+    * Lucene/LSM segment discipline. Probes union the current generation
+    * with every COMMITTED segment above its fold watermark, so a
+    * half-written segment is invisible and NOTHING is rewritten in place.
     *
-    * Idempotent under at-least-once replay BY CONSTRUCTION: a re-delivered
-    * batch overwrites its own `b=<batchId>` directory with identical rows
-    * — unlike [[refreshPostings]]'s in-place append, which is why that
-    * entry point demands caller-owned exactly-once while this one is the
-    * streaming-safe shape ([[graft.streaming.Streaming.startPostingsSink]]
-    * drives it from foreachBatch). The store meta (N, avgdl — BM25's
-    * normalizers) is recomputed over base + committed segments after the
-    * commit marker; a crash between marker and meta rewrite is repaired by
-    * the replay. A stream-only store (no [[writePostings]] base) works:
-    * the first segment creates the meta with `buckets`.
+    * Idempotent under at-least-once replay BY CONSTRUCTION: a
+    * re-delivered batch rewrites its own `b=<batchId>` directory with
+    * identical rows (its marker is dropped first, so probes racing the
+    * replay see the store without the segment — the pre-batch state —
+    * never a half-rewritten one). A stream-only store (no
+    * [[writePostings]] base) works: probes resolve the modulus and stats
+    * from the segments alone.
     *
     * At 100 TB: segment count grows with batches — the standing answer is
-    * periodic [[compactPostings]] (folds segments back into the base
-    * layout, exactly the term dict's delta contract); probe cost meanwhile
-    * grows only by the segments' pruned-bucket rows.
+    * [[compactPostings]], wired as an automatic every-N-segments fold in
+    * [[graft.streaming.Streaming.startPostingsSink]]; probe cost
+    * meanwhile grows only by the segments' pruned-bucket rows.
     */
   def ingestPostingsSegment(spark: org.apache.spark.sql.SparkSession, path: String,
                             newDocs: DataFrame, batchId: Long,
                             buckets: Int = 64): Unit = {
-    val bucketsEff =
-      if (Fs.exists(s"$path/meta/_SUCCESS"))
-        spark.read.parquet(s"$path/meta").select("buckets").head.getInt(0)
-      else buckets
+    val bucketsEff = postingsView(spark, path, buckets).buckets
     val seg = s"$path/seg/b=$batchId"
+    Fs.delete(s"$seg/_COMMIT") // replay: hide the segment while rewriting
     val toks = postingToks
     newDocs
       .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
@@ -511,104 +647,109 @@ object Sinks {
       .write.mode("overwrite")
       .option("compression", "zstd")
       .parquet(s"$seg/docstats")
+    writeSized(spark.read.parquet(s"$seg/docstats")
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      .withColumn("buckets", lit(bucketsEff)),
+      s"$seg/segmeta", 1)
     // the segment becomes visible to probes HERE — everything above is
     // invisible scratch until this marker exists
     Fs.touch(s"$seg/_COMMIT")
-    writeSized(storeDocstats(spark, path)
-      .agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
-      .withColumn("buckets", lit(bucketsEff)),
-      s"$path/meta", 1)
   }
 
-  /** Segment COMPACTION of a [[writePostings]] store: folds every
-    * committed streaming segment ([[ingestPostingsSegment]]) back into the
-    * base layout and removes them — the scheduled maintenance the segment
-    * contract defers to (probe cost grows with segment count; compaction
-    * bounds the fan-in, the Lucene/LSM merge step). The merged postings +
-    * docstats are STAGED to sibling directories first, so the expensive
-    * pass never holds the store inconsistent; the swap then runs under the
-    * store's completion-marker contract: `meta/_SUCCESS` is deleted before
-    * the first destructive step and meta is rewritten LAST, so a crash at
-    * ANY point mid-swap leaves a marker-less store that
-    * [[graft.sources.Stores]] rebuilds from the corpus instead of a
-    * half-swapped layout that would double-count (segments folded in but
-    * still visible) or under-count (segments dropped before the fold
-    * landed). StorageLayoutSpec proves probe invariance: conjunctive /
-    * BM25 / phrase answers are identical before and after, segments gone,
-    * and equal to a batch-built store over the union corpus.
+  /** Segment COMPACTION of a [[writePostings]] store: folds every visible
+    * committed segment ([[ingestPostingsSegment]]) into a NEW generation
+    * — the scheduled maintenance the segment contract defers to (probe
+    * cost grows with segment count; compaction bounds the fan-in, the
+    * Lucene/LSM merge step). The merged postings + docstats + meta are
+    * written COMPLETE beside the live generation, then one atomic BASE
+    * pointer swap makes them current; the folded segments stay on disk —
+    * invisible to new readers via the generation's `folded_through`
+    * watermark, still there for in-flight readers of the old generation —
+    * until the next maintenance op's GC retires them along with the
+    * retired generation.
+    *
+    * A crash at ANY point therefore leaves the OLD pointer target fully
+    * live: no marker-less window, no corpus-only rebuild, and — unlike a
+    * delete-then-rename swap — no window where streaming-only documents
+    * exist nowhere but a deleted segment. StorageLayoutSpec proves probe
+    * invariance (conjunctive / BM25 / phrase identical before and after,
+    * equal to a batch-built store over the union corpus) and the race
+    * test proves reader isolation through a live compaction.
     *
     * At 100 TB: compaction rewrites the base — that is its definition, as
-    * with any LSM merge — so it is scheduled (e.g. when segment count
-    * crosses a probe-latency budget), not per-batch; the rewrite is one
-    * shuffle-free pass per tok_bucket partition.
+    * with any LSM merge — so it runs when segment count crosses a budget
+    * ([[graft.streaming.Streaming.startPostingsSink]]'s every-N trigger),
+    * not per batch; the rewrite is one shuffle-free pass per tok_bucket
+    * partition.
     */
   def compactPostings(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    if (committedSegments(path).isEmpty) return // nothing to fold
-    val buckets = spark.read.parquet(s"$path/meta")
-      .select("buckets").head.getInt(0)
-    // stage the merged layout beside the live one (probes never see these)
-    storePostings(spark, path)
+    gcPostings(spark, path)
+    val v = postingsView(spark, path)
+    if (v.segs.isEmpty) return // nothing to fold
+    val gen = s"$path/${newGenName(path)}"
+    // write the merged layout as a complete sibling generation (probes
+    // never see it until the pointer swap)
+    v.postingRoots.map(spark.read.parquet(_)).reduce(_ unionByName _)
       .repartition(col("tok_bucket"))
       .write.mode("overwrite")
       .option("compression", "zstd")
       .partitionBy("tok_bucket")
-      .parquet(s"$path/postings_staged")
-    storeDocstats(spark, path)
-      .repartition(1)
+      .parquet(s"$gen/postings")
+    v.docstatRoots.map(spark.read.parquet(_)).reduce(_ unionByName _)
+      .repartition(8)
       .write.mode("overwrite")
       .option("compression", "zstd")
-      .parquet(s"$path/docstats_staged")
-    // marker OFF → any crash below leaves a store Stores rebuilds, never trusts
-    Fs.delete(s"$path/meta/_SUCCESS")
-    Fs.delete(s"$path/postings")
-    Fs.delete(s"$path/docstats")
-    Fs.renameDir(s"$path/postings_staged", s"$path/postings")
-    Fs.renameDir(s"$path/docstats_staged", s"$path/docstats")
-    Fs.delete(s"$path/seg")
-    // meta LAST: restores the completion marker over the compacted layout
-    writeSized(spark.read.parquet(s"$path/docstats")
-      .agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
-      .withColumn("buckets", lit(buckets)),
-      s"$path/meta", 1)
+      .parquet(s"$gen/docstats")
+    writeGenMeta(spark, gen, v.buckets, v.segs.map(_._1).max)
+    swapBase(path, gen.split('/').last)
   }
 
-  /** Committed streaming segments of a posting store (dirs with _COMMIT). */
-  private def committedSegments(path: String): Seq[String] =
+  /** Committed streaming segments of a posting store, (id, dir) in id
+    * order (numeric — `b=10` sorts after `b=2`).
+    */
+  private def committedSegments(path: String): Seq[(Long, String)] =
     Fs.listSubdirs(s"$path/seg")
       .filter { case (name, dir) =>
         name.startsWith("b=") && Fs.exists(s"$dir/_COMMIT")
       }
-      .map(_._2).sorted
+      .map { case (name, dir) => (name.stripPrefix("b=").toLong, dir) }
+      .sortBy(_._1)
 
-  /** The store's full postings relation: base partitions (absent in a
-    * stream-only store) unioned with every committed segment's — the
-    * UNPRUNED view behind the SQL surface's `graft_postings`
-    * ([[graft.GraftSession.openStores]]). Unlike [[prunedPostings]] no
-    * term filter is applied here; a SQL user prunes with the partition
-    * column (`tok_bucket IN (pmod(hash('<term>'), <buckets>))`, modulus
-    * from the store meta) and the filter distributes over the union, so
-    * each side's scan keeps directory pruning.
+  /** The store's full postings relation: the current generation's
+    * partitions (absent in a stream-only store) unioned with every
+    * visible committed segment's — the UNPRUNED view behind the SQL
+    * surface's `graft_postings` ([[graft.GraftSession.openStores]]).
+    * Unlike [[prunedPostings]] no term filter is applied here; a SQL user
+    * prunes with the partition column (`tok_bucket IN (pmod(hash('<term>'),
+    * <buckets>))`, modulus from `graft_search_meta`) and the filter
+    * distributes over the union, so each side's scan keeps directory
+    * pruning.
     */
   private[graft] def storePostings(spark: org.apache.spark.sql.SparkSession,
                                    path: String): DataFrame = {
-    val roots =
-      (if (Fs.exists(s"$path/postings")) Seq(s"$path/postings") else Nil) ++
-        committedSegments(path).map(s => s"$s/postings")
+    val roots = postingsView(spark, path).postingRoots
     require(roots.nonEmpty, s"posting store at $path has no postings")
     roots.map(spark.read.parquet(_)).reduce(_ unionByName _)
   }
 
-  /** The store's full docstats view: base side table (absent in a
-    * stream-only store) unioned with every committed segment's.
+  /** The store's full docstats view: the current generation's side table
+    * (absent in a stream-only store) unioned with every visible committed
+    * segment's.
     */
   private[graft] def storeDocstats(spark: org.apache.spark.sql.SparkSession,
                                    path: String): DataFrame = {
-    val parts =
-      (if (Fs.exists(s"$path/docstats")) Seq(s"$path/docstats") else Nil) ++
-        committedSegments(path).map(s => s"$s/docstats")
+    val parts = postingsView(spark, path).docstatRoots
     require(parts.nonEmpty, s"posting store at $path has no docstats")
     parts.map(spark.read.parquet(_)).reduce(_ unionByName _)
   }
+
+  /** Count of committed segments still visible over the current
+    * generation — the auto-compaction trigger input
+    * ([[graft.streaming.Streaming.startPostingsSink]]).
+    */
+  private[graft] def visibleSegmentCount(
+      spark: org.apache.spark.sql.SparkSession, path: String): Int =
+    postingsView(spark, path).segs.size
 
   /** Token-SORTED term dictionary + string zone map — the layout a PREFIX
     * query (search-box autocomplete, `tok LIKE 'spar%'`) needs and the

@@ -33,7 +33,12 @@ object Stores {
   //     codebook/code bytes for the same corpus — the version bump forces
   //     any pre-change standing pq_index (and every other store, cheaply)
   //     to rebuild instead of silently serving the old-algorithm index.
-  private val VERSION = "v4"
+  // v5: the posting store moved to the MVCC generation layout (BASE
+  //     pointer + immutable gen-* directories + per-segment segmeta); a
+  //     v4 store's flat postings/docstats/meta would be invisible to the
+  //     v5 readers, so the bump forces a rebuild rather than an empty
+  //     probe.
+  private val VERSION = "v5"
   private val memo = scala.collection.concurrent.TrieMap.empty[String, String]
   private val buildLock = new Object
 
@@ -69,8 +74,9 @@ object Stores {
     */
   def postingStore(spark: SparkSession, dataDir: String): String = {
     val path = storeRoot(dataDir, "documents.parquet", "postings_store")
-    // meta is written after postings + docstats → valid completion marker
-    buildOnce(path, s"$path/meta/_SUCCESS") {
+    // the BASE pointer is swapped in only after a complete generation is
+    // written → valid completion marker
+    buildOnce(path, s"$path/BASE") {
       Sinks.writePostings(graft.engine.Tables.documents(spark, dataDir), path)
     }
   }

@@ -757,14 +757,27 @@ object Streaming {
     * to a batch-built [[graft.sources.Sinks.writePostings]] store over the
     * same docs, and that a crash re-delivery changes nothing.
     */
+  /** `compactEvery` closes the LSM loop WITHOUT an operator in it: once
+    * the visible segment count reaches the threshold, the batch that
+    * crossed it runs [[graft.sources.Sinks.compactPostings]] inline —
+    * safe mid-stream because compaction is an atomic generation-pointer
+    * swap (concurrent probes stay isolated; a crash leaves the old
+    * generation live; a replayed batch re-triggering compaction folds a
+    * now-empty visible set and no-ops). Probe cost is thereby bounded at
+    * O(compactEvery) segments no matter how long the stream lives.
+    */
   def startPostingsSink(docs: DataFrame, path: String,
                         checkpoint: String,
-                        buckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
+                        buckets: Int = 64,
+                        compactEvery: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
         graft.sources.Sinks.ingestPostingsSegment(
-          batch.sparkSession, path, batch, batchId, buckets)
+          spark, path, batch, batchId, buckets)
+        if (graft.sources.Sinks.visibleSegmentCount(spark, path) >= compactEvery)
+          graft.sources.Sinks.compactPostings(spark, path)
       }
       .start()
 

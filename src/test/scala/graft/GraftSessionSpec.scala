@@ -36,7 +36,7 @@ class GraftSessionSpec extends SparkSpecBase {
     val opened = postingScan.relation.location
       .listFiles(postingScan.partitionFilters, Nil).map(_.files.size).sum
     val store = sources.Stores.postingStore(spark, sfDir)
-    val total = spark.read.parquet(s"$store/postings").inputFiles.length
+    val total = sources.Sinks.storePostings(spark, store).inputFiles.length
     assert(opened < total, s"SQL probe read $opened of $total files")
     // same answer as the programmatic store probe
     val got = df.collect().map(_.toString).toSeq
@@ -71,6 +71,28 @@ class GraftSessionSpec extends SparkSpecBase {
       .select("tok", "df").collect().map(_.toString).toSeq
     assert(viaSql === viaProbe)
     assert(viaSql.nonEmpty)
+  }
+
+  test("SQL-only ANN: ADC shortlist from the PQ index views, zero embeddings " +
+    "scans, row-identical to the programmatic shortlist") {
+    val df = engine.LlmOps.sqlAnnServed.build(spark, sfDir)
+    val roots = scanRoots(df)
+    assert(roots.nonEmpty)
+    // every file scan reads the standing PQ index — the float corpus is
+    // never touched (the query vectors ride in as an inline VALUES
+    // relation, which plans as a LocalRelation, not a scan)
+    assert(roots.forall(_.contains("/graft_stores/")), roots.mkString("; "))
+    assert(!roots.exists(_.contains("embeddings")), roots.mkString("; "))
+    val got = df.collect().map(_.toString).toSeq
+    val path = sources.Stores.pqIndex(spark, sfDir)
+    val want = engine.LlmOps.pqAdcShortlist(spark, sfDir,
+        spark.read.parquet(s"$path/codebook"),
+        spark.read.parquet(s"$path/codes"),
+        maxQ = engine.LlmOps.sqlAnnQueries)
+      .orderBy("q_id", "arn")
+      .collect().map(_.toString).toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
   }
 
   test("term-dict view relation: a freshly written delta is visible through the " +

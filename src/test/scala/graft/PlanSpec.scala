@@ -395,6 +395,9 @@ class PlanSpec extends SparkSpecBase {
                                 "discipline); codebook ≤ m·ks rows, broadcast by construction"),
     "llm_ann_ivfpq_indexed" -> ("same query path as llm_ann_ivfpq served from the persisted " +
                                 "index — 100-row ADC broadcast over the code-table scan"),
+    "llm_sql_ann_served"    -> ("the SQL face of llm_ann_ivfpq_indexed's shortlist: the 10-row " +
+                                "inline ADC-table relation broadcast over the code-table scan " +
+                                "(vec_id <> q_id theta join, same shape as its twins)"),
     "log_search_ranked"     -> ("single-row corpus-stats aggregate (N, avgdl, dfs) cross-joined " +
                                 "into the BM25 score — metadata rebase"),
     "log_trending_templates"-> ("single-row day-census aggregate cross-joined into the lift " +

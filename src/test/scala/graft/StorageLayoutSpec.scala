@@ -56,7 +56,7 @@ class StorageLayoutSpec extends SparkSpecBase {
     // fewer files listed under the pruned directories than the full store
     val numFiles = scan.relation.location
       .listFiles(scan.partitionFilters, Nil).map(_.files.size).sum
-    val totalFiles = spark.read.parquet(s"$dir/postings").inputFiles.length
+    val totalFiles = graft.sources.Sinks.storePostings(spark, dir).inputFiles.length
     assert(numFiles < totalFiles, s"probe read $numFiles of $totalFiles files")
     // the persisted-index probe answers exactly what the raw-scan
     // formulation answers
@@ -244,12 +244,15 @@ class StorageLayoutSpec extends SparkSpecBase {
     val cut = docs.selectExpr("percentile(doc_id, 0.7)").head.getDouble(0).toLong
     val incrDir = s"$tmp/postings_incr"
     graft.sources.Sinks.writePostings(docs.filter(col("doc_id") <= cut), incrDir, buckets = 16)
-    // record standing posting files: refresh must APPEND, never rewrite
-    val before = spark.read.parquet(s"$incrDir/postings").inputFiles.toSet
+    // record the standing generation's files: refresh must land the batch
+    // as a NEW segment and leave the generation byte-identical
+    def genFiles = graft.sources.Sinks.storePostings(spark, incrDir)
+      .inputFiles.filter(_.contains("/gen-")).toSet
+    val before = genFiles
     graft.sources.Sinks.refreshPostings(spark, incrDir, docs.filter(col("doc_id") > cut))
-    val after = spark.read.parquet(s"$incrDir/postings").inputFiles.toSet
-    assert(before.subsetOf(after) && after.size > before.size,
-      "refresh rewrote or dropped standing posting files")
+    val all = graft.sources.Sinks.storePostings(spark, incrDir).inputFiles.toSet
+    assert(genFiles === before, "refresh rewrote the standing generation")
+    assert(all.exists(_.contains("/seg/")), "refresh did not land a segment")
 
     val fullDir = s"$tmp/postings_full"
     graft.sources.Sinks.writePostings(docs, fullDir, buckets = 16)
@@ -265,12 +268,12 @@ class StorageLayoutSpec extends SparkSpecBase {
            rows(graft.sources.Sinks.probePostingsPhrase(spark, fullDir, "slow", "join")))
     assert(rows(graft.sources.Sinks.probePostingsTfAny(spark, incrDir, terms)) ===
            rows(graft.sources.Sinks.probePostingsTfAny(spark, fullDir, terms)))
-    // facet side table: refresh-appended docstats equals a full rebuild's
-    assert(rows(spark.read.parquet(s"$incrDir/docstats")) ===
-           rows(spark.read.parquet(s"$fullDir/docstats")))
-    // corpus stats (the BM25 normalizers) recomputed over the whole store
-    assert(rows(spark.read.parquet(s"$incrDir/meta")) ===
-           rows(spark.read.parquet(s"$fullDir/meta")))
+    // facet side table: generation + segment docstats equal a full rebuild's
+    assert(rows(graft.sources.Sinks.storeDocstats(spark, incrDir)) ===
+           rows(graft.sources.Sinks.storeDocstats(spark, fullDir)))
+    // corpus stats (the BM25 normalizers) combined over the whole store
+    assert(rows(graft.sources.Sinks.storeMeta(spark, incrDir)) ===
+           rows(graft.sources.Sinks.storeMeta(spark, fullDir)))
   }
 
   test("shingle-pair store: incremental refresh of appended docs equals a full " +
@@ -444,5 +447,123 @@ class StorageLayoutSpec extends SparkSpecBase {
         round(sum("value") / count(lit(1)), 4).as("avg_value"))
       .as[(String, Long, Double, Double)].collect().toSet
     assert(salted === direct)
+  }
+
+  test("posting store READ ISOLATION: probes racing a refresh, a compaction, and " +
+    "a rebuild each observe the pre- or post-state, never a torn union") {
+    // The MVCC contract under test: a maintenance op flips visibility with
+    // ONE atomic event (the segment _COMMIT create / the BASE pointer
+    // swap), so a concurrent reader's snapshot is always exactly one of
+    // the two adjacent states — no half-appended postings, no
+    // base-without-segments window, no double count mid-fold.
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+    val cut = docs.selectExpr("percentile(doc_id, 0.7)").head.getDouble(0).toLong
+    val dir = s"$tmp/postings_race"
+    graft.sources.Sinks.writePostings(docs.filter(col("doc_id") <= cut), dir, buckets = 16)
+    val terms = Seq("spark", "join", "window")
+    // (conjunctive doc set, BM25 ranking) — the second exercises the
+    // docstats + meta paths, where a torn state would skew normalizers
+    def answer(): (Seq[String], Seq[String]) = (
+      graft.sources.Sinks.probePostings(spark, dir, terms)
+        .collect().map(_.toString).sorted.toSeq,
+      graft.sources.Sinks.probePostingsBm25(spark, dir, terms, k = 20)
+        .collect().map(_.toString).sorted.toSeq)
+    val before = answer()
+
+    def race(op: () => Unit): Seq[(Seq[String], Seq[String])] = {
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[(Seq[String], Seq[String])]()
+      val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      @volatile var stop = false
+      val prober = new Thread(() =>
+        try while (!stop) results.add(answer())
+        catch { case t: Throwable => failed.set(t) })
+      prober.start()
+      try op() finally { stop = true; prober.join() }
+      if (failed.get() != null) throw failed.get()
+      import scala.jdk.CollectionConverters._
+      results.asScala.toSeq
+    }
+
+    // 1) REFRESH: every racing answer is the pre-state or the post-state
+    val seen1 = race(() =>
+      graft.sources.Sinks.refreshPostings(spark, dir, docs.filter(col("doc_id") > cut)))
+    val after = answer()
+    assert(after !== before, "refresh changed nothing — vacuous race")
+    // the two probes in `answer()` are separate snapshots — the commit may
+    // land between them — so each is checked against {pre, post} on its own
+    seen1.foreach { a =>
+      assert(a._1 === before._1 || a._1 === after._1,
+        s"torn conjunctive read during refresh: ${a._1.size} hits " +
+          s"(before ${before._1.size}, after ${after._1.size})")
+      assert(a._2 === before._2 || a._2 === after._2,
+        "torn BM25 read during refresh")
+    }
+    assert(seen1.nonEmpty, "prober sampled nothing — vacuous race")
+
+    // 2) COMPACTION: pre ≡ post, so every racing answer equals `after`
+    val seen2 = race(() => graft.sources.Sinks.compactPostings(spark, dir))
+    assert(answer() === after, "compaction changed the store's answers")
+    seen2.foreach(a => assert(a === after, "torn read during compaction"))
+
+    // 3) REBUILD over the full corpus: pre ≡ post again (same doc set)
+    val seen3 = race(() => graft.sources.Sinks.writePostings(docs, dir, buckets = 16))
+    assert(answer() === after, "rebuild changed the store's answers")
+    seen3.foreach(a => assert(a === after, "torn read during rebuild"))
+  }
+
+  test("shingle-pair store READ ISOLATION: probes racing an incremental refresh " +
+    "see the pre- or post-state pair set, never a partial delta") {
+    // refreshShinglePairs lands its delta as ONE file (repartition(1)),
+    // so the append's visibility is a single atomic file commit
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+    val exist = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val dir = s"$tmp/shingle_pairs_race"
+    graft.sources.Sinks.writeSized(
+      graft.engine.LlmOps.shinglePairsOfDocs(exist), dir, 2)
+    def pairs(): Set[String] =
+      spark.read.parquet(dir).collect().map(_.toString).toSet
+    val before = pairs()
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Set[String]]()
+    val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    @volatile var stop = false
+    val prober = new Thread(() =>
+      try while (!stop) results.add(pairs())
+      catch { case t: Throwable => failed.set(t) })
+    prober.start()
+    try graft.sources.Sinks.refreshShinglePairs(spark, dir, exist, batch)
+    finally { stop = true; prober.join() }
+    if (failed.get() != null) throw failed.get()
+    val after = pairs()
+    assert(before.subsetOf(after) && after.size > before.size,
+      "refresh added no pairs — vacuous race")
+    import scala.jdk.CollectionConverters._
+    results.asScala.foreach(p => assert(p === before || p === after,
+      s"torn pair read: ${p.size} pairs (before ${before.size}, after ${after.size})"))
+    assert(!results.isEmpty, "prober sampled nothing — vacuous race")
+  }
+
+  test("posting store CROSS-PROCESS BUILD RACE: two concurrent writers converge " +
+    "to one valid complete store (last pointer swap wins)") {
+    // Stores serializes builds in-process; across JVMs both writers can
+    // pass the missing-marker check. Generation directories carry a unique
+    // suffix, so the two builds never collide on disk and whichever BASE
+    // swap lands last points at a complete generation.
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+    val dir = s"$tmp/postings_build_race"
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writers = (1 to 2).map(_ => new Thread(() =>
+      try graft.sources.Sinks.writePostings(docs, dir, buckets = 16)
+      catch { case t: Throwable => errs.add(t) }))
+    writers.foreach(_.start()); writers.foreach(_.join())
+    assert(errs.isEmpty, s"racing build threw: ${errs.peek()}")
+    // the converged store answers exactly like an uncontended build
+    val ref = s"$tmp/postings_build_ref"
+    graft.sources.Sinks.writePostings(docs, ref, buckets = 16)
+    def rows(p: String) = graft.sources.Sinks
+      .probePostingsBm25(spark, p, Seq("spark", "join", "window"), k = 20)
+      .collect().map(_.toString).toSeq
+    assert(rows(dir) === rows(ref))
+    assert(rows(dir).nonEmpty)
   }
 }

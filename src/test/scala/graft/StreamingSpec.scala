@@ -561,29 +561,35 @@ class StreamingSpec extends SparkSpecBase {
       "stream-fed store diverged from the batch-built store")
     assert(streamed.head.nonEmpty, "probe returned nothing — vacuous parity")
     // meta (BM25 normalizers) identical too: N and avgdl count streamed docs
-    assert(rows(spark.read.parquet(s"$streamStore/meta")) ===
-      rows(spark.read.parquet(s"$fullStore/meta")))
+    def meta(store: String) = rows(graft.sources.Sinks.storeMeta(spark, store))
+    assert(meta(streamStore) === meta(fullStore))
 
     // crash re-delivery: re-drive the LAST batch with its batchId — the
     // segment overwrites itself, probes and meta must not move
     graft.sources.Sinks.ingestPostingsSegment(spark, streamStore, b2.toDF(), 1L)
     assert(probeAll(streamStore) === streamed,
       "replaying a delivered batch changed the store's answers")
-    assert(rows(spark.read.parquet(s"$streamStore/meta")) ===
-      rows(spark.read.parquet(s"$fullStore/meta")))
+    assert(meta(streamStore) === meta(fullStore))
 
-    // COMPACTION: fold both segments into the base layout — answers and
-    // meta must not move, the seg dir must be gone, and a second call on
-    // the segment-free store must be a no-op
+    // COMPACTION: fold both segments into a new generation — answers and
+    // meta must not move, no segment stays VISIBLE (the folded dirs
+    // survive on disk until the next maintenance op's GC — the in-flight
+    // reader grace), and a second call on the fold-free store must be a
+    // no-op
     graft.sources.Sinks.compactPostings(spark, streamStore)
-    assert(!new java.io.File(s"$streamStore/seg").exists(),
-      "segments survived compaction")
+    assert(graft.sources.Sinks.visibleSegmentCount(spark, streamStore) === 0,
+      "segments still visible after compaction")
     assert(probeAll(streamStore) === streamed,
       "compaction changed the store's answers")
-    assert(rows(spark.read.parquet(s"$streamStore/meta")) ===
-      rows(spark.read.parquet(s"$fullStore/meta")))
+    assert(meta(streamStore) === meta(fullStore))
     graft.sources.Sinks.compactPostings(spark, streamStore)
     assert(probeAll(streamStore) === streamed)
+    // a replayed batch arriving AFTER its segment was folded rewrites an
+    // id at-or-below the fold watermark: invisible to probes, pure GC food
+    graft.sources.Sinks.ingestPostingsSegment(spark, streamStore, b2.toDF(), 1L)
+    assert(graft.sources.Sinks.visibleSegmentCount(spark, streamStore) === 0)
+    assert(probeAll(streamStore) === streamed,
+      "post-compaction replay changed the store's answers")
 
     // stream-only store (no batch base): the first segment creates meta
     val onlyStore = s"$base/stream_only"
@@ -595,6 +601,51 @@ class StreamingSpec extends SparkSpecBase {
     } finally q2.stop()
     assert(probeAll(onlyStore) === probeAll(fullStore),
       "stream-only store diverged from the batch-built store")
+  }
+
+  test("postings sink AUTO-COMPACTION: a 30-batch stream keeps the visible " +
+    "segment count bounded and probes batch-equal throughout") {
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+    val docRows = docs.select("doc_id", "text", "lang", "source")
+      .as[Streaming.Doc].collect().toSeq.sortBy(_.doc_id)
+    val slices = docRows.grouped(math.max(1, docRows.size / 30)).toSeq.take(30)
+    val base = java.nio.file.Files.createTempDirectory("graft-postings-auto").toString
+    val store = s"$base/store"
+    val compactEvery = 5
+    val input = MemoryStream[Streaming.Doc](spark)
+    val q = Streaming.startPostingsSink(input.toDF(), store, s"$base/ckpt",
+      buckets = 16, compactEvery = compactEvery)
+    val counts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    try slices.foreach { s =>
+      input.addData(s); q.processAllAvailable()
+      counts += graft.sources.Sinks.visibleSegmentCount(spark, store)
+    } finally q.stop()
+    // the trigger fires on the batch that reaches the threshold, so the
+    // post-batch count never exceeds compactEvery - 1 — bounded forever,
+    // with no operator in the loop
+    assert(counts.max < compactEvery, s"segment counts: ${counts.mkString(",")}")
+    assert(counts.count(_ == 0) >= slices.size / compactEvery,
+      s"compaction never fired: ${counts.mkString(",")}")
+    // the stream-fed, repeatedly-compacted store answers exactly like one
+    // batch build over the streamed docs
+    val fullStore = s"$base/full"
+    val streamed = slices.flatten
+    graft.sources.Sinks.writePostings(streamed.toDF(), fullStore, buckets = 16)
+    val terms = Seq("spark", "join", "window")
+    def rows(df: DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    def probeAll(p: String): Seq[Seq[String]] = Seq(
+      rows(graft.sources.Sinks.probePostings(spark, p, terms)),
+      rows(graft.sources.Sinks.probePostingsBm25(spark, p, terms, k = 20)),
+      rows(graft.sources.Sinks.storeMeta(spark, p)))
+    assert(probeAll(store) === probeAll(fullStore),
+      "auto-compacted stream store diverged from the batch build")
+    // replay AFTER the final compaction: re-ingesting the last batch id is
+    // invisible (at-or-below the fold watermark) and changes no answer
+    val lastId = slices.size - 1L
+    graft.sources.Sinks.ingestPostingsSegment(spark, store,
+      slices.last.toDF(), lastId)
+    assert(probeAll(store) === probeAll(fullStore),
+      "post-compaction replay changed the store's answers")
   }
 
   test("shingle-pair sink: stream-fed pair store equals a batch-built one; " +
