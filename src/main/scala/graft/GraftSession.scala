@@ -34,11 +34,13 @@ object GraftSession {
   /** [[open]] plus the STANDING STORES as SQL-queryable views — the
     * interactive analog of a log-search engine's query API: an ad-hoc
     * `spark.sql` user answers a conjunctive search, a BM25 input scan, a
-    * range quantile, a prefix completion, or a near-dup decision from the
-    * persisted indexes, with ZERO corpus scans in the query plan
-    * (GraftSessionSpec pins both flagship plans; the registered
+    * range quantile, a prefix completion, a near-dup decision, or an ANN
+    * shortlist from the persisted indexes, with ZERO corpus scans in the
+    * query plan (GraftSessionSpec pins the flagship plans; the registered
     * `log_sql_search_served` / `log_sql_sketch_served` queries put the
-    * surface under the driver's DuckDB hash gate).
+    * surface under the driver's DuckDB hash gate, and
+    * `llm_sql_ann_served` is pinned row-identical to the programmatic
+    * ADC shortlist).
     *
     * Stores build lazily on the FIRST open per corpus fingerprint (the
     * [[graft.sources.Stores]] build-once registry); every later open —

@@ -55,6 +55,8 @@ object Plans {
     "log_search_ranked" -> "BM25 with zero token shuffles: per-term tf and dl via size(filter(ts)) inside the scan (no Generate node), corpus stats as a single-row broadcast, TakeOrderedAndProject top-20",
     "log_indexed_search_ranked" -> "ranked retrieval with ZERO corpus reads: pruned posting buckets -> tf/df, docstats join for dl, (N, avgdl) from store meta; same oracle as the raw-scan BM25",
     "llm_ann_ivfpq_indexed" -> "ANN served from the persisted index: ADC tables broadcast over the PERSISTED code-table scan; codebook read from parquet — no training stages in the plan",
+    "llm_sql_ann_served" -> "the plain-SQL ANN face: query vectors are an inline VALUES LocalRelation (the application request), ADC tables derive from the codebook view, and the only file scans are the two PQ index stores — embeddings.parquet appears nowhere (GraftSessionSpec-pinned)",
+    "text_levenshtein_pairs" -> "blocked pair scan with kernel discipline: block-cap semi-join, kernel-free id/length prunes, then the Myers bit-parallel distance (O(n·m/64) vs the banded built-in's O(n·band)) evaluated ONCE per pair behind MaterializeOnce — the optimizer would otherwise inline it into the join condition 2-3x",
     "log_outage_windows_merged" -> "two-phase interval union: day-partitioned running-max sweep at corpus scale, then a single-partition sweep over the metadata-sized per-day outage rows to glue midnight-crossing pieces",
     "log_schema_infer" -> "schema discovery in one explode+hash-agg scan onto key-cardinality rows; the corpus row total joins back as a single-row broadcast (allowlisted metadata rebase)",
     "agg_equidepth_histogram" -> "no global sort, no ntile: the quantile-cut single-row aggregate broadcasts over the bin-assignment scan; every row folds the 7 cuts map-side in an exact integer domain",

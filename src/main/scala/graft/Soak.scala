@@ -416,9 +416,12 @@ object Soak {
       val base = docs.filter(col("doc_id") % 10 =!= 0).localCheckpoint()
       val stream = docs.filter(col("doc_id") % 10 === 0)
       val batches = 12
-      // probe terms from the corpus itself (tag mode rewrites tokens, so
-      // fixed literals would probe an empty vocabulary)
-      val terms = base
+      // probe terms from ONE document of the corpus itself (tag mode
+      // rewrites tokens per replica, so fixed literals would probe an
+      // empty vocabulary — and corpus-wide top tokens would come from
+      // DIFFERENT replicas, making the conjunctive probe vacuously empty)
+      val probeDoc = base.agg(min("doc_id")).head.getLong(0)
+      val terms = base.filter(col("doc_id") === probeDoc)
         .select(explode(filter(split(lower(col("text")), " "), t => t =!= "")).as("t"))
         .groupBy("t").count().orderBy(col("count").desc, col("t")).limit(3)
         .collect().map(_.getString(0)).toSeq

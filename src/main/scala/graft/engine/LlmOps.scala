@@ -1377,8 +1377,18 @@ object LlmOps {
     // discriminating signal. The cap bounds work per bucket, so the whole
     // operator stays linear in corpus size at any scale.
     val maxBucket = 50
+    // Each 128-bit md5 digest carries FOUR independent 32-bit words, so
+    // 16 min-wise-independent slots need 4 digests per token, not 16 —
+    // the digests were the whole cost of the r9 oracle migration (1.58 s
+    // at sf0.1). NOT Kirsch–Mitzenmacher double hashing: K-M trades
+    // independence for speed, which is fine for Bloom membership but
+    // breaks MINHASH — the token minimizing h1 tends to win every
+    // h1 + j·h2 slot, collapsing the 16 estimators into ~2 and biasing
+    // est_jaccard toward 1 (measured: the 1/3-overlap spec pair estimated
+    // 0.94). Slot j reads word j%4 of digest j/4.
     val slotSql = (0 until nHash).map(j =>
-      s"    MIN(('0x' || substr(md5('$j:' || tok), 1, 8))::BIGINT) AS h$j").mkString(",\n")
+      s"    MIN(('0x' || substr(md5('${j / 4}:' || tok), ${1 + 8 * (j % 4)}, 8))::BIGINT) AS h$j")
+      .mkString(",\n")
     val bandKeySql = (0 until bands).map { b =>
       val key = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(j => s"h$j").mkString(" || ':' || ")
@@ -1423,12 +1433,19 @@ object LlmOps {
         .select(col("doc_id"),
           explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
         .filter(col("tok") =!= "")
-      // 16 independent md5-derived hash slots (the deterministic-coin
-      // idiom both engines compute identically — see agg_sample_estimate)
+      // 16 independent 32-bit hash slots from 4 md5 digests — word j%4 of
+      // digest j/4 (see the oracle-side note above on why NOT double
+      // hashing); the deterministic-coin idiom both engines compute
+      // identically, at 1/4 the digest cost. The digests land as explicit
+      // columns in their own projection: 16 per-slot md5 trees inside the
+      // aggregate would evaluate 16 digests per row (aggregate expression
+      // lists don't share subexpressions the way a Project does).
+      val digs = tok.select(col("doc_id") +: (0 until nHash / 4).map(k =>
+        md5(concat(lit(s"$k:"), col("tok"))).as(s"d$k")): _*)
       val sigCols = (0 until nHash).map(j =>
-        min(conv(substring(md5(concat(lit(s"$j:"), col("tok"))), 1, 8), 16, 10)
+        min(conv(substring(col(s"d${j / 4}"), 1 + 8 * (j % 4), 8), 16, 10)
           .cast("bigint")).as(s"h$j"))
-      val sig = tok.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      val sig = digs.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
       val banded = sig.select(
         col("doc_id"),
         array((0 until nHash).map(j => col(s"h$j")): _*).as("sig"),

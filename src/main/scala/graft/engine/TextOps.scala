@@ -671,7 +671,7 @@ object TextOps {
     val sim = lit(1.0) - col("dist_raw").cast("double") / mx.cast("double")
     cheap
       .withColumn("dist_raw", graft.functions.MaterializeOnce(
-        call_function("levenshtein", col("text_a"), col("text_b"), tSlack)))
+        graft.functions.LevenshteinMyers(col("text_a"), col("text_b"), tSlack)))
       .filter(col("dist_raw") >= 0 && sim >= levSimMin)
       .select(col("id_a"), col("id_b"),
         col("dist_raw").cast("long").as("dist"), round(sim, 4).as("sim"))

@@ -42,6 +42,16 @@ private[graft] object Fs {
     fs.exists(path)
   }
 
+  /** Canonical fully-qualified form of `p` (`/tmp/x` and `file:/tmp/x`
+    * qualify identically) — the cache-key normalizer: path strings reach
+    * the store code both raw (caller-built) and scheme-prefixed (from
+    * directory listings).
+    */
+  def qualify(p: String): String = {
+    val (fs, path) = resolve(p)
+    fs.makeQualified(path).toString
+  }
+
   /** Recursive delete; absent path is a no-op (matches the old rm). */
   def delete(p: String): Unit = {
     val (fs, path) = resolve(p)

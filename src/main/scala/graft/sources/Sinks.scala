@@ -343,21 +343,37 @@ object Sinks {
       genDir.map(g => s"$g/docstats").toSeq ++ segs.map(s => s"${s._2}/docstats")
   }
 
+  // Generation directories carry a unique name and are IMMUTABLE once the
+  // pointer lands on them, and a segment's segmeta is immutable once its
+  // _COMMIT exists — so their one-row stats are memoizable for the life of
+  // the JVM. Without this every probe pays 1 + |segments| driver-side
+  // parquet-read JOBS just to resolve (buckets, folded_through, stats);
+  // with it, a snapshot costs one pointer read + one directory listing
+  // after first touch. A replayed segment rewrite drops its marker first
+  // (ingestPostingsSegment), and replays rewrite IDENTICAL rows, so a
+  // cached segmeta can never go stale in value.
+  private val genMetaCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Long, Int, Long)]
+  private val segMetaCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Long, Int)]
+
   private def postingsView(spark: org.apache.spark.sql.SparkSession,
                            path: String, defaultBuckets: Int = 64): PostingsView = {
     val (cur, _) = readBasePointer(path)
     val genDir = cur.map(g => s"$path/$g")
-    val genMeta = genDir.map { g =>
+    val genMeta = genDir.map(g => genMetaCache.getOrElseUpdate(Fs.qualify(g), {
       val r = spark.read.parquet(s"$g/meta")
         .select("n_docs", "sum_dl", "buckets", "folded_through").head()
       (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))
-    }
+    }))
     val folded = genMeta.map(_._4).getOrElse(-1L)
     val segs = committedSegments(path).filter(_._1 > folded)
     val segStats = segs.map { case (_, dir) =>
-      val r = spark.read.parquet(s"$dir/segmeta")
-        .select("n_docs", "sum_dl", "buckets").head()
-      (r.getLong(0), r.getLong(1), r.getInt(2))
+      segMetaCache.getOrElseUpdate(Fs.qualify(dir), {
+        val r = spark.read.parquet(s"$dir/segmeta")
+          .select("n_docs", "sum_dl", "buckets").head()
+        (r.getLong(0), r.getLong(1), r.getInt(2))
+      })
     }
     val buckets = genMeta.map(_._3)
       .orElse(segStats.headOption.map(_._3)).getOrElse(defaultBuckets)
@@ -537,19 +553,24 @@ object Sinks {
   def probePostingsBm25(spark: org.apache.spark.sql.SparkSession, path: String,
                         terms: Seq[String], k: Int,
                         k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    import spark.implicits._
     val normTerms = normalizeTerms(terms)
-    val (nDocs, avgdl) = storeMeta(spark, path)
-      .select("n_docs", "avgdl").as[(Long, Double)].head()
-    val tf = prunedPostings(spark, path, normTerms)
+    // ONE snapshot: stats, postings and docstats from the same view — see
+    // prunedPostingsOf
+    val v = postingsView(spark, path)
+    require(v.nDocs > 0, s"posting store at $path is empty")
+    val nDocs = v.nDocs
+    val avgdl = v.sumDl.toDouble / v.nDocs
+    val tf = prunedPostingsOf(spark, v, normTerms)
       .groupBy("doc_id", "tok")
       .agg(count(lit(1)).as("tf"))
     val dfc = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0) +
       (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
     val lengthNorm = lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))
+    val docstats = v.docstatRoots.map(spark.read.parquet(_))
+      .reduce(_ unionByName _)
     tf.join(broadcast(dfc), "tok") // |terms| rows
-      .join(storeDocstats(spark, path), "doc_id")
+      .join(docstats, "doc_id")
       .withColumn("contrib",
         idf * (col("tf").cast("double") * (k1 + 1)) / (col("tf") + lengthNorm))
       .groupBy("doc_id")
@@ -589,14 +610,24 @@ object Sinks {
     * modulus — it is read from meta at ingest time).
     */
   private def prunedPostings(spark: org.apache.spark.sql.SparkSession,
-                             path: String, normTerms: Seq[String]): DataFrame = {
+                             path: String, normTerms: Seq[String]): DataFrame =
+    prunedPostingsOf(spark, postingsView(spark, path), normTerms)
+
+  /** [[prunedPostings]] against an ALREADY-RESOLVED snapshot — a probe
+    * that also needs the snapshot's stats or docstats must derive
+    * everything from ONE view, or a segment committing between two
+    * resolutions hands it torn normalizers (a df larger than N turns the
+    * BM25 idf negative — caught by the isolation race spec).
+    */
+  private def prunedPostingsOf(spark: org.apache.spark.sql.SparkSession,
+                               v: PostingsView,
+                               normTerms: Seq[String]): DataFrame = {
     import spark.implicits._
-    val v = postingsView(spark, path) // ONE snapshot for modulus and roots
     val bucketIds = normTerms.toDF("t")
       .select(pmod(hash(col("t")), lit(v.buckets)).as("b"))
       .as[Int].collect().toSeq.distinct
     val roots = v.postingRoots
-    require(roots.nonEmpty, s"posting store at $path has no postings")
+    require(roots.nonEmpty, s"posting store has no postings (gen=${v.genDir})")
     roots.map(spark.read.parquet(_)
         .filter(col("tok_bucket").isin(bucketIds: _*)) // partition pruning
         .filter(col("tok").isin(normTerms: _*)))
@@ -632,6 +663,10 @@ object Sinks {
     val bucketsEff = postingsView(spark, path, buckets).buckets
     val seg = s"$path/seg/b=$batchId"
     Fs.delete(s"$seg/_COMMIT") // replay: hide the segment while rewriting
+    // a segment id CAN recur with different rows (rebuild + GC resets the
+    // id space) — drop any memoized stats while the marker is down; probes
+    // skip uncommitted segments, so nothing re-caches until the re-touch
+    segMetaCache.remove(Fs.qualify(seg)): Unit
     val toks = postingToks
     newDocs
       .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))

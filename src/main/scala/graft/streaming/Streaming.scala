@@ -805,6 +805,15 @@ object Streaming {
     * [[graft.engine.LlmOps.shinglePairsOfDocs]], or via the Stores
     * registry). The df-cap stability contract is refreshShinglePairs';
     * a cap-boundary crossing is the scheduled-rebuild case there too.
+    *
+    * At 100 TB two costs govern (both measured, SCALE.md §6j): the
+    * per-batch delta join is EXISTING-corpus-linear (flat across
+    * batches — batch 0 and batch 11 cost the same), and the
+    * strictly-before reconstruction unions one doc segment per prior
+    * batch, so a very long-lived stream should periodically fold its doc
+    * segments into `baseDocs` (the corpus table the segments are a tail
+    * of) — the postings store's compaction discipline applied to the doc
+    * side; the pair rows themselves never need rewriting.
     */
   def startShinglePairsSink(docs: DataFrame, baseDocs: DataFrame,
                             pairsPath: String, docsPath: String,

@@ -487,4 +487,42 @@ class TextOpsSpec extends SparkSpecBase {
     assert(db >= nb - 2, s"B re-syncs within one chunk: $db of $nb")
     assert(got(3L)._2 === 0L)
   }
+
+  test("LevenshteinMyers equals the built-in levenshtein across block boundaries, " +
+    "unicode code points, and every threshold mode") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{call_function, col, lit}
+    // deterministic LCG pairs over a tiny alphabet (forces real match
+    // structure, not trivially-distinct strings); lengths sweep 0..200 so
+    // the 64- and 128-bit block boundaries are crossed both ways
+    var seed = 0x9E3779B97F4A7C15L
+    def nxt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      math.floorMod((seed >>> 33).toInt, bound)
+    }
+    def rs(len: Int, alpha: String): String =
+      (0 until len).map(_ => alpha(nxt(alpha.length))).mkString
+    val pairs = ((0 until 80).map(_ => (rs(nxt(201), "abcd"), rs(nxt(201), "abcd"))) ++
+      Seq(("", ""), ("", "abc"), ("abc", ""), ("same", "same"),
+        (rs(63, "ab"), rs(64, "ab")), (rs(64, "ab"), rs(65, "ab")),
+        (rs(128, "ab"), rs(129, "ab")), (rs(127, "ab"), rs(191, "ab")),
+        ("κόσμε αβγ", "κοσμε αβλ"), ("日本語のテキスト", "日本語テキスト!")))
+      .toDF("a", "b")
+    for (lim <- Seq(1, 3, 25, 1000)) {
+      val got = pairs.select(
+        graft.functions.LevenshteinMyers(col("a"), col("b"), lit(lim)))
+        .as[Int].collect().toSeq
+      val want = pairs.select(
+        call_function("levenshtein", col("a"), col("b"), lit(lim)))
+        .as[Int].collect().toSeq
+      assert(got === want, s"threshold $lim diverged")
+    }
+    val gotExact = pairs.select(
+      graft.functions.LevenshteinMyers(col("a"), col("b"), lit(-1)))
+      .as[Int].collect().toSeq
+    val wantExact = pairs.select(call_function("levenshtein", col("a"), col("b")))
+      .as[Int].collect().toSeq
+    assert(gotExact === wantExact)
+    assert(wantExact.exists(_ > 0) && wantExact.contains(0), "degenerate fixture")
+  }
 }
