@@ -297,6 +297,16 @@ object Sinks {
   // generation: readers union the generation with committed segments
   // STRICTLY ABOVE it, so a compaction's segment deletions are pure GC —
   // visibility flipped with the pointer, not with the deletes.
+  //
+  // Concurrency contract: READERS are fully concurrent with everything
+  // (that is the point of the design). MAINTENANCE ops (build, compact,
+  // and their leading GC) assume one maintainer at a time per store —
+  // in-process they are serialized by Stores' build lock and the single
+  // streaming-sink thread; the cross-process BUILD race degrades safely
+  // to last-writer-wins (unique gen dirs + atomic pointer), but two
+  // concurrent GCs could retire each other's in-progress generation, so
+  // cross-process periodic maintenance should be owned by one scheduler,
+  // as with any LSM.
   // ---------------------------------------------------------------------
 
   /** (current, previous) generation names from the BASE pointer file. */
