@@ -78,9 +78,16 @@ object GraftSession {
     // interactive session pays once. After out-of-band store maintenance
     // (a delta refresh, a compaction from another process), pass
     // `refresh = true` to re-register against the current state.
-    val key = (System.identityHashCode(spark), dir)
-    if (!refresh && openedStores.contains(key)) return spark
-    openedStores.put(key, ())
+    //
+    // Memoized in a WeakHashMap keyed by the SESSION OBJECT: identity
+    // hashes are legal to reuse after a session is GC'd (a colliding new
+    // session would silently get NO views registered), and weak keys make
+    // the entry die with the session instead of leaking forever. The key
+    // is recorded only AFTER every view registers — a registration that
+    // throws partway is retried on the next call, never memoized as done.
+    if (!refresh && openedStores.synchronized {
+          Option(openedStores.get(spark)).exists(_.contains(dir))
+        }) return spark
     open(spark, dir)
     val post = sources.Stores.postingStore(spark, dir)
     sources.Sinks.storePostings(spark, post)
@@ -107,13 +114,21 @@ object GraftSession {
       .createOrReplaceTempView("graft_pq_codebook")
     spark.read.parquet(s"$pq/codes")
       .createOrReplaceTempView("graft_pq_codes")
+    openedStores.synchronized {
+      var dirs = openedStores.get(spark)
+      if (dirs == null) {
+        dirs = scala.collection.mutable.Set.empty[String]
+        openedStores.put(spark, dirs)
+      }
+      dirs.add(dir): Unit
+    }
     spark
   }
 
-  /** (session identity, corpus dir) pairs whose store views are already
-    * registered — see the note at the top of [[openStores]]. Keyed by
-    * identity hash so no session object is retained.
+  /** session → corpus dirs whose store views are already registered — see
+    * the note at the top of [[openStores]]. Weak keys: an entry dies with
+    * its session, and a fresh session can never collide with a dead one.
     */
   private val openedStores =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), Unit]
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Set[String]]()
 }

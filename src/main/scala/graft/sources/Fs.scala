@@ -97,21 +97,30 @@ private[graft] object Fs {
   def writeTextAtomic(p: String, content: String): Unit = {
     val (fs, path) = resolve(p)
     val tmp = new Path(p + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
-    val out = fs.create(tmp, true)
+    // On the local scheme, create the temp through the RAW (checksum-free)
+    // layer: the checksummed LocalFileSystem writes a `.tmp-….crc` sidecar
+    // that the data-file-only move below would orphan — one stray file per
+    // pointer swap, unbounded under an auto-compacting stream.
+    val out = fs match {
+      case l: org.apache.hadoop.fs.LocalFileSystem => l.getRawFileSystem.create(tmp, true)
+      case other => other.create(tmp, true)
+    }
     out.write(content.getBytes("UTF-8"))
     out.close()
-    fs match {
-      case _: org.apache.hadoop.fs.LocalFileSystem |
-           _: org.apache.hadoop.fs.RawLocalFileSystem =>
-        java.nio.file.Files.move(
-          java.nio.file.Paths.get(tmp.toUri.getPath),
-          java.nio.file.Paths.get(path.toUri.getPath),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
-      case _ =>
-        FileContext.getFileContext(path.toUri, conf)
-          .rename(tmp, path, Options.Rename.OVERWRITE)
-    }
+    // Branch on the filesystem's SCHEME, not its class: a test FileSystem
+    // backed by RawLocal but registered under a non-local scheme must take
+    // the remote branch — that is how FsSpec covers the FileContext path
+    // without an HDFS cluster.
+    val scheme = fs.getUri.getScheme
+    if (scheme == null || scheme == "file")
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(path.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    else
+      FileContext.getFileContext(path.toUri, conf)
+        .rename(tmp, path, Options.Rename.OVERWRITE)
   }
 
   def readText(p: String): String = {

@@ -333,10 +333,14 @@ object Sinks {
   private def newGenName(path: String): String = {
     val next = Fs.listSubdirs(path).map(_._1)
       .filter(_.startsWith("gen-"))
-      .flatMap(_.split('-').lift(1)).flatMap(_.toLongOption)
+      .flatMap(genNumber)
       .maxOption.getOrElse(-1L) + 1
     s"gen-$next-${java.util.UUID.randomUUID().toString.take(8)}"
   }
+
+  /** Monotonic sequence number of a `gen-<n>-<uuid>` directory name. */
+  private def genNumber(name: String): Option[Long] =
+    name.split('-').lift(1).flatMap(_.toLongOption)
 
   /** One consistent read-side snapshot of a posting store: the current
     * generation (if any), its stats, and the committed segments still
@@ -393,20 +397,42 @@ object Sinks {
       folded, segs)
   }
 
-  /** Retire what no snapshot can still reference: generations other than
-    * the pointer's (current, previous) pair, and segments folded into
-    * EVERY retained generation. Runs at the START of each maintenance op,
-    * so anything retired by the previous op has outlived one full
-    * maintenance cycle — the read-side grace period.
+  /** Retire what no snapshot within the retention window can still
+    * reference: retired generations beyond the `spark.graft.genRetention`
+    * most recent (default 1 — the pointer's previous generation), and
+    * segments folded into EVERY retained generation. Runs at the START of
+    * each maintenance op, so the STATED read-side guarantee is: a probe
+    * snapshot stays readable across `genRetention` subsequent maintenance
+    * cycles (refresh+compaction); one that outlives the window fails with
+    * a clean FileNotFound error on read — never a wrong answer, because
+    * generation directories are immutable and only ever deleted whole
+    * (spec-pinned both ways). Slow analytical probes racing a busy
+    * compactor at 100 TB should raise the knob to cover their worst-case
+    * read time; the cost is linear (one retired generation's files per
+    * increment). The pointer's (current, previous) pair is always kept
+    * regardless — `previous` is what an in-flight reader of the last
+    * swap holds.
     */
   private def gcPostings(spark: org.apache.spark.sql.SparkSession,
                          path: String): Unit = {
     val (cur, prev) = readBasePointer(path)
-    val keep = (cur.toSeq ++ prev.toSeq).toSet
-    if (keep.isEmpty) return // nothing ever committed — nothing retired
+    if (cur.isEmpty && prev.isEmpty) return // nothing ever committed
+    val retain = spark.conf.getOption("spark.graft.genRetention")
+      .map(_.trim.toInt).getOrElse(1).max(1)
+    val retired = Fs.listSubdirs(path).map(_._1)
+      .filter(n => n.startsWith("gen-") && !cur.contains(n))
+      .sortBy(genNumber(_).getOrElse(-1L)).reverse // newest retiree first
+    val keep = (cur.toSeq ++ prev.toSeq).toSet ++ retired.take(retain)
     Fs.listSubdirs(path)
       .filter { case (name, _) => name.startsWith("gen-") && !keep(name) }
-      .foreach { case (_, dir) => Fs.delete(dir) }
+      .foreach { case (_, dir) =>
+        // evict the retired dir's memoized stats with it — gen names are
+        // UUID-unique so a stale entry would never be re-read, but an
+        // indefinitely-compacting stream would otherwise grow the map by
+        // one dead entry per generation for the life of the JVM
+        genMetaCache.remove(Fs.qualify(dir)): Unit
+        Fs.delete(dir)
+      }
     val folds = keep.toSeq
       .filter(g => Fs.exists(s"$path/$g/meta")) // tolerate a torn manual delete
       .map { g =>
@@ -416,7 +442,10 @@ object Sinks {
     if (folds.isEmpty) return
     val minFolded = folds.min
     committedSegments(path).filter(_._1 <= minFolded)
-      .foreach { case (_, dir) => Fs.delete(dir) }
+      .foreach { case (_, dir) =>
+        segMetaCache.remove(Fs.qualify(dir)): Unit // see the gen eviction
+        Fs.delete(dir)
+      }
   }
 
   /** Generation meta writer: exact long (n_docs, sum_dl) from the
@@ -498,9 +527,19 @@ object Sinks {
     * batchId-keyed [[graft.streaming.Streaming.startPostingsSink]].
     */
   def refreshPostings(spark: org.apache.spark.sql.SparkSession, path: String,
-                      newDocs: DataFrame): Unit =
+                      newDocs: DataFrame): Unit = {
+    // The next id must clear BOTH watermarks, not just the committed
+    // segments': after a rebuild recomputes folded_through from still-on-
+    // disk superseded segments and the next compaction's leading GC
+    // deletes them (and early-returns with no new generation), max
+    // committed id sits BELOW folded_through — an id allocated from
+    // segments alone would land committed-but-INVISIBLE (visibility is
+    // id > folded_through) and the next GC would silently delete the
+    // refreshed docs.
+    val v = postingsView(spark, path)
     ingestPostingsSegment(spark, path, newDocs,
-      committedSegments(path).map(_._1).maxOption.getOrElse(-1L) + 1)
+      math.max(v.foldedThrough, v.segs.map(_._1).maxOption.getOrElse(-1L)) + 1)
+  }
 
   /** Conjunctive-AND probe of a [[writePostings]] store: reads the bucket
     * modulus from the store's own meta (never a caller-supplied count —
@@ -670,8 +709,22 @@ object Sinks {
   def ingestPostingsSegment(spark: org.apache.spark.sql.SparkSession, path: String,
                             newDocs: DataFrame, batchId: Long,
                             buckets: Int = 64): Unit = {
-    val bucketsEff = postingsView(spark, path, buckets).buckets
+    val view = postingsView(spark, path, buckets)
+    val bucketsEff = view.buckets
     val seg = s"$path/seg/b=$batchId"
+    // A batch id at or below the generation's fold watermark whose segment
+    // directory does NOT already exist is not a replay — it is a streaming
+    // sink restarted with a fresh checkpoint (batchId reset to 0) against
+    // a store with a positive watermark, or a caller-allocated id bug.
+    // Such a segment would be committed-but-invisible (visibility is
+    // id > folded_through) and silently deleted by the next GC, so fail
+    // loudly instead of losing the docs.
+    require(batchId > view.foldedThrough || Fs.exists(seg),
+      s"postings ingest batchId=$batchId is at or below folded_through=" +
+        s"${view.foldedThrough} and no segment directory exists at $seg — " +
+        "not a replay; the segment would be invisible and GC'd. Allocate " +
+        "ids above the watermark (refreshPostings does) or keep the " +
+        "sink's checkpoint so batch ids resume past it.")
     Fs.delete(s"$seg/_COMMIT") // replay: hide the segment while rewriting
     // a segment id CAN recur with different rows (rebuild + GC resets the
     // id space) — drop any memoized stats while the marker is down; probes

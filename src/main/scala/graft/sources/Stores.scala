@@ -53,9 +53,25 @@ object Stores {
       .map("%02x".format(_)).mkString.take(16)
   }
 
-  private def storeRoot(dataDir: String, table: String, kind: String): String = {
+  /** Base directory the standing stores live under — where a deployment
+    * points the 9 stores at its real filesystem. Resolution order:
+    * `spark.graft.storeRoot` (session conf — runtime-settable, so one
+    * session can target `hdfs://…` or `s3a://…` while another tests
+    * locally), then the `SPARK_GRAFT_STORE_ROOT` env var, then the JVM
+    * temp dir (the sandbox default, unchanged). All store IO downstream
+    * routes through the scheme-aware [[Fs]] helper, so a remote root needs
+    * no other change — FsSpec proves the full store lifecycle end-to-end
+    * on a non-local scheme.
+    */
+  private[graft] def storeRootBase(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.storeRoot")
+      .orElse(sys.env.get("SPARK_GRAFT_STORE_ROOT"))
+      .getOrElse(sys.props("java.io.tmpdir"))
+
+  private def storeRoot(spark: SparkSession, dataDir: String, table: String,
+                        kind: String): String = {
     val safe = dataDir.replaceAll("[^A-Za-z0-9.]+", "_")
-    s"${sys.props("java.io.tmpdir")}/graft_stores/$VERSION/${safe}_${fingerprint(dataDir, table)}/$kind"
+    s"${storeRootBase(spark)}/graft_stores/$VERSION/${safe}_${fingerprint(dataDir, table)}/$kind"
   }
 
   private def buildOnce(key: String, doneMarker: String)(build: => Unit): String =
@@ -73,7 +89,7 @@ object Stores {
     * documents table, building it via [[Sinks.writePostings]] on first use.
     */
   def postingStore(spark: SparkSession, dataDir: String): String = {
-    val path = storeRoot(dataDir, "documents.parquet", "postings_store")
+    val path = storeRoot(spark, dataDir, "documents.parquet", "postings_store")
     // the BASE pointer is swapped in only after a complete generation is
     // written → valid completion marker
     buildOnce(path, s"$path/BASE") {
@@ -88,7 +104,7 @@ object Stores {
     * [[Sinks.refreshDailyRollup]] (refresh ≡ rebuild is spec-proved).
     */
   def dailyRollup(spark: SparkSession, dataDir: String): String = {
-    val path = storeRoot(dataDir, "events.parquet", "daily_rollup")
+    val path = storeRoot(spark, dataDir, "events.parquet", "daily_rollup")
     buildOnce(path, s"$path/_SUCCESS") {
       Sinks.writeDailyRollup(graft.engine.Tables.events(spark, dataDir), path)
     }
@@ -101,7 +117,7 @@ object Stores {
     * query's time range.
     */
   def rangeClusteredEvents(spark: SparkSession, dataDir: String): String = {
-    val path = storeRoot(dataDir, "events.parquet", "range_clustered")
+    val path = storeRoot(spark, dataDir, "events.parquet", "range_clustered")
     buildOnce(path, s"$path/zonemap/_SUCCESS") {
       Sinks.writeRangeClustered(graft.engine.Tables.events(spark, dataDir), path)
     }
@@ -139,7 +155,7 @@ object Stores {
 
   private def bucketedTable(spark: SparkSession, dataDir: String, tbl: String,
                             key: String, load: () => org.apache.spark.sql.DataFrame): String = {
-    val path = storeRoot(dataDir, s"$tbl.parquet", s"bucketed_$tbl")
+    val path = storeRoot(spark, dataDir, s"$tbl.parquet", s"bucketed_$tbl")
     val name = "graft_bkt_" + tbl + "_" +
       path.split('/').takeRight(2).head.takeRight(16) // the corpus fingerprint
     buildLock.synchronized {
@@ -171,7 +187,7 @@ object Stores {
     * corpus.
     */
   def termDict(spark: SparkSession, dataDir: String): String = {
-    val path = storeRoot(dataDir, "documents.parquet", "term_dict")
+    val path = storeRoot(spark, dataDir, "documents.parquet", "term_dict")
     buildOnce(path, s"$path/zonemap/_SUCCESS") {
       Sinks.writeTermDict(graft.engine.Tables.documents(spark, dataDir), path)
     }
@@ -190,7 +206,7 @@ object Stores {
     * rebuild and replay idempotence are spec-proved).
     */
   def shinglePairs(spark: SparkSession, dataDir: String): String = {
-    val path = storeRoot(dataDir, "documents.parquet", "shingle_pairs")
+    val path = storeRoot(spark, dataDir, "documents.parquet", "shingle_pairs")
     buildOnce(path, s"$path/_SUCCESS") {
       Sinks.writeSized(graft.engine.LlmOps.shinglePairsOf(spark, dataDir), path, 4)
     }
@@ -205,7 +221,7 @@ object Stores {
     * spec-proved).
     */
   def bloomFilter(spark: SparkSession, dataDir: String): String = {
-    val path = storeRoot(dataDir, "documents.parquet", "bloom_decontam")
+    val path = storeRoot(spark, dataDir, "documents.parquet", "bloom_decontam")
     buildOnce(path, s"$path/_SUCCESS") {
       Sinks.writeBloomFilter(
         graft.engine.LlmOps.evalGramsOf(spark, dataDir)
@@ -224,7 +240,7 @@ object Stores {
     * [[graft.streaming.Streaming.startLatencySketchSink]].
     */
   def latencySketch(spark: SparkSession, dataDir: String): String = {
-    val path = storeRoot(dataDir, "events.parquet", "latency_sketch")
+    val path = storeRoot(spark, dataDir, "events.parquet", "latency_sketch")
     buildOnce(path, s"$path/_SUCCESS") {
       Sinks.writeLatencySketches(graft.engine.Tables.events(spark, dataDir), path)
     }
@@ -235,7 +251,7 @@ object Stores {
     * the same `pqTrainEncode` the self-contained query runs.
     */
   def pqIndex(spark: SparkSession, dataDir: String): String = {
-    val path = storeRoot(dataDir, "embeddings.parquet", "pq_index")
+    val path = storeRoot(spark, dataDir, "embeddings.parquet", "pq_index")
     // codes is written after codebook (writePqIndex order) → marker
     buildOnce(path, s"$path/codes/_SUCCESS") {
       val (cb, codes) = graft.engine.LlmOps.pqTrainEncode(spark, dataDir)

@@ -138,4 +138,24 @@ class GraftSessionSpec extends SparkSpecBase {
       "SELECT count(*) FROM graft_shingle_pairs WHERE jaccard >= 0.5")
       .head.getLong(0) > 0)
   }
+
+  test("openStores memo is per-session: a second session over the same corpus " +
+    "gets its own views, and refresh re-registers") {
+    GraftSession.openStores(spark, sfDir)
+    assert(spark.sql("SELECT count(*) FROM graft_postings").head.getLong(0) > 0)
+    // a FRESH session (separate temp-view catalog, same context) must get
+    // its own registration, not be skipped by another session's memo entry
+    // — the silent failure mode of a collision-prone memo key
+    val s2 = spark.newSession()
+    assert(!s2.catalog.tableExists("graft_postings"),
+      "fresh session unexpectedly shares temp views — test premise broken")
+    GraftSession.openStores(s2, sfDir)
+    assert(s2.sql("SELECT count(*) FROM graft_postings").head.getLong(0) > 0)
+    // memoized second call is a cheap no-op that leaves the views resolvable
+    GraftSession.openStores(s2, sfDir)
+    assert(s2.catalog.tableExists("graft_search_meta"))
+    // the refresh escape re-registers against current store state
+    GraftSession.openStores(s2, sfDir, refresh = true)
+    assert(s2.sql("SELECT n_docs FROM graft_search_meta").head.getLong(0) > 0)
+  }
 }

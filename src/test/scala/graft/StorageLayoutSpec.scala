@@ -543,6 +543,80 @@ class StorageLayoutSpec extends SparkSpecBase {
     assert(!results.isEmpty, "prober sampled nothing — vacuous race")
   }
 
+  test("posting store: segment ids allocate above the fold watermark — a refresh " +
+    "after rebuild+compaction stays visible, and a fresh-checkpoint id is rejected") {
+    // The hazard sequence (ADVICE r10): build → refresh (seg b=0) →
+    // compact (folded=0) → REBUILD (recomputes folded=0 from the still-on-
+    // disk superseded segment) → compact (GC deletes b=0, early-returns,
+    // both watermarks stay 0). A next refresh allocating from committed
+    // segments alone would land b=0 — committed but INVISIBLE (visibility
+    // is id > folded_through) and silently deleted by the next GC.
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+    val d1 = docs.filter(col("doc_id") % 3 === 0)
+    val d2 = docs.filter(col("doc_id") % 3 === 1)
+    val d3 = docs.filter(col("doc_id") % 3 === 2)
+    val dir = s"$tmp/postings_watermark"
+    graft.sources.Sinks.writePostings(d1, dir, buckets = 16)
+    graft.sources.Sinks.refreshPostings(spark, dir, d2)
+    graft.sources.Sinks.compactPostings(spark, dir)
+    graft.sources.Sinks.writePostings(d1.unionByName(d2), dir, buckets = 16)
+    graft.sources.Sinks.compactPostings(spark, dir) // GC only: nothing to fold
+    val before = graft.sources.Sinks.storeDocstats(spark, dir).count()
+    graft.sources.Sinks.refreshPostings(spark, dir, d3)
+    // the refreshed docs are VISIBLE now…
+    assert(graft.sources.Sinks.storeDocstats(spark, dir).count() ===
+      before + d3.count(), "refreshed segment is invisible — allocated at/below the watermark")
+    // …and survive the next maintenance op's GC (the silent-loss window)
+    graft.sources.Sinks.compactPostings(spark, dir)
+    assert(graft.sources.Sinks.storeDocstats(spark, dir).count() ===
+      before + d3.count(), "refreshed docs lost to GC")
+    // a restarted sink with a FRESH checkpoint (batchId reset to 0) against
+    // this positive-watermark store must fail loudly, not silently drop
+    val err = intercept[IllegalArgumentException] {
+      graft.sources.Sinks.ingestPostingsSegment(spark, dir, d3, batchId = 0L)
+    }
+    assert(err.getMessage.contains("folded_through"))
+  }
+
+  test("posting store GENERATION RETENTION: genRetention=2 keeps a held snapshot " +
+    "readable across two maintenance cycles; an expired snapshot fails cleanly, " +
+    "never answers wrong") {
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+    def part(k: Int) = docs.filter(col("doc_id") % 8 === k)
+    val dir = s"$tmp/postings_retention"
+    val terms = Seq("spark", "join")
+    graft.sources.Sinks.writePostings(part(0), dir, buckets = 16)
+    def cycle(k: Int): Unit = {
+      graft.sources.Sinks.refreshPostings(spark, dir, part(k))
+      graft.sources.Sinks.compactPostings(spark, dir)
+    }
+    def snap() = graft.sources.Sinks.probePostingsBm25(spark, dir, terms, k = 20)
+    val expect = snap().collect().map(_.toString).toSeq
+    try {
+      spark.conf.set("spark.graft.genRetention", "2")
+      val held = snap() // resolves the initial generation NOW
+      cycle(1); cycle(2) // two full refresh+compaction cycles
+      // the held snapshot's immutable files are retained → same answer
+      assert(held.collect().map(_.toString).toSeq === expect,
+        "held snapshot diverged or died inside the retention window")
+      // store has moved on: the live probe sees the appended docs
+      assert(snap().collect().map(_.toString).toSeq !== expect,
+        "maintenance cycles changed nothing — vacuous retention test")
+    } finally spark.conf.unset("spark.graft.genRetention")
+    // DEFAULT retention (1): a snapshot that outlives the window fails with
+    // a clean missing-file error on read — generations are immutable and
+    // deleted whole, so expiry can never yield a silently wrong answer
+    val expired = snap()
+    cycle(3); cycle(4); cycle(5)
+    val err = intercept[Throwable] { expired.collect() }
+    def chain(t: Throwable): Seq[Throwable] =
+      t +: Option(t.getCause).toSeq.flatMap(chain)
+    assert(chain(err).exists(t =>
+      t.isInstanceOf[java.io.FileNotFoundException] ||
+        String.valueOf(t.getMessage).contains("does not exist")),
+      s"expected a clean missing-file failure, got: $err")
+  }
+
   test("posting store CROSS-PROCESS BUILD RACE: two concurrent writers converge " +
     "to one valid complete store (last pointer swap wins)") {
     // Stores serializes builds in-process; across JVMs both writers can
