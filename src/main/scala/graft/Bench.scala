@@ -57,6 +57,33 @@ object Bench {
         want.toSeq
       case _ => headline.map(_._1)
     }
+    // Artifact-honesty guard: this machine's history shows a 1-min loadavg
+    // above ~1.5 at record time inflates readings 2-5× with uniform
+    // scatter across untouched queries (r9 headline, r10 local[4]), which
+    // costs every later reviewer an adjudication pass. If the box is busy
+    // at start, WAIT for it to quiet (bounded — a stuck neighbor must not
+    // deadlock the round), and flag the artifact if it records busy anyway.
+    def loadAvg1: Option[Double] = try {
+      Some(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).trim.split("\\s+")(0).toDouble)
+    } catch { case _: Throwable => None }
+    val loadMax = sys.env.get("SPARK_GRAFT_BENCH_LOAD_MAX")
+      .flatMap(_.toDoubleOption).getOrElse(1.5)
+    val loadWaitSec = sys.env.get("SPARK_GRAFT_BENCH_LOAD_WAIT")
+      .flatMap(_.toIntOption).getOrElse(600)
+    val waitStart = System.nanoTime()
+    while (loadAvg1.exists(_ > loadMax) &&
+        (System.nanoTime() - waitStart) / 1e9 < loadWaitSec) {
+      System.err.println(
+        s"bench: 1-min loadavg ${loadAvg1.get} > $loadMax — waiting up to " +
+          s"${loadWaitSec}s for the box to quiet")
+      Thread.sleep(15000)
+    }
+    // The warn flag keys on the PRE-RUN reading: by record time the
+    // suite's own 32 threads have inflated the 1-min average, which says
+    // nothing about external contention — the thing the flag exists to
+    // disclose.
+    val loadAtStart = loadAvg1
     // Warmup (untimed): one pass over the suite, so the timed pass measures
     // steady-state execution, not one-time JVM costs — classloading alone
     // is multi-second noise (first get_json_object call in a fresh JVM
@@ -169,8 +196,10 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg"))).trim.split("\\s+")
       val rt = parts(3).split("/")
       s""""loadavg":[${parts(0)},${parts(1)},${parts(2)}],""" +
-        s""""procs_running":${rt(0)},"procs_total":${rt(1)}"""
-    } catch { case _: Throwable => """"loadavg":null""" }
+        s""""loadavg_start":${loadAtStart.fold("null")(_.toString)},""" +
+        s""""procs_running":${rt(0)},"procs_total":${rt(1)},""" +
+        s""""load_warn":${loadAtStart.exists(_ > loadMax)}"""
+    } catch { case _: Throwable => """"loadavg":null,"load_warn":false""" }
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""errors":$errs,"flaky":$flaky,"rebenched":$rebenched,"valid":${valid.size},"invalid":${results.size - valid.size},$loadCtx,"sf":"$sfDir"}"""

@@ -810,18 +810,24 @@ object Streaming {
     * per-batch delta join is EXISTING-corpus-linear (flat across
     * batches — batch 0 and batch 11 cost the same), and the
     * strictly-before reconstruction unions one doc segment per prior
-    * batch, so a very long-lived stream should periodically fold its doc
-    * segments into `baseDocs` (the corpus table the segments are a tail
-    * of) — the postings store's compaction discipline applied to the doc
-    * side; the pair rows themselves never need rewriting.
+    * batch — which `foldEvery` bounds: once the visible doc-segment count
+    * reaches the threshold, the batch that crossed it folds every visible
+    * segment into one consolidated BASE version ([[foldDocSegments]] —
+    * the postings store's every-N compaction discipline applied to the
+    * doc side), so segment discovery and the existing-set union stay
+    * O(foldEvery) no matter how long the stream lives. The pair rows
+    * themselves never need rewriting.
     */
   def startShinglePairsSink(docs: DataFrame, baseDocs: DataFrame,
                             pairsPath: String, docsPath: String,
-                            checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+                            checkpoint: String,
+                            foldEvery: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         shinglePairsIngestBatch(baseDocs, batch, pairsPath, docsPath, batchId)
+        if (visibleDocSegmentCount(docsPath) >= foldEvery)
+          foldDocSegments(batch.sparkSession, docsPath)
       }
       .start()
 
@@ -833,16 +839,96 @@ object Streaming {
                               batchId: Long): Unit = {
     val spark = batch.sparkSession
     val seg = s"$docsPath/b=$batchId"
+    // Same loud-failure contract as the postings ingest: a batch id at or
+    // below the doc-fold watermark whose segment is gone is a FRESH
+    // checkpoint against a folded store (a genuine replay's segment always
+    // survives the fold's one-cycle grace) — its docs would never join the
+    // corpus side of later deltas.
+    val folded0 = docFoldedThrough(docsPath)
+    require(batchId > folded0 || graft.sources.Fs.exists(seg),
+      s"pair ingest batchId=$batchId is at or below the doc-fold watermark " +
+        s"$folded0 and no segment directory exists at $seg — not a replay; " +
+        "keep the sink's checkpoint so batch ids resume past the watermark.")
     batch.write.mode("overwrite")
       .option("compression", "zstd").parquet(s"$seg/data")
     graft.sources.Fs.touch(s"$seg/_COMMIT")
     // strictly-before: replays re-derive the same existing set, and the
-    // batch can never pair against its own just-landed segment
-    val prior = committedDocSegments(docsPath).filter(_._1 < batchId)
-    val existing = (baseDocs +: prior.map(p => spark.read.parquet(s"${p._2}/data")))
+    // batch can never pair against its own just-landed segment. A replay
+    // that lands AFTER its batch was folded (crash between fold and the
+    // checkpoint commit) reads the folded base instead — a superset
+    // containing its own docs, which is still idempotent: every re-derived
+    // pair is already standing (the refresh anti-join drops it) and
+    // self-pairs are excluded in the delta itself.
+    val folded = docFoldedThrough(docsPath)
+    val prior = committedDocSegments(docsPath)
+      .filter(p => p._1 > folded && p._1 < batchId)
+    val foldedBase =
+      if (folded < 0) Nil
+      else Seq(spark.read.parquet(s"$docsPath/base/v=$folded/data"))
+    val existing = ((baseDocs +: foldedBase) ++
+      prior.map(p => spark.read.parquet(s"${p._2}/data")))
       .reduce(_ unionByName _)
     graft.sources.Sinks.refreshShinglePairs(spark, pairsPath, existing,
       spark.read.parquet(s"$seg/data"))
+  }
+
+  /** Fold every visible doc segment of a pair-ingest sink into ONE
+    * consolidated base version (`docsPath/base/v=<max folded id>/data`,
+    * `_COMMIT` written last) — the doc-side compaction that bounds the
+    * existing-set union at O(foldEvery) parts. MVCC like everything else
+    * here: the new base is written complete beside the old, visibility
+    * flips with its `_COMMIT` marker (readers take the HIGHEST committed
+    * version, so a crash mid-fold leaves the old base authoritative), and
+    * the previous base version plus the just-folded segments survive one
+    * fold cycle for in-flight derivations before the next fold's GC
+    * retires them. Cost: one linear rewrite of the accumulated doc corpus
+    * per fold — amortized O(corpus/foldEvery) per batch, the standard LSM
+    * trade; the pair STORE is never rewritten.
+    */
+  def foldDocSegments(spark: SparkSession, docsPath: String): Unit = {
+    val folded = docFoldedThrough(docsPath)
+    val segs = committedDocSegments(docsPath).filter(_._1 > folded)
+    if (segs.isEmpty) return // nothing visible to fold
+    val hi = segs.map(_._1).max
+    val parts =
+      (if (folded < 0) Nil
+       else Seq(spark.read.parquet(s"$docsPath/base/v=$folded/data"))) ++
+        segs.map(s => spark.read.parquet(s"${s._2}/data"))
+    val dst = s"$docsPath/base/v=$hi"
+    parts.reduce(_ unionByName _)
+      .write.mode("overwrite")
+      .option("compression", "zstd").parquet(s"$dst/data")
+    graft.sources.Fs.touch(s"$dst/_COMMIT")
+    // GC with one-cycle grace: what the PREVIOUS fold superseded has now
+    // outlived a full cycle — retire base versions below the old watermark
+    // and the segments it folded; the just-folded segments stay until the
+    // next fold
+    docBaseVersions(docsPath).filter(_ < folded)
+      .foreach(v => graft.sources.Fs.delete(s"$docsPath/base/v=$v"))
+    committedDocSegments(docsPath).filter(_._1 <= folded)
+      .foreach { case (_, dir) => graft.sources.Fs.delete(dir) }
+  }
+
+  /** Committed base versions of a pair-ingest sink's doc side. */
+  private def docBaseVersions(docsPath: String): Seq[Long] =
+    graft.sources.Fs.listSubdirs(s"$docsPath/base")
+      .filter { case (name, dir) =>
+        name.startsWith("v=") && graft.sources.Fs.exists(s"$dir/_COMMIT")
+      }
+      .map(_._1.stripPrefix("v=").toLong).sorted
+
+  /** Doc-fold watermark: highest committed base version (-1 = no fold
+    * yet). Segments with id ≤ it are folded into the base.
+    */
+  private[graft] def docFoldedThrough(docsPath: String): Long =
+    docBaseVersions(docsPath).maxOption.getOrElse(-1L)
+
+  /** Committed doc segments still visible over the fold watermark — the
+    * auto-fold trigger input.
+    */
+  private[graft] def visibleDocSegmentCount(docsPath: String): Int = {
+    val folded = docFoldedThrough(docsPath)
+    committedDocSegments(docsPath).count(_._1 > folded)
   }
 
   /** Committed doc segments of a pair-ingest sink (dirs with _COMMIT). */

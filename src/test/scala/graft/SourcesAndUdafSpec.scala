@@ -116,6 +116,43 @@ class SourcesAndUdafSpec extends SparkSpecBase {
     assert(sigs(1L) === expected)
   }
 
+  test("A10/D4: corr co-moment UDAF — every pairwise Pearson equals the built-in " +
+    "corr over the exploded pairs; merge across partitions ≡ single partition") {
+    val d = 8
+    // deterministic pseudo-random vectors with correlated tails
+    val vecs = (0 until 200).map { r =>
+      val base = (0 until d).map(c => math.sin(r * 31 + c * 7) * (c + 1))
+      // dim d-1 tracks dim 0 closely → a high-|corr| pair exists
+      base.updated(d - 1, base(0) * 0.9 + math.cos(r.toDouble) * 0.1)
+    }
+    val df = vecs.map(Tuple1(_)).toDF("v")
+    val m = df.repartition(5) // force a real cross-partition merge
+      .agg(graft.functions.CorrComomentAgg.udaf(d)(col("v")).as("m"))
+      .head.getSeq[Double](0)
+    val m1 = df.coalesce(1)
+      .agg(graft.functions.CorrComomentAgg.udaf(d)(col("v")).as("m"))
+      .head.getSeq[Double](0)
+    // reference: built-in corr over the exploded (row, dim, x) self-join —
+    // the oracle's unnest-join spelling
+    val exploded = vecs.zipWithIndex.flatMap { case (v, r) =>
+      v.zipWithIndex.map { case (x, i) => (r, i, x) }
+    }.toDF("r", "i", "x")
+    val want = exploded.select(col("r"), col("i").as("di"), col("x").as("xi"))
+      .join(exploded.select(col("r"), col("i").as("dj"), col("x").as("xj")), "r")
+      .filter(col("di") < col("dj"))
+      .groupBy("di", "dj").agg(corr(col("xi"), col("xj")).as("c"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    for { i <- 0 until d; j <- i + 1 until d } {
+      val got = graft.functions.CorrComomentAgg.corrOf(m, d, i, j)
+      assert(math.abs(got - want((i, j))) < 1e-9,
+        s"corr($i,$j): comoment $got vs built-in ${want((i, j))}")
+    }
+    // the moment sums agree across partitionings to double merge tolerance
+    assert(m(0) === m1(0))
+    m.indices.foreach(k => assert(math.abs(m(k) - m1(k)) <=
+      1e-9 * math.max(1.0, math.abs(m1(k))), s"slot $k diverged across partitionings"))
+  }
+
   test("D8: media derivation, decode-stub features, frame sampling") {
     val docs = graft.engine.Tables.documents(spark, sfDir)
     val media = MultiModal.mediaFromDocuments(docs)

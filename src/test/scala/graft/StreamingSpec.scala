@@ -683,6 +683,72 @@ class StreamingSpec extends SparkSpecBase {
       "replaying a delivered batch changed the pair store")
   }
 
+  test("shingle-pair sink AUTO-FOLD: a 12-batch stream keeps the visible doc-segment " +
+    "count bounded, pairs equal an unfolded stream, and post-fold replay/misuse behave") {
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source")
+    val docRows = docs.as[Streaming.Doc].collect().toSeq.sortBy(_.doc_id)
+    val (exist, streamed) = docRows.partition(_.doc_id % 3 != 0)
+    val slices = streamed.grouped(math.max(1, streamed.size / 12)).toSeq.take(12)
+    val base = java.nio.file.Files.createTempDirectory("graft-pair-fold").toString
+    val pairs = s"$base/pairs"
+    val docsPath = s"$base/docs"
+    graft.sources.Sinks.writeSized(
+      graft.engine.LlmOps.shinglePairsOfDocs(exist.toDF()), pairs, 2)
+    val foldEvery = 4
+    val input = MemoryStream[Streaming.Doc](spark)
+    val q = Streaming.startShinglePairsSink(input.toDF(), exist.toDF(),
+      pairs, docsPath, s"$base/ckpt", foldEvery = foldEvery)
+    val counts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    try slices.foreach { s =>
+      input.addData(s); q.processAllAvailable()
+      counts += Streaming.visibleDocSegmentCount(docsPath)
+    } finally q.stop()
+    // the fold fires on the batch that reaches the threshold, so the
+    // post-batch count is bounded forever — segment discovery and the
+    // existing-set union stay O(foldEvery) over an unbounded stream
+    assert(counts.max < foldEvery, s"doc-segment counts: ${counts.mkString(",")}")
+    assert(counts.count(_ == 0) >= slices.size / foldEvery,
+      s"fold never fired: ${counts.mkString(",")}")
+    def rows(df: DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    // THE fold invariant: folding only reorganizes the doc side, so an
+    // identical stream ingested WITHOUT folding lands the exact same pair
+    // rows (bit-for-bit — each batch derives the same existing doc SET
+    // either way). This is deliberately NOT compared against a one-shot
+    // rebuild: 12 incremental deltas evaluate df-caps on a growing census,
+    // the documented scheduled-rebuild divergence the 2-batch parity test
+    // above covers in its cap-stable regime.
+    val pairsPlain = s"$base/pairs_plain"
+    graft.sources.Sinks.writeSized(
+      graft.engine.LlmOps.shinglePairsOfDocs(exist.toDF()), pairsPlain, 2)
+    val input2 = MemoryStream[Streaming.Doc](spark)
+    val q2 = Streaming.startShinglePairsSink(input2.toDF(), exist.toDF(),
+      pairsPlain, s"$base/docs_plain", s"$base/ckpt_plain",
+      foldEvery = Int.MaxValue)
+    try slices.foreach { s => input2.addData(s); q2.processAllAvailable() }
+    finally q2.stop()
+    assert(Streaming.visibleDocSegmentCount(s"$base/docs_plain") === slices.size,
+      "control stream unexpectedly folded")
+    val want = rows(spark.read.parquet(pairsPlain))
+    assert(rows(spark.read.parquet(pairs)) === want,
+      "auto-folded stream store diverged from the unfolded stream store")
+    assert(want.nonEmpty, "no pairs — vacuous parity")
+    // replay of the LAST batch (its segment survives the fold's grace even
+    // when it was just folded): existing re-derives through the folded
+    // base — a superset holding the batch's own docs — and appends nothing
+    Streaming.shinglePairsIngestBatch(exist.toDF(), slices.last.toDF(),
+      pairs, docsPath, slices.size - 1L)
+    assert(rows(spark.read.parquet(pairs)) === want,
+      "post-fold replay changed the pair store")
+    // a FRESH-checkpoint restart (batchId reset to 0 whose segment the fold
+    // GC already retired) fails loudly instead of silently orphaning docs
+    val err = intercept[IllegalArgumentException] {
+      Streaming.shinglePairsIngestBatch(exist.toDF(), slices.head.toDF(),
+        pairs, docsPath, 0L)
+    }
+    assert(err.getMessage.contains("watermark"))
+  }
+
   test("file stream source reads the events fixture incrementally") {
     val out = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
     // copy the sf0.001 events through the batch normalizer to get µs ts
