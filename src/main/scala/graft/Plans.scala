@@ -33,7 +33,7 @@ object Plans {
     "log_event_runs" -> "both row_numbers and the island groupBy derive from one user_id sort order",
     "log_rolling_wau" -> "rolling distinct via map-side x7 fanout — no self-join, no per-window rescan",
     "log_type_affinity" -> "session-basket pair join partial-aggs onto <=C(types,2) keys; marginals broadcast",
-    "llm_embed_corr_pairs" -> "in-row pair grid: corpus never shuffles, only co-moment partials move",
+    "llm_embed_corr_pairs" -> "typed co-moment aggregator (CorrComomentAgg): each vector folds (n, Σx, Σxᵢxⱼ) into one flat per-partition buffer — no row fanout, corpus never shuffles, partitions × one 2145-double buffer move; the 2016 Pearson values are a driver-side loop over the single result row, so the dumped plan is the metadata-sized rank over a LocalTableScan (the distributed half is the co-moment job, same shape as llm_embed_pca_cov)",
     "text_levenshtein_pairs" -> "probe side round-robin repartitioned (explicit count, AQE-exempt) so the O(len^2) kernel spreads over all slots; block list broadcast",
     "text_bigram_logprob" -> "bigram-count and prefix-count joins unhinted (bigram vocabulary must not broadcast at scale); occurrences partial-agg before the doc_id exchange",
     "agg_hll_union_daily" -> "both HLL aggregations partial-combine map-side: sketches merge in the combiner, raw events never reach the per-type union",
@@ -55,7 +55,7 @@ object Plans {
     "log_search_ranked" -> "BM25 with zero token shuffles: per-term tf and dl via size(filter(ts)) inside the scan (no Generate node), corpus stats as a single-row broadcast, TakeOrderedAndProject top-20",
     "log_indexed_search_ranked" -> "ranked retrieval with ZERO corpus reads: pruned posting buckets -> tf/df, docstats join for dl, (N, avgdl) from store meta; same oracle as the raw-scan BM25",
     "llm_ann_ivfpq_indexed" -> "ANN served from the persisted index: ADC tables broadcast over the PERSISTED code-table scan; codebook read from parquet — no training stages in the plan",
-    "llm_sql_ann_served" -> "the plain-SQL ANN face: query vectors are an inline VALUES LocalRelation (the application request), ADC tables derive from the codebook view, and the only file scans are the two PQ index stores — embeddings.parquet appears nowhere (GraftSessionSpec-pinned)",
+    "llm_sql_ann_served" -> "the plain-SQL ANN face: the request's ADC distance tables (index metadata — queries × pqM × k doubles, computed driver-side from the codebook view with the identical float fold) ride in the inline VALUES LocalRelation, so the served plan is ONE broadcast join over the PQ code-table scan + the top-k window — the only file scan is the code store; embeddings.parquet appears nowhere (GraftSessionSpec-pinned)",
     "text_levenshtein_pairs" -> "blocked pair scan with kernel discipline: block-cap semi-join, kernel-free id/length prunes, then the Myers bit-parallel distance (O(n·m/64) vs the banded built-in's O(n·band)) evaluated ONCE per pair behind MaterializeOnce — the optimizer would otherwise inline it into the join condition 2-3x",
     "log_outage_windows_merged" -> "two-phase interval union: day-partitioned running-max sweep at corpus scale, then a single-partition sweep over the metadata-sized per-day outage rows to glue midnight-crossing pieces",
     "log_schema_infer" -> "schema discovery in one explode+hash-agg scan onto key-cardinality rows; the corpus row total joins back as a single-row broadcast (allowlisted metadata rebase)",
