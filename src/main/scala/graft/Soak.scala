@@ -460,13 +460,27 @@ object Soak {
         graft.engine.LlmOps.shinglePairsOfDocs(base), pairs, 4))
       println(f"STREAMINGEST pairs base build=$tPair%7.2f s " +
         f"rows=${spark.read.parquet(pairs).count()}")
+      // r11: the doc-segment FOLD in the loop (foldEvery=4 here, so the
+      // sweep crosses three folds): per-batch ingest now reconstructs the
+      // existing set from base ∪ folded-base ∪ ≤foldEvery segments instead
+      // of one part per prior batch, and the fold's own linear rewrite is
+      // timed where it lands — the measured form of the §6j caveat.
+      val foldEvery = 4
       for (b <- 0 until batches) {
         val slice = stream.filter(pmod(col("doc_id") / 10, lit(batches)) === b)
         val (_, ti) = timed(graft.streaming.Streaming.shinglePairsIngestBatch(
           base, slice, pairs, segDocs, b))
+        val folded =
+          if (graft.streaming.Streaming.visibleDocSegmentCount(segDocs) >= foldEvery) {
+            val (_, tf) = timed(
+              graft.streaming.Streaming.foldDocSegments(spark, segDocs))
+            f" fold=$tf%6.2f s"
+          } else ""
+        val segs = graft.streaming.Streaming.visibleDocSegmentCount(segDocs)
         val (n, tq) = timed(spark.read.parquet(pairs)
           .filter(col("jaccard") >= 0.5).count())
-        println(f"STREAMINGEST pairs ingest b=$b%2d $ti%6.2f s probe=$tq%5.2f s store_rows=$n")
+        println(f"STREAMINGEST pairs ingest b=$b%2d $ti%6.2f s segs=$segs%2d " +
+          f"probe=$tq%5.2f s store_rows=$n$folded")
       }
     }
 

@@ -909,6 +909,49 @@ object Streaming {
       .foreach { case (_, dir) => graft.sources.Fs.delete(dir) }
   }
 
+  /** T13 (ANN-index ingest sink): streaming embedding batches fold into a
+    * standing [[graft.sources.Sinks.writePqIndex]] store via
+    * [[graft.sources.Sinks.refreshPqIndex]] — the last standing store
+    * that lacked a streaming half. Each micro-batch is encoded against
+    * the FROZEN standing codebook (refresh never retrains — codebook
+    * drift is the scheduled-rebuild contract, like the pair store's
+    * df-caps) and its code rows append. Idempotent under at-least-once
+    * replay BY CONSTRUCTION: the refresh anti-joins the batch against the
+    * standing code table's vec_ids, so a re-delivered (or overlapping)
+    * batch appends nothing — no batchId bookkeeping needed. At 100 TB the
+    * per-batch cost is the batch encode + one int-column scan of the
+    * 32×-compressed code table for the guard; the float corpus is never
+    * rescanned (StreamingSpec pins stream-fed ≡ batch-refreshed codes and
+    * search-equivalence).
+    */
+  def startPqIndexSink(vectors: DataFrame, path: String,
+                       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Sinks.refreshPqIndex(batch.sparkSession, path, batch)
+      }
+      .start()
+
+  /** T14 (decontamination-filter ingest sink): streaming eval items
+    * OR-merge into the standing Bloom store via
+    * [[graft.sources.Sinks.refreshBloomFilter]]. The easiest sink in the
+    * file to reason about: Bloom OR is associative, commutative AND
+    * idempotent, so at-least-once replay needs no guard at all — a
+    * re-delivered batch sets bits that are already set. Rewrite cost is
+    * the fixed ~1.2 MiB filter per batch, never corpus- or
+    * eval-set-sized; decontamination jobs keep broadcasting the standing
+    * bytes (StreamingSpec pins stream-fed ≡ batch-built byte-identically).
+    */
+  def startBloomSink(items: DataFrame, path: String, itemCol: String,
+                     checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    items.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Sinks.refreshBloomFilter(batch.sparkSession, path, batch, itemCol)
+      }
+      .start()
+
   /** Committed base versions of a pair-ingest sink's doc side. */
   private def docBaseVersions(docsPath: String): Seq[Long] =
     graft.sources.Fs.listSubdirs(s"$docsPath/base")

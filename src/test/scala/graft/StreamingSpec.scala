@@ -749,6 +749,78 @@ class StreamingSpec extends SparkSpecBase {
     assert(err.getMessage.contains("watermark"))
   }
 
+  test("pq-index sink: stream-fed code table equals a whole-corpus re-encode " +
+    "against the frozen codebook; replay appends nothing") {
+    val emb = graft.engine.Tables.embeddings(spark, sfDir)
+    val cut = emb.selectExpr("percentile(vec_id, 0.6)").head.getDouble(0).toLong
+    val base = java.nio.file.Files.createTempDirectory("graft-pq-sink").toString
+    val dir = s"$base/pq"
+    // standing store: frozen codebook + codes for the first 60% of vectors
+    val cb = spark.read
+      .parquet(s"${graft.sources.Stores.pqIndex(spark, sfDir)}/codebook")
+    graft.sources.Sinks.writePqIndex(
+      cb,
+      graft.engine.LlmOps.pqEncode(
+        graft.engine.LlmOps.pqNormSubvectorsOf(emb.filter(col("vec_id") <= cut)), cb),
+      dir)
+    val rest = emb.filter(col("vec_id") > cut)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+    val slices = rest.grouped(math.max(1, rest.size / 3)).toSeq
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    val q = Streaming.startPqIndexSink(
+      input.toDF().toDF("vec_id", "embedding"), dir, s"$base/ckpt")
+    try slices.foreach { s => input.addData(s); q.processAllAvailable() }
+    finally q.stop()
+    def rows(df: DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    // stream-fed codes ≡ re-encoding the WHOLE corpus with that codebook
+    val whole = rows(graft.engine.LlmOps.pqEncode(
+      graft.engine.LlmOps.pqNormSubvectorsOf(emb),
+      spark.read.parquet(s"$dir/codebook")))
+    assert(rows(spark.read.parquet(s"$dir/codes")) === whole,
+      "stream-fed code table diverged from a whole-corpus encode")
+    assert(whole.nonEmpty)
+    // replay of the last batch: the vec_id anti-join guard appends nothing
+    graft.sources.Sinks.refreshPqIndex(spark, dir,
+      slices.last.toDF("vec_id", "embedding"))
+    assert(rows(spark.read.parquet(s"$dir/codes")) === whole,
+      "replayed batch duplicated code rows")
+  }
+
+  test("bloom sink: stream-fed filter is byte-identical to a batch build over " +
+    "the union; replay changes no byte") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def bytesOf(path: String): Seq[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      graft.sources.Sinks.readBloomFilter(path, conf).writeTo(bos)
+      bos.toByteArray.toSeq
+    }
+    val toks = graft.engine.Tables.documents(spark, sfDir)
+      .select(explode(split(lower(col("text")), " ")).as("ng"))
+      .filter(col("ng") =!= "").distinct()
+    val seed = toks.filter(md5(col("ng")) < "4")
+    val streamed = toks.filter(md5(col("ng")) >= "4")
+      .as[String].collect().toSeq.sorted
+    val base = java.nio.file.Files.createTempDirectory("graft-bloom-sink").toString
+    val dir = s"$base/bloom"
+    graft.sources.Sinks.writeBloomFilter(
+      seed.stat.bloomFilter("ng", graft.engine.LlmOps.bloomExpectedItems,
+        graft.engine.LlmOps.bloomFpp), dir, conf)
+    val slices = streamed.grouped(math.max(1, streamed.size / 3)).toSeq
+    val input = MemoryStream[String](spark)
+    val q = Streaming.startBloomSink(input.toDF().toDF("ng"), dir, "ng", s"$base/ckpt")
+    try slices.foreach { s => input.addData(s); q.processAllAvailable() }
+    finally q.stop()
+    val fullDir = s"$base/bloom_full"
+    graft.sources.Sinks.writeBloomFilter(
+      toks.stat.bloomFilter("ng", graft.engine.LlmOps.bloomExpectedItems,
+        graft.engine.LlmOps.bloomFpp), fullDir, conf)
+    assert(bytesOf(dir) === bytesOf(fullDir),
+      "stream-fed filter diverged from the union batch build")
+    // replay: OR idempotence — re-delivering the last batch changes no byte
+    graft.sources.Sinks.refreshBloomFilter(spark, dir, slices.last.toDF("ng"), "ng")
+    assert(bytesOf(dir) === bytesOf(fullDir), "replayed batch changed the filter")
+  }
+
   test("file stream source reads the events fixture incrementally") {
     val out = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
     // copy the sf0.001 events through the batch normalizer to get µs ts
