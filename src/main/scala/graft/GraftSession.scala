@@ -82,11 +82,17 @@ object GraftSession {
     // Memoized in a WeakHashMap keyed by the SESSION OBJECT: identity
     // hashes are legal to reuse after a session is GC'd (a colliding new
     // session would silently get NO views registered), and weak keys make
-    // the entry die with the session instead of leaking forever. The key
-    // is recorded only AFTER every view registers — a registration that
-    // throws partway is retried on the next call, never memoized as done.
+    // the entry die with the session instead of leaking forever. The
+    // memoized VALUE is the (corpus dir, store root) the views CURRENTLY
+    // point at — the nine graft_* names are one session-global namespace,
+    // so only the most recent registration is live: opening a different
+    // corpus (or changing spark.graft.storeRoot) re-registers rather than
+    // early-returning against stale views. The value is recorded only
+    // AFTER every view registers — a registration that throws partway is
+    // retried on the next call, never memoized as done.
+    val target = (dir, sources.Stores.storeRootBase(spark))
     if (!refresh && openedStores.synchronized {
-          Option(openedStores.get(spark)).exists(_.contains(dir))
+          openedStores.get(spark) == target
         }) return spark
     open(spark, dir)
     val post = sources.Stores.postingStore(spark, dir)
@@ -115,20 +121,16 @@ object GraftSession {
     spark.read.parquet(s"$pq/codes")
       .createOrReplaceTempView("graft_pq_codes")
     openedStores.synchronized {
-      var dirs = openedStores.get(spark)
-      if (dirs == null) {
-        dirs = scala.collection.mutable.Set.empty[String]
-        openedStores.put(spark, dirs)
-      }
-      dirs.add(dir): Unit
+      openedStores.put(spark, target): Unit
     }
     spark
   }
 
-  /** session → corpus dirs whose store views are already registered — see
-    * the note at the top of [[openStores]]. Weak keys: an entry dies with
-    * its session, and a fresh session can never collide with a dead one.
+  /** session → the (corpus dir, store root) its store views currently
+    * point at — see the note at the top of [[openStores]]. Weak keys: an
+    * entry dies with its session, and a fresh session can never collide
+    * with a dead one.
     */
   private val openedStores =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Set[String]]()
+    new java.util.WeakHashMap[SparkSession, (String, String)]()
 }

@@ -2509,14 +2509,21 @@ object LlmOps {
       |SELECT d_i, d_j, corr_v FROM pairs
       |ORDER BY abs(corr_v) DESC, d_i, d_j LIMIT 10""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val emb = Tables.embeddings(s, dir)
-    val d = emb.select(size(col("embedding"))).limit(1).head.getInt(0)
-    val m = emb
-      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
-      .agg(graft.functions.CorrComomentAgg.udaf(d)(col("v")).as("m"))
-      .head.getSeq[Double](0)
-    val pairs = for { i <- 0 until d; j <- i + 1 until d }
-      yield (i.toLong, j.toLong, graft.functions.CorrComomentAgg.corrOf(m, d, i, j))
+    // null vectors are skipped, matching the old explode-of-null behavior
+    // AND the oracle (unnest of a NULL array emits no rows); an EMPTY
+    // corpus answers empty, like the oracle — not a driver .head crash
+    val emb = Tables.embeddings(s, dir).filter(col("embedding").isNotNull)
+    val pairs = emb.select(size(col("embedding"))).limit(1).collect()
+      .headOption.map(_.getInt(0)) match {
+      case None => Seq.empty[(Long, Long, Double)]
+      case Some(d) =>
+        val m = emb
+          .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+          .agg(graft.functions.CorrComomentAgg.udaf(d)(col("v")).as("m"))
+          .head.getSeq[Double](0)
+        for { i <- 0 until d; j <- i + 1 until d }
+          yield (i.toLong, j.toLong, graft.functions.CorrComomentAgg.corrOf(m, d, i, j))
+    }
     pairs.toDF("d_i", "d_j", "c")
       .select(col("d_i"), col("d_j"), (round(col("c"), 4) + lit(0.0)).as("corr_v"))
       .orderBy(abs(col("corr_v")).desc, col("d_i"), col("d_j"))

@@ -712,15 +712,21 @@ object Sinks {
     val view = postingsView(spark, path, buckets)
     val bucketsEff = view.buckets
     val seg = s"$path/seg/b=$batchId"
-    // A batch id at or below the generation's fold watermark whose segment
-    // directory does NOT already exist is not a replay — it is a streaming
+    // A batch id STRICTLY below the generation's fold watermark whose
+    // segment directory does NOT exist is not a replay — it is a streaming
     // sink restarted with a fresh checkpoint (batchId reset to 0) against
-    // a store with a positive watermark, or a caller-allocated id bug.
-    // Such a segment would be committed-but-invisible (visibility is
-    // id > folded_through) and silently deleted by the next GC, so fail
-    // loudly instead of losing the docs.
-    require(batchId > view.foldedThrough || Fs.exists(seg),
-      s"postings ingest batchId=$batchId is at or below folded_through=" +
+    // a store with a positive watermark, or a caller-allocated id bug:
+    // batches are sequential, so a genuinely replayed batch (the one
+    // in-flight at the crash) is always the HIGHEST id that ever landed,
+    // and no compaction can fold PAST it — a true replay always has
+    // batchId ≥ folded_through, even when its own segment was folded and
+    // then GC'd while the sink was down (that replay must proceed as the
+    // harmless invisible rewrite, not wedge the stream). Below the
+    // watermark, the segment would be committed-but-invisible (visibility
+    // is id > folded_through) and silently deleted by the next GC, so
+    // fail loudly instead of losing the docs.
+    require(batchId >= view.foldedThrough || Fs.exists(seg),
+      s"postings ingest batchId=$batchId is below folded_through=" +
         s"${view.foldedThrough} and no segment directory exists at $seg — " +
         "not a replay; the segment would be invisible and GC'd. Allocate " +
         "ids above the watermark (refreshPostings does) or keep the " +

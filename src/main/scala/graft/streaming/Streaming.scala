@@ -825,29 +825,38 @@ object Streaming {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        shinglePairsIngestBatch(baseDocs, batch, pairsPath, docsPath, batchId)
-        if (visibleDocSegmentCount(docsPath) >= foldEvery)
+        val visible =
+          shinglePairsIngestBatch(baseDocs, batch, pairsPath, docsPath, batchId)
+        if (visible >= foldEvery)
           foldDocSegments(batch.sparkSession, docsPath)
       }
       .start()
 
   /** One pair-ingest step (factored out so the replay spec can drive a
-    * crash re-delivery directly). See [[startShinglePairsSink]].
+    * crash re-delivery directly); returns the visible doc-segment count
+    * after the batch — the auto-fold trigger input, derived from the
+    * step's own directory snapshot so the wrapper pays no extra listing.
+    * See [[startShinglePairsSink]].
     */
   def shinglePairsIngestBatch(baseDocs: DataFrame, batch: DataFrame,
                               pairsPath: String, docsPath: String,
-                              batchId: Long): Unit = {
+                              batchId: Long): Int = {
     val spark = batch.sparkSession
     val seg = s"$docsPath/b=$batchId"
-    // Same loud-failure contract as the postings ingest: a batch id at or
-    // below the doc-fold watermark whose segment is gone is a FRESH
-    // checkpoint against a folded store (a genuine replay's segment always
-    // survives the fold's one-cycle grace) — its docs would never join the
-    // corpus side of later deltas.
-    val folded0 = docFoldedThrough(docsPath)
-    require(batchId > folded0 || graft.sources.Fs.exists(seg),
-      s"pair ingest batchId=$batchId is at or below the doc-fold watermark " +
-        s"$folded0 and no segment directory exists at $seg — not a replay; " +
+    // ONE driver-side snapshot of the doc side per batch (the watermark
+    // and segment listing serve the guard, the existing-set derivation,
+    // AND the returned visible count — on HDFS/S3A each extra resolution
+    // is a remote LIST round-trip per micro-batch).
+    val folded = docFoldedThrough(docsPath)
+    // Same loud-failure contract as the postings ingest: a batch id
+    // STRICTLY below the doc-fold watermark whose segment is gone is a
+    // FRESH checkpoint against a folded store. A genuine replay is always
+    // the highest id that ever landed, so no fold can pass it —
+    // batchId ≥ watermark even when its own segment was folded and GC'd
+    // while the sink was down (that replay proceeds idempotently below).
+    require(batchId >= folded || graft.sources.Fs.exists(seg),
+      s"pair ingest batchId=$batchId is below the doc-fold watermark " +
+        s"$folded and no segment directory exists at $seg — not a replay; " +
         "keep the sink's checkpoint so batch ids resume past the watermark.")
     batch.write.mode("overwrite")
       .option("compression", "zstd").parquet(s"$seg/data")
@@ -859,9 +868,8 @@ object Streaming {
     // containing its own docs, which is still idempotent: every re-derived
     // pair is already standing (the refresh anti-join drops it) and
     // self-pairs are excluded in the delta itself.
-    val folded = docFoldedThrough(docsPath)
-    val prior = committedDocSegments(docsPath)
-      .filter(p => p._1 > folded && p._1 < batchId)
+    val committed = committedDocSegments(docsPath)
+    val prior = committed.filter(p => p._1 > folded && p._1 < batchId)
     val foldedBase =
       if (folded < 0) Nil
       else Seq(spark.read.parquet(s"$docsPath/base/v=$folded/data"))
@@ -870,6 +878,9 @@ object Streaming {
       .reduce(_ unionByName _)
     graft.sources.Sinks.refreshShinglePairs(spark, pairsPath, existing,
       spark.read.parquet(s"$seg/data"))
+    // visible count AFTER this batch (`committed` was listed after the
+    // segment landed, so it is included) — the auto-fold trigger input
+    committed.count(_._1 > folded)
   }
 
   /** Fold every visible doc segment of a pair-ingest sink into ONE
@@ -884,6 +895,17 @@ object Streaming {
     * retires them. Cost: one linear rewrite of the accumulated doc corpus
     * per fold — amortized O(corpus/foldEvery) per batch, the standard LSM
     * trade; the pair STORE is never rewritten.
+    *
+    * Deliberately a SIMPLER sibling of the posting store's generation
+    * machinery ([[graft.sources.Sinks.compactPostings]]), not a reuse of
+    * it: the doc side is one flat versioned directory read by exactly one
+    * single-threaded writer (this sink), so it needs neither the BASE
+    * pointer swap, per-bucket layout, segmeta stats, nor the configurable
+    * `spark.graft.genRetention` window that concurrent analytical probes
+    * of the posting store justify. The shared invariants (marker-last
+    * commit, highest-committed-wins, one-cycle grace GC) are pinned by
+    * their own StreamingSpec run, so a divergence from the postings
+    * discipline would fail a spec, not drift silently.
     */
   def foldDocSegments(spark: SparkSession, docsPath: String): Unit = {
     val folded = docFoldedThrough(docsPath)

@@ -139,6 +139,31 @@ class FsSpec extends SparkSpecBase {
       "mock-scheme store diverged from the local-FS store")
   }
 
+  test("EVERY standing store builds and serves through a non-local store root: " +
+    "openStores on mockfs registers all nine views and the SQL surface answers " +
+    "identically to the default-root engine") {
+    mockReady
+    // a FRESH session so the mock store root lives in ITS conf (and its
+    // temp-view catalog) without touching the shared session's stores
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.storeRoot", s"mockfs:$tmp/store_root_all")
+    GraftSession.openStores(s2, sfDir)
+    val views = Seq("graft_postings", "graft_docstats", "graft_search_meta",
+      "graft_term_dict", "graft_latency_sketch", "graft_daily_rollup",
+      "graft_shingle_pairs", "graft_pq_codebook", "graft_pq_codes")
+    views.foreach { v =>
+      assert(s2.table(v).count() > 0, s"view $v empty through the mock scheme")
+    }
+    // the served SQL search through the mock-scheme store answers exactly
+    // like the same query against the default-root store
+    val got = graft.engine.LogOps.sqlSearchServed.build(s2, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    val want = graft.engine.LogOps.sqlSearchServed.build(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === want && got.nonEmpty,
+      "mock-scheme SQL surface diverged from the default-root engine")
+  }
+
   test("Stores registry end-to-end off the local FS: spark.graft.storeRoot " +
     "targets the mock scheme and probes answer identically") {
     mockReady

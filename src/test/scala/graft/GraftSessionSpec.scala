@@ -158,4 +158,38 @@ class GraftSessionSpec extends SparkSpecBase {
     GraftSession.openStores(s2, sfDir, refresh = true)
     assert(s2.sql("SELECT n_docs FROM graft_search_meta").head.getLong(0) > 0)
   }
+
+  test("openStores follows the MOST RECENT corpus: the graft_* views are one " +
+    "session namespace, so reopening an earlier dir re-registers instead of " +
+    "early-returning against the other corpus's views") {
+    import org.apache.spark.sql.functions.col
+    val s3 = spark.newSession()
+    def nDocs = s3.sql("SELECT n_docs FROM graft_search_meta").head.getLong(0)
+    GraftSession.openStores(s3, sfDir)
+    val aDocs = nDocs
+    // corpus B: byte-identical tables except documents halved
+    val bDir = java.nio.file.Files.createTempDirectory("graft-corpusB").toString
+    val src = java.nio.file.Paths.get(sfDir)
+    java.nio.file.Files.list(src).forEach { t =>
+      if (t.getFileName.toString != "documents.parquet") {
+        val dstRoot = java.nio.file.Paths.get(bDir)
+        java.nio.file.Files.walk(t).forEach { p =>
+          val d = dstRoot.resolve(src.relativize(p))
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.createDirectories(d)
+          else java.nio.file.Files.copy(p, d): Unit
+        }
+      }
+    }
+    s3.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 2 === 0)
+      .write.parquet(s"$bDir/documents.parquet")
+    GraftSession.openStores(s3, bDir)
+    val bDocs = nDocs
+    assert(bDocs > 0 && bDocs < aDocs, s"corpus B not distinguishable: $bDocs vs $aDocs")
+    // the regression this pins: a per-dir memo SET would early-return here
+    // and leave every view pointed at corpus B
+    GraftSession.openStores(s3, sfDir)
+    assert(nDocs === aDocs, "reopening corpus A served corpus B's views")
+  }
 }

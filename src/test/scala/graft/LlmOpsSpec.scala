@@ -681,6 +681,33 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(math.abs(got(1)._3) < 1.0)
   }
 
+  test("embed corr pairs: null vectors are skipped (the oracle's unnest-of-NULL " +
+    "behavior) and an empty corpus answers empty, not a crash") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb-null").toString
+    Seq(
+      (1L, Option(Array(1f, 2f, 3f)), 0),
+      (2L, Option.empty[Array[Float]], 0), // NULL embedding row
+      (3L, Option(Array(2f, 4f, 5f)), 0),
+      (4L, Option(Array(3f, 6f, 9f)), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = LlmOps.embedCorrPairs.build(spark, dir)
+      .select("d_i", "d_j", "corr_v")
+      .as[(Long, Long, Double)].collect().toSeq
+    // the 3 non-null rows: dims 0 and 1 are exactly proportional → corr 1
+    assert(got.length === 3)
+    assert(got.head === ((0L, 1L, 1.0)))
+    // a corpus with NO usable vectors (all null) → empty answer with the
+    // right schema, exercising the None branch of the dimension probe
+    val emptyDir = java.nio.file.Files.createTempDirectory("graft-emb-empty").toString
+    Seq((1L, Option.empty[Array[Float]], 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$emptyDir/embeddings.parquet")
+    val empty = LlmOps.embedCorrPairs.build(spark, emptyDir)
+    assert(empty.columns.toSeq === Seq("d_i", "d_j", "corr_v"))
+    assert(empty.count() === 0)
+  }
+
   test("dup-span fraction: shared 5-grams count, short docs drop out") {
     val dir = docsDir(Seq(
       (1L, "a b c d e f"),     // grams: "a b c d e", "b c d e f"

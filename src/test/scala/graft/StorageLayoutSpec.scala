@@ -562,6 +562,14 @@ class StorageLayoutSpec extends SparkSpecBase {
     graft.sources.Sinks.writePostings(d1.unionByName(d2), dir, buckets = 16)
     graft.sources.Sinks.compactPostings(spark, dir) // GC only: nothing to fold
     val before = graft.sources.Sinks.storeDocstats(spark, dir).count()
+    // LIVENESS of a genuine replay whose segment the GC already retired
+    // (crash before the checkpoint commit, maintenance while down): b=0
+    // is gone and folded_through == 0, so batchId == watermark — this
+    // must proceed as a harmless invisible rewrite, never wedge the
+    // stream. Fresh-checkpoint misuse is only ids STRICTLY below.
+    graft.sources.Sinks.ingestPostingsSegment(spark, dir, d2, batchId = 0L)
+    assert(graft.sources.Sinks.storeDocstats(spark, dir).count() === before,
+      "replayed-at-watermark segment leaked into visibility")
     graft.sources.Sinks.refreshPostings(spark, dir, d3)
     // the refreshed docs are VISIBLE now…
     assert(graft.sources.Sinks.storeDocstats(spark, dir).count() ===
