@@ -72,18 +72,20 @@ object Bench {
     val loadWaitSec = sys.env.get("SPARK_GRAFT_BENCH_LOAD_WAIT")
       .flatMap(_.toIntOption).getOrElse(600)
     val waitStart = System.nanoTime()
-    while (loadAvg1.exists(_ > loadMax) &&
+    var loadNow = loadAvg1 // one read per iteration: log what actually gated
+    while (loadNow.exists(_ > loadMax) &&
         (System.nanoTime() - waitStart) / 1e9 < loadWaitSec) {
       System.err.println(
-        s"bench: 1-min loadavg ${loadAvg1.get} > $loadMax — waiting up to " +
+        s"bench: 1-min loadavg ${loadNow.get} > $loadMax — waiting up to " +
           s"${loadWaitSec}s for the box to quiet")
       Thread.sleep(15000)
+      loadNow = loadAvg1
     }
     // The warn flag keys on the PRE-RUN reading: by record time the
     // suite's own 32 threads have inflated the 1-min average, which says
     // nothing about external contention — the thing the flag exists to
     // disclose.
-    val loadAtStart = loadAvg1
+    val loadAtStart = loadNow
     // Warmup (untimed): one pass over the suite, so the timed pass measures
     // steady-state execution, not one-time JVM costs — classloading alone
     // is multi-second noise (first get_json_object call in a fresh JVM

@@ -468,15 +468,17 @@ object Soak {
       val foldEvery = 4
       for (b <- 0 until batches) {
         val slice = stream.filter(pmod(col("doc_id") / 10, lit(batches)) === b)
-        val (_, ti) = timed(graft.streaming.Streaming.shinglePairsIngestBatch(
+        // the ingest step returns the post-batch visible count from its own
+        // directory snapshot — no extra listing to decide the fold
+        val (visible, ti) = timed(graft.streaming.Streaming.shinglePairsIngestBatch(
           base, slice, pairs, segDocs, b))
-        val folded =
-          if (graft.streaming.Streaming.visibleDocSegmentCount(segDocs) >= foldEvery) {
+        val (segs, folded) =
+          if (visible >= foldEvery) {
             val (_, tf) = timed(
               graft.streaming.Streaming.foldDocSegments(spark, segDocs))
-            f" fold=$tf%6.2f s"
-          } else ""
-        val segs = graft.streaming.Streaming.visibleDocSegmentCount(segDocs)
+            (graft.streaming.Streaming.visibleDocSegmentCount(segDocs),
+              f" fold=$tf%6.2f s")
+          } else (visible, "")
         val (n, tq) = timed(spark.read.parquet(pairs)
           .filter(col("jaccard") >= 0.5).count())
         println(f"STREAMINGEST pairs ingest b=$b%2d $ti%6.2f s segs=$segs%2d " +

@@ -34,6 +34,14 @@ import org.apache.spark.sql.expressions.UserDefinedFunction
   * add, so map-side combine works exactly like a built-in agg. At 100 TB
   * the plan is unchanged: corpus-linear scan, partitions × one buffer over
   * the wire, d² driver-side finish.
+  *
+  * Null contract: whole-null vectors must be filtered UPSTREAM (the
+  * caller does — matching the oracle's unnest-of-NULL skip), and a null
+  * ELEMENT inside a vector fails LOUDLY at the input encoder rather than
+  * silently skewing n. Per-element-null corpora would need per-PAIR
+  * counts (each pair sees a different n) — the one shape this flat
+  * buffer deliberately does not model; clean such data upstream, as the
+  * error message directs.
   */
 class CorrComomentAgg(val d: Int) extends Aggregator[Seq[Double], Array[Double], Seq[Double]] {
   private val len = 1 + d + d * (d + 1) / 2

@@ -94,7 +94,17 @@ private[graft] object Fs {
     *  - HDFS and other remote schemes: `FileContext.rename(...,
     *    OVERWRITE)`, a single atomic namenode operation.
     */
-  def writeTextAtomic(p: String, content: String): Unit = {
+  def writeTextAtomic(p: String, content: String): Unit =
+    writeAtomic(p)(_.write(content.getBytes("UTF-8")))
+
+  /** [[writeTextAtomic]]'s generic form: `fill` streams the new content
+    * into the staged temp file, and the same strongest-available rename
+    * replaces the destination — the shared primitive behind the BASE
+    * pointer swap (text) and the Bloom store's binary rewrite, so a
+    * reader of either sees old bytes or new bytes, never a truncated
+    * file.
+    */
+  private[graft] def writeAtomic(p: String)(fill: java.io.OutputStream => Unit): Unit = {
     val (fs, path) = resolve(p)
     val tmp = new Path(p + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
     // On the local scheme, create the temp through the RAW (checksum-free)
@@ -105,8 +115,7 @@ private[graft] object Fs {
       case l: org.apache.hadoop.fs.LocalFileSystem => l.getRawFileSystem.create(tmp, true)
       case other => other.create(tmp, true)
     }
-    out.write(content.getBytes("UTF-8"))
-    out.close()
+    try fill(out) finally out.close()
     // Branch on the filesystem's SCHEME, not its class: a test FileSystem
     // backed by RawLocal but registered under a non-local scheme must take
     // the remote branch — that is how FsSpec covers the FileContext path

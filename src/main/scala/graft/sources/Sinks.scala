@@ -418,7 +418,9 @@ object Sinks {
     val (cur, prev) = readBasePointer(path)
     if (cur.isEmpty && prev.isEmpty) return // nothing ever committed
     val retain = spark.conf.getOption("spark.graft.genRetention")
-      .map(_.trim.toInt).getOrElse(1).max(1)
+      .map(v => v.trim.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"spark.graft.genRetention must be an integer, got '$v'")))
+      .getOrElse(1).max(1)
     val retired = Fs.listSubdirs(path).map(_._1)
       .filter(n => n.startsWith("gen-") && !cur.contains(n))
       .sortBy(genNumber(_).getOrElse(-1L)).reverse // newest retiree first
@@ -436,8 +438,14 @@ object Sinks {
     val folds = keep.toSeq
       .filter(g => Fs.exists(s"$path/$g/meta")) // tolerate a torn manual delete
       .map { g =>
-        spark.read.parquet(s"$path/$g/meta")
-          .select("folded_through").head().getLong(0)
+        // generation meta is immutable — serve the watermark from the same
+        // memo postingsView fills, instead of one driver parquet job per
+        // kept generation per maintenance op
+        genMetaCache.getOrElseUpdate(Fs.qualify(s"$path/$g"), {
+          val r = spark.read.parquet(s"$path/$g/meta")
+            .select("n_docs", "sum_dl", "buckets", "folded_through").head()
+          (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))
+        })._4
       }
     if (folds.isEmpty) return
     val minFolded = folds.min
@@ -1036,14 +1044,19 @@ object Sinks {
     * ~1.2 MB regardless of corpus scale (sized from the eval-set capacity,
     * never the train side), so the store is one small binary any ingest
     * job broadcasts.
+    *
+    * The payload lands through [[Fs.writeAtomic]] (staged temp + the
+    * strongest rename the scheme offers), so a REWRITE of a standing
+    * store — [[refreshBloomFilter]], and the streaming
+    * [[graft.streaming.Streaming.startBloomSink]] on every batch — can
+    * never leave a truncated bloom.bin: a crash mid-rewrite leaves the
+    * previous bytes fully intact, which matters on the streaming path
+    * where earlier batches' bits exist nowhere else to rebuild from.
     */
   def writeBloomFilter(bf: org.apache.spark.util.sketch.BloomFilter, path: String,
                        conf: org.apache.hadoop.conf.Configuration): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/bloom.bin")
-    val fs = p.getFileSystem(conf)
-    val out = fs.create(p, true)
-    try bf.writeTo(out) finally out.close()
-    fs.create(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS"), true).close()
+    Fs.writeAtomic(s"$path/bloom.bin")(bf.writeTo)
+    Fs.touch(s"$path/_SUCCESS")
   }
 
   /** Deserialize a [[writeBloomFilter]] store. */
@@ -1065,12 +1078,13 @@ object Sinks {
     * is idempotent), so this one needs no exactly-once contract.
     * Rewrite cost is the fixed filter size, never corpus size.
     *
-    * Crash-safe under the store's "completion marker written LAST"
-    * contract: the standing `_SUCCESS` is DELETED before the payload
-    * rewrite starts and recreated only after the merged bytes are fully
-    * on disk (inside [[writeBloomFilter]]), so a crash mid-rewrite leaves
-    * a marker-less store that [[graft.sources.Stores]] rebuilds instead
-    * of a truncated filter readers would trust.
+    * Crash-safe WITHOUT a marker dance: the merged bytes replace
+    * `bloom.bin` atomically (staged temp + rename inside
+    * [[writeBloomFilter]]), so a crash at any point leaves the standing
+    * bytes fully readable — strictly better than the earlier
+    * delete-marker-then-rewrite protocol, whose recovery (a marker-less
+    * store rebuilt from the corpus) does not exist on the streaming path
+    * where only the stream ever saw the earlier batches.
     */
   def refreshBloomFilter(spark: org.apache.spark.sql.SparkSession, path: String,
                          newItems: DataFrame, itemCol: String,
@@ -1079,8 +1093,6 @@ object Sinks {
     val conf = spark.sparkContext.hadoopConfiguration
     val standing = readBloomFilter(path, conf)
     standing.mergeInPlace(newItems.stat.bloomFilter(itemCol, expectedItems, fpp))
-    val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
-    marker.getFileSystem(conf).delete(marker, false)
     writeBloomFilter(standing, path, conf)
   }
 

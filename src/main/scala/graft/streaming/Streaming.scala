@@ -864,20 +864,25 @@ object Streaming {
     // strictly-before: replays re-derive the same existing set, and the
     // batch can never pair against its own just-landed segment. A replay
     // that lands AFTER its batch was folded (crash between fold and the
-    // checkpoint commit) reads the folded base instead — a superset
-    // containing its own docs, which is still idempotent: every re-derived
-    // pair is already standing (the refresh anti-join drops it) and
-    // self-pairs are excluded in the delta itself.
+    // checkpoint commit) reads the folded base — a superset containing
+    // its own docs — so the batch's doc_ids are anti-joined OUT of the
+    // existing side: the delta's df census then counts every shingle
+    // exactly as the original run did (a lingering batch copy would
+    // inflate dfs and, at a binding cap boundary, flip a keep-set
+    // decision into pairs no crash-free run produced). With the batch
+    // excluded, the re-derived delta is identical and the standing-key
+    // anti-join drops all of it — idempotent in every cap regime.
     val committed = committedDocSegments(docsPath)
     val prior = committed.filter(p => p._1 > folded && p._1 < batchId)
     val foldedBase =
       if (folded < 0) Nil
       else Seq(spark.read.parquet(s"$docsPath/base/v=$folded/data"))
+    val batchDocs = spark.read.parquet(s"$seg/data")
     val existing = ((baseDocs +: foldedBase) ++
       prior.map(p => spark.read.parquet(s"${p._2}/data")))
       .reduce(_ unionByName _)
-    graft.sources.Sinks.refreshShinglePairs(spark, pairsPath, existing,
-      spark.read.parquet(s"$seg/data"))
+      .join(batchDocs.select("doc_id"), Seq("doc_id"), "left_anti")
+    graft.sources.Sinks.refreshShinglePairs(spark, pairsPath, existing, batchDocs)
     // visible count AFTER this batch (`committed` was listed after the
     // segment landed, so it is included) — the auto-fold trigger input
     committed.count(_._1 > folded)
