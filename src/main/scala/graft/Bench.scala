@@ -14,8 +14,9 @@ import org.apache.spark.sql.SparkSession
   * registry instead.
   */
 object Bench {
-  /** name → BASELINE.md row it mirrors. */
-  private val headline = Seq(
+  /** name → BASELINE.md row it mirrors (shared with Soak's §6l
+    * headline-scale sweep so the two suites can never drift apart). */
+  private[graft] val headline = Seq(
     "sel_project"         -> "scan_count",
     "agg_pricing_summary" -> "q1_pricing_summary",
     "join_broadcast_dim"  -> "join3_agg",
@@ -86,6 +87,51 @@ object Bench {
     // nothing about external contention — the thing the flag exists to
     // disclose.
     val loadAtStart = loadNow
+    // Calibration probe (SPARK_GRAFT_BENCH_CALIBRATE=0 disables): two
+    // FIXED-work measurements recorded with every artifact — a
+    // single-threaded integer spin (pure CPU epoch: hypervisor co-tenancy
+    // and frequency state, invisible to loadavg) and a fixed synthetic
+    // parquet scan-aggregate (the Spark engine + IO epoch). The r10→r11
+    // full-registry comparison looked like a 24% regression until a
+    // same-hour scratch-clone A/B proved the BOX had changed speed, not
+    // the code (SCALE.md §6k(3)); with these two constants in each
+    // artifact, any cross-round total can be epoch-normalized by the
+    // calibration ratio instead of a rebuild-and-rerun adjudication.
+    // Runs AFTER the load gate (measures the quiesced box the suite sees)
+    // and BEFORE warmup (the synthetic scan also pre-touches the reader
+    // path). Medians of 3.
+    val calibrate = sys.env.get("SPARK_GRAFT_BENCH_CALIBRATE").forall(_ != "0")
+    val calibration: Option[(Double, Double)] = if (!calibrate) None else {
+      def med3(f: () => Unit): Double = {
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+        }.sorted
+        ts(1)
+      }
+      var acc = 0L // escapes the loop so the JIT cannot elide it
+      def spin(): Unit = {
+        var x = 0x9E3779B97F4A7C15L
+        var i = 0
+        while (i < 1500000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+        acc ^= x
+      }
+      // fixed synthetic table: 20M deterministic rows, written once per
+      // machine (untimed) — spark.range is bit-deterministic, so every
+      // round scans identical work regardless of the corpus under test
+      val calibDir = s"${sys.props("java.io.tmpdir")}/graft_calib_v1"
+      if (!new java.io.File(s"$calibDir/_SUCCESS").exists())
+        spark.range(0L, 20000000L, 1L, 8)
+          .selectExpr("id", "(id * 2654435761) % 997 AS k")
+          .write.mode("overwrite").parquet(calibDir)
+      spark.read.parquet(calibDir).selectExpr("sum(k)").collect() // warm, untimed
+      val scanS = med3(() => {
+        spark.read.parquet(calibDir).selectExpr("sum(k)", "count(*)").collect(): Unit
+      })
+      spin() // warm, untimed (C2 compile)
+      val spinS = med3(() => spin())
+      if (acc == Long.MinValue) System.err.println("calibration sentinel")
+      Some((spinS, scanS))
+    }
     // Warmup (untimed): one pass over the suite, so the timed pass measures
     // steady-state execution, not one-time JVM costs — classloading alone
     // is multi-second noise (first get_json_object call in a fresh JVM
@@ -202,9 +248,12 @@ object Bench {
         s""""procs_running":${rt(0)},"procs_total":${rt(1)},""" +
         s""""load_warn":${loadAtStart.exists(_ > loadMax)}"""
     } catch { case _: Throwable => """"loadavg":null,"load_warn":false""" }
+    val calibJson = calibration.fold("null") { case (spinS, scanS) =>
+      s"""{"cpu_spin_s":$spinS,"scan_s":$scanS}"""
+    }
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""errors":$errs,"flaky":$flaky,"rebenched":$rebenched,"valid":${valid.size},"invalid":${results.size - valid.size},$loadCtx,"sf":"$sfDir"}"""
+        s""""errors":$errs,"flaky":$flaky,"rebenched":$rebenched,"valid":${valid.size},"invalid":${results.size - valid.size},"calibration":$calibJson,$loadCtx,"sf":"$sfDir"}"""
     println(line)
     // sbt prefixes stdout with [info], which breaks machine parsing of the
     // JSON line. Emit it through two prefix-free channels as well: a file

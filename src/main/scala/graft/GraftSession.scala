@@ -57,6 +57,10 @@ object GraftSession {
     *    metadata: BM25 length normalizer + facet dimensions.
     *  - `graft_search_meta` (n_docs, avgdl, buckets) — one-row corpus
     *    stats + the store's bucket modulus.
+    *  - `graft_store_health` (current_gen, gen_seq, folded_through,
+    *    visible_segments, retired_generations_on_disk, gen_retention,
+    *    n_docs) — one-row operational snapshot; alarm when `gen_seq`
+    *    advances ≥ `gen_retention` within a probe's lifetime.
     *  - `graft_term_dict` (tok, df, cf) — vocabulary with document /
     *    collection frequencies, LSM base + delta merged at view time.
     *  - `graft_latency_sketch` (event_type, bucket, n, day) — DDSketch
@@ -66,8 +70,9 @@ object GraftSession {
     *    materialized daily aggregate.
     *  - `graft_shingle_pairs` (id_a, id_b, jaccard) — the standing
     *    near-dup pair set.
-    *  - `graft_pq_codebook` / `graft_pq_codes` — the IVF-PQ ANN index
-    *    halves (centroid table + encoded corpus).
+    *  - `graft_pq_centroids` / `graft_pq_codebook` / `graft_pq_codes` —
+    *    the IVF-PQ ANN index thirds (coarse cells for probe ranking +
+    *    per-subspace codebook + the cell-partitioned encoded corpus).
     */
   def openStores(spark: SparkSession, dir: String,
                  refresh: Boolean = false): SparkSession = {
@@ -104,6 +109,11 @@ object GraftSession {
     // generation's meta + visible segments' segmeta at open time
     sources.Sinks.storeMeta(spark, post)
       .createOrReplaceTempView("graft_search_meta")
+    // operational one-row health snapshot (generation seq, fold watermark,
+    // retention window) — what a monitoring query alarms on; see
+    // Sinks.storeHealth for the snapshot-age rule it makes checkable
+    sources.Sinks.storeHealth(spark, post)
+      .createOrReplaceTempView("graft_store_health")
     val td = sources.Stores.termDict(spark, dir)
     // the probeTermDict read half of the LSM discipline — ONE shared
     // merge definition, so view and programmatic probe can never diverge
@@ -115,7 +125,15 @@ object GraftSession {
       .createOrReplaceTempView("graft_daily_rollup")
     spark.read.parquet(sources.Stores.shinglePairs(spark, dir))
       .createOrReplaceTempView("graft_shingle_pairs")
+    // the WRITE half of the SQL surface: DSv2 stored procedures under the
+    // `graft` catalog (CALL graft.refresh_postings(...) et al.) — set
+    // here so one openStores call completes both faces; the catalog is
+    // instantiated lazily on first CALL
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[sources.GraftProcedureCatalog].getName)
     val pq = sources.Stores.pqIndex(spark, dir)
+    spark.read.parquet(s"$pq/centroids")
+      .createOrReplaceTempView("graft_pq_centroids")
     spark.read.parquet(s"$pq/codebook")
       .createOrReplaceTempView("graft_pq_codebook")
     spark.read.parquet(s"$pq/codes")

@@ -124,6 +124,38 @@ object Soak {
       }.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     }
 
+    // TPC-H facts for the §6l headline-scale sweep (SOAK_TABLES=lineitem,
+    // orders,customer): key shifts keep every join consistent per replica
+    // (orders.o_custkey lands on the replica's shifted customers,
+    // lineitem.l_orderkey on its shifted orders); part/supplier/nation/
+    // region stay verbatim copies — dimension tables don't grow with the
+    // corpus at 100 TB either, and the replicas sharing them preserves the
+    // broadcast-dim plan shape under test.
+    if (tables("customer") || tables("orders") || tables("lineitem")) {
+      val cust = spark.read.parquet(s"$src/customer.parquet")
+      val ord = spark.read.parquet(s"$src/orders.parquet")
+      val li = spark.read.parquet(s"$src/lineitem.parquet")
+      val custShift = cust.agg(max("c_custkey")).head.getLong(0) + 1
+      val ordShift = ord.agg(max("o_orderkey")).head.getLong(0) + 1
+      if (tables("customer"))
+        replicate(cust, factor) { (d, rep) =>
+          d.withColumn("c_custkey", col("c_custkey") + rep * lit(custShift))
+        }.write.mode("overwrite").parquet(s"$dir/customer.parquet")
+      if (tables("orders"))
+        replicate(ord, factor) { (d, rep) =>
+          d.withColumn("o_orderkey", col("o_orderkey") + rep * lit(ordShift))
+            .withColumn("o_custkey", col("o_custkey") + rep * lit(custShift))
+        }.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      if (tables("lineitem"))
+        replicate(li, factor) { (d, rep) =>
+          d.withColumn("l_orderkey", col("l_orderkey") + rep * lit(ordShift))
+        }.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      Seq("region", "nation", "supplier", "part").foreach { t =>
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+      }
+    }
+
     // SPARK_GRAFT_SOAK_ONLY=a,b,c restricts the run to the named queries
     // (dev loop for newly added heavy ops; unset = the full list).
     val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
@@ -483,6 +515,36 @@ object Soak {
           .filter(col("jaccard") >= 0.5).count())
         println(f"STREAMINGEST pairs ingest b=$b%2d $ti%6.2f s segs=$segs%2d " +
           f"probe=$tq%5.2f s store_rows=$n$folded")
+      }
+    }
+
+    // §6l: HEADLINE-SCALE sweep (SPARK_GRAFT_SOAK_ONLY=headline_scale,
+    // SOAK_TABLES=events,documents,embeddings,customer,orders,lineitem,
+    // DOC_MODE=tag EMB_MODE=rotate): the 10 driver-bench headliners plus
+    // the 5 most expensive r11 registry queries, timed (median of 3 after
+    // one warm run) against the replicated dir. Run once at FACTOR=1 and
+    // once at FACTOR=10 (≈ sf1.0) and the per-query scaling exponent is
+    // log10(t₁₀/t₁) — the size-dependence the sf0.1 gate cannot see;
+    // 1.0 = linear, ≫1 = a plan that would not survive the next 100×.
+    if (only.exists(_.contains("headline_scale"))) {
+      val names = Bench.headline.map(_._1) ++ Seq(
+        "sql_parts_supplier_count", "log_pagerank_types",
+        "sql_recursive_reach", "sql_min_cost_supplier", "llm_ann_ivfpq")
+      names.foreach { name =>
+        val fn = SparkEntry.queries(name)
+        val warm = try fn(spark, dir).count() catch { case e: Throwable =>
+          println(f"HEADLINESCALE $name%-24s FAILED: ${String.valueOf(e.getMessage).take(120)}")
+          -1L
+        }
+        if (warm >= 0) {
+          val ts = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            fn(spark, dir).count()
+            (System.nanoTime() - t0) / 1e9
+          }.sorted
+          println(f"HEADLINESCALE $name%-24s f=$factor%3d med=${ts(1)}%8.3f s " +
+            f"min=${ts.head}%8.3f s rows=$warm")
+        }
       }
     }
 

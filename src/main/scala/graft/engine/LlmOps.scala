@@ -350,6 +350,132 @@ object LlmOps {
     cross.unionByName(prefixVerifiedPairs(shb, shingleJaccardThreshold))
   }
 
+  /** Shard count for the standing doc-side shingle index
+    * ([[shinglePairsDeltaSharded]]): postings are partitioned by
+    * `pmod(hash(sh), shingleShards)` (and a by-doc copy by
+    * `pmod(hash(doc_id), shingleShards)`), so a batch's delta join prunes
+    * to the shards its own shingles (and overlap doc_ids) touch. At 100 TB
+    * raise it so each shard stays a few GB — the constant tunes pruning
+    * grain only, never answers.
+    */
+  private[graft] val shingleShards = 16
+
+  /** [[shinglePairsDelta]] served from a STANDING doc-side shingle index
+    * instead of re-shingling the whole existing corpus per batch — the
+    * continuous-ingest hot path ([[graft.streaming.Streaming
+    * .startShinglePairsSink]]). Inputs are the store components the doc
+    * fold maintains next to the raw docs:
+    *
+    *  - `existPostings` (doc_id, sh, shard): distinct-per-doc-copy shingle
+    *    postings, partitioned by `shard = pmod(hash(sh), shingleShards)`
+    *  - `existByDoc` (doc_id, sh, dshard): the same rows partitioned by
+    *    `dshard = pmod(hash(doc_id), shingleShards)` — the sizes/overlap
+    *    lookup face
+    *  - `existCensus` (sh, df): the per-shingle posting counts, summed
+    *    over components (vocabulary-sized)
+    *
+    * Row-identical to `shinglePairsDelta(exist, batch)` where `exist` is
+    * the postings' source docs anti-joined on the batch ids (spec-pinned):
+    * the census is EXIST − overlap + batch by exact integer arithmetic,
+    * the keep cap uses the same `least(frac·n, abs)` spelling on the same
+    * distinct doc count, and every join/count/jaccard expression is the
+    * delta's own. Per-batch cost: batch shingling + a vocabulary-sized
+    * census merge + posting scans PRUNED to the batch's touched shingle
+    * shards (and the matched docs' dshards for sizes) + one slim
+    * distinct-id column pass for n_docs — never a corpus text re-shingle,
+    * never an unpruned posting scan. At 100 TB the postings would carry
+    * dictionary-coded shingle ids from the census instead of strings;
+    * the string spelling here keeps exactness trivially auditable.
+    */
+  private[graft] def shinglePairsDeltaSharded(existPostings: DataFrame,
+                                              existByDoc: DataFrame,
+                                              existCensus: DataFrame,
+                                              batch: DataFrame): DataFrame = {
+    val intEnc = org.apache.spark.sql.Encoders.scalaInt
+    val shb0 = bigramShingles(batch).localCheckpoint()
+    val batchIds = shb0.select("doc_id").distinct().localCheckpoint()
+    // overlap: batch doc_ids with standing copies (a replay landing after
+    // its segment was folded, or a re-ingested doc) — their standing
+    // postings leave the census and the join, exactly like the ingest
+    // path's anti-join of the existing DOCS on the batch ids. Pruned to
+    // the batch ids' dshards.
+    val dshards = batchIds
+      .select(pmod(hash(col("doc_id")), lit(shingleShards)).as("d"))
+      .distinct().as(intEnc).collect().toSeq
+    val overlapPost = existByDoc
+      .filter(col("dshard").isin(dshards: _*))
+      .join(broadcast(batchIds), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val overlapCensus = overlapPost.groupBy("sh").agg(count(lit(1)).as("dfo"))
+    val batchCensus = shb0.groupBy("sh").agg(count(lit(1)).as("dfb"))
+    // n_docs: distinct ids over (exist ∖ batch) ∪ batch — the one
+    // remaining whole-corpus touch, a single slim id column (today's
+    // unsharded delta re-reads and re-shingles every corpus BYTE instead)
+    val nDocs = existByDoc.select("doc_id")
+      .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
+      .unionByName(batchIds)
+      .agg(countDistinct("doc_id")).head().getLong(0)
+    val keep = existCensus
+      .join(overlapCensus, Seq("sh"), "left_outer")
+      .select(col("sh"), (col("df") - coalesce(col("dfo"), lit(0L))).as("dfe"))
+      .join(batchCensus, Seq("sh"), "full_outer")
+      .select(col("sh"),
+        (coalesce(col("dfe"), lit(0L)) + coalesce(col("dfb"), lit(0L))).as("df"))
+      .filter(col("df") > 0 &&
+        col("df") <= least(lit(shingleDfFrac) * lit(nDocs), lit(shingleDfAbs)))
+      .select("sh")
+      .localCheckpoint()
+    val shb = shb0.join(keep, Seq("sh"), "left_semi").localCheckpoint()
+    // touched shingle shards of the KEPT batch shingles: the existing-side
+    // posting scan reads only these partitions, and only rows whose sh the
+    // batch actually holds can survive the join
+    val shards = shb.select(pmod(hash(col("sh")), lit(shingleShards)).as("p"))
+      .distinct().as(intEnc).collect().toSeq
+    val existPruned = existPostings
+      .filter(col("shard").isin(shards: _*))
+      .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("xid"), col("sh"))
+    val inter = shb.select(col("doc_id").as("bid"), col("sh"))
+      .join(existPruned, Seq("sh"))
+      .groupBy("bid", "xid").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    // sizes of the MATCHED existing docs only: dshard-pruned by-doc
+    // lookup, keep-filtered — matched docs are batch-bounded, so the
+    // size pass is too
+    val matched = inter.select(col("xid").as("doc_id")).distinct().localCheckpoint()
+    val mshards = matched
+      .select(pmod(hash(col("doc_id")), lit(shingleShards)).as("d"))
+      .distinct().as(intEnc).collect().toSeq
+    val szx = existByDoc
+      .filter(col("dshard").isin(mshards: _*))
+      .join(broadcast(matched), Seq("doc_id"), "left_semi")
+      .join(keep, Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val szb = shb.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val jac = col("c").cast("double") / (col("bn") + col("xn") - col("c"))
+    val cross = inter
+      .join(szb.select(col("doc_id").as("bid"), col("n").as("bn")), Seq("bid"))
+      .join(szx.select(col("doc_id").as("xid"), col("n").as("xn")), Seq("xid"))
+      .filter(jac >= shingleJaccardThreshold)
+      .select(least(col("bid"), col("xid")).as("id_a"),
+        greatest(col("bid"), col("xid")).as("id_b"),
+        round(jac, 4).as("jaccard"))
+    cross.unionByName(prefixVerifiedPairs(shb, shingleJaccardThreshold))
+  }
+
+  /** The store components [[shinglePairsDeltaSharded]] consumes, derived
+    * from a docs relation — the shared writer-side definition
+    * ([[graft.streaming.Streaming]] materializes these per segment / seed
+    * / fold): (postings with `shard`, postings with `dshard`, census).
+    */
+  private[graft] def docShingleIndexOf(docs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val sh = bigramShingles(docs)
+    (sh.withColumn("shard", pmod(hash(col("sh")), lit(shingleShards))),
+      sh.withColumn("dshard", pmod(hash(col("doc_id")), lit(shingleShards))),
+      sh.groupBy("sh").agg(count(lit(1)).as("df")))
+  }
+
   /** [[shinglePairsOf]] over an arbitrary (doc_id, sh) shingle relation —
     * the shared core of the whole-corpus build and spec-level replays.
     *
@@ -976,6 +1102,24 @@ object LlmOps {
   val pqKs = 16
   private val pqRounds = 2
   private val pqShortlist = 100
+  /** Coarse-quantizer geometry for the IVF half of the index: every vector
+    * is assigned to its [[pqAssign]] nearest of [[pqCells]] k-means cells
+    * at BUILD time, and a query scans only its [[pqNprobe]] best cells —
+    * the FAISS IVF-PQ inverted-file structure that keeps the code-table
+    * scan sub-linear (flat PQ compresses the corpus 32× but still scans
+    * ALL of it per query batch; at ~1.5 B vectors/PB that is the
+    * difference between milliseconds and minutes). `pqAssign = 2` is
+    * SPANN-style boundary replication (Chen et al. 2021): a vector near a
+    * Voronoi boundary is indexed under both adjacent cells, which lifts
+    * the cell-stage recall ceiling at nprobe=6/16 from a measured 0.74
+    * (single assignment — under the 0.75 floor) to 0.89 on the fixture,
+    * for 2× code rows (the store stays 16× smaller than the floats) and
+    * an unchanged ~6/16 scan fraction.
+    */
+  val pqCells = 16
+  val pqNprobe = 6
+  val pqAssign = 2
+  private val pqCoarseRounds = 4
   /** Training budget: Lloyd rounds see at most this many vectors — the
     * md5-ranked deterministic sample, FAISS's max-points-per-centroid
     * discipline (a pqKs-centroid fit saturates at a few hundred points per
@@ -1009,18 +1153,21 @@ object LlmOps {
     * ([[knnCosine]]) — recall@10 vs that exact baseline is pinned
     * numerically in LlmOpsSpec.
     *
-    * Scale shape: codebook training and the one-time encode are the INDEX
-    * BUILD — the only shuffles, carrying (vec_id, sub, code) int triples,
-    * never vectors, and in production persisted like any index. The query
-    * path is the part that must stay cheap at 100 TB and does: the code
-    * table is scanned once, the ADC tables ride in as a 100-row broadcast
-    * (same discipline as [[knnCosine]]'s query side), and nothing
-    * corpus-sized shuffles. 10× more queries changes the broadcast, not
-    * the scan.
+    * Scale shape: codebook + coarse-centroid training and the one-time
+    * encode are the INDEX BUILD — the only shuffles, carrying (vec_id,
+    * cell, codes) rows, never vectors, and in production persisted like
+    * any index. The query path is the part that must stay cheap at
+    * 100 TB and now is on BOTH axes: the ADC tables ride in as a 100-row
+    * broadcast (the [[knnCosine]] query-side discipline), and the code
+    * scan itself is PRUNED by the IVF stage to the request's probed
+    * cells — ~nprobe/pqCells of the compressed corpus, not all of it
+    * (flat PQ's full scan was this operator's one corpus-linear edge;
+    * FAISS-style IVF-PQ exists precisely to remove it). 10× more queries
+    * changes the broadcast and the probed-cell union, not the corpus.
     */
   val annIvfPq = Q.noOracle("llm_ann_ivfpq") { (s, dir) =>
-    val (cb, codes) = pqTrainEncode(s, dir)
-    pqSearch(s, dir, cb, codes)
+    val (cents, cb, codes) = pqTrainEncode(s, dir)
+    pqSearch(s, dir, cents, cb, codes)
   }
 
   /** The PERSISTED-index lifecycle behind [[annIvfPq]]: the codebook +
@@ -1037,9 +1184,13 @@ object LlmOps {
     */
   val annIvfPqIndexed = Q.noOracle("llm_ann_ivfpq_indexed") { (s, dir) =>
     val path = graft.sources.Stores.pqIndex(s, dir)
+    val cents = s.read.parquet(s"$path/centroids")
     val cb = s.read.parquet(s"$path/codebook")
+    // the standing code table is PARTITIONED by coarse cell, so the
+    // request's literal cell IN-list lands in the scan's PartitionFilters
+    // — only the probed nprobe-of-pqCells partitions are read
     val codes = s.read.parquet(s"$path/codes")
-    pqSearch(s, dir, cb, codes)
+    pqSearch(s, dir, cents, cb, codes)
   }
 
   /** The plain-SQL face of the standing ANN index — what an ad-hoc user
@@ -1056,32 +1207,55 @@ object LlmOps {
     * driver-side from the codebook view with the exact float fold the
     * in-plan `aggregate(zip_with(…))` spelling performed (squared diffs
     * accumulated left-to-right in doubles; Double.toString/parse
-    * round-trips exactly), so the served plan is ONE inline-broadcast
-    * join over the code-table scan plus the `sequence(0, pqM−1)` fold
-    * whose fixed order pins float addition and the (approx_d2, vec_id)
-    * rank — transliterating [[pqAdcShortlist]] row-identically
-    * (spec-pinned), the same bit-for-bit discipline as
-    * `log_sql_search_served` / `log_sql_sketch_served`. Before r11 the
-    * tables were re-derived by three aggregation stages inside every
-    * served query — correct, but ~3× the latency of the one-join shape
-    * for a 10-vector request. No oracle for the same reason as its twins:
-    * the codebook is engine-local (md5-sampled driver Lloyd), so DuckDB
-    * cannot rederive the index; correctness is carried by the shortlist
-    * identity + the recall floors CI-pinned on the in-memory twin.
+    * round-trips exactly), and the request's probe CELLS ride in as a
+    * second (q_id, cell) VALUES relation whose union doubles as the
+    * literal IN-list that prunes the cell-partitioned code scan. The
+    * served plan is then two inline-broadcast HASH joins over the PRUNED
+    * code-table scan plus the `sequence(0, pqM−1)` fold whose fixed order
+    * pins float addition and the (approx_d2, vec_id) rank —
+    * transliterating [[pqAdcShortlist]] row-identically (spec-pinned,
+    * including the boundary-replication DISTINCT), the same bit-for-bit
+    * discipline as `log_sql_search_served` / `log_sql_sketch_served`.
+    * No oracle for the same reason as its twins: the codebook is
+    * engine-local (md5-sampled driver Lloyd), so DuckDB cannot rederive
+    * the index; correctness is carried by the shortlist identity + the
+    * recall floors CI-pinned on the in-memory twin.
     */
   val sqlAnnServed = Q.noOracle("llm_sql_ann_served") { (s, dir) =>
+    sqlAnnServedFor(s, dir, sqlAnnQueries)
+  }
+
+  /** [[sqlAnnServed]]'s body with the request size exposed — the spec pins
+    * the single-query case, where the probe union IS the nprobe cells and
+    * the partition-pruning claim is non-vacuous.
+    */
+  private[graft] def sqlAnnServedFor(s: SparkSession, dir: String,
+                                     nQueries: Long): DataFrame = {
     graft.GraftSession.openStores(s, dir)
     import s.implicits._
-    // the "request": 10 query vectors, normalized + sliced driver-side.
-    val qsv = pqNormSubvectors(s, dir).filter(col("vec_id") < sqlAnnQueries)
+    // the "request": the query vectors, normalized + sliced driver-side.
+    val qsv = pqNormSubvectors(s, dir).filter(col("vec_id") < nQueries)
       .select(col("vec_id"), col("sub"), col("sv"))
       .as[(Long, Int, Seq[Double])].collect().sortBy(t => (t._1, t._2))
+    // IVF stage, driver-side like the tabs: rank coarse cells per query
+    // from the standing centroids view (pqCells rows of index metadata)
+    // through the SAME pqProbes the programmatic shortlist uses. The
+    // probe pairs ride in as a second inline VALUES relation, and the
+    // request-wide cell union becomes a LITERAL IN-list on the code
+    // table — which constant-folds into the partitioned scan's
+    // PartitionFilters, so the served query reads only the probed
+    // nprobe-of-pqCells cell partitions.
+    val probes = pqProbes(s, dir, centsOf(s.table("graft_pq_centroids")),
+      nQueries)
+    val probeValues = probes
+      .map { case (q, cell) => s"(${q}L, $cell)" }.mkString(", ")
+    val cellInList = probes.map(_._2).distinct.sorted.mkString(", ")
     // The per-query ADC distance tables are INDEX-METADATA-sized (queries ×
     // pqM × k doubles — 1 280 here), so they are computed driver-side from
     // the standing codebook and inlined, rather than re-derived by three
     // aggregation stages inside every served query: the served plan is then
-    // ONE inline-broadcast join against the code-table scan plus the top-k
-    // window — interactive-latency shape. Bit-identity with the programmatic
+    // two inline-broadcast hash joins against the PRUNED code-table scan
+    // plus the top-k window — interactive-latency shape. Bit-identity with the programmatic
     // path is preserved because the Scala loop below replays the exact
     // float fold the old `aggregate(zip_with(…))` spelled — squared diffs
     // accumulated left-to-right in doubles — and Double.toString/parse
@@ -1109,12 +1283,16 @@ object LlmOps {
     s.sql(
       s"""WITH tabs (q_id, tabs) AS (VALUES
          |        $values),
+         |probes (q_id, cell) AS (VALUES $probeValues),
          |scored AS (
-         |  SELECT t.q_id, c.vec_id,
+         |  SELECT DISTINCT t.q_id, c.vec_id,
          |    aggregate(sequence(0, ${pqM - 1}), 0.0D,
          |      (acc, sub) -> acc + element_at(element_at(t.tabs, sub),
          |                                     element_at(c.codes, sub + 1))) AS approx_d2
-         |  FROM tabs t JOIN graft_pq_codes c ON c.vec_id <> t.q_id),
+         |  FROM tabs t
+         |  JOIN probes p ON p.q_id = t.q_id
+         |  JOIN graft_pq_codes c ON c.cell = p.cell AND c.vec_id <> t.q_id
+         |  WHERE c.cell IN ($cellInList)),
          |ranked AS (
          |  SELECT q_id, vec_id,
          |    ROW_NUMBER() OVER (PARTITION BY q_id
@@ -1153,12 +1331,14 @@ object LlmOps {
         slice(col("nv"), col("sub") * pqDsub + 1, lit(pqDsub)).as("sv"))
   }
 
-  /** The PQ INDEX BUILD: (codebook, encoded corpus). Split from the search
-    * path so the index can be persisted (`Sinks.writePqIndex`) and queries
-    * reuse it — the production lifecycle; the registered query re-trains
-    * per invocation only because a Q is a self-contained plan.
+  /** The IVF-PQ INDEX BUILD: (coarse centroids, codebook, encoded corpus
+    * with cells). Split from the search path so the index can be persisted
+    * (`Sinks.writePqIndex`) and queries reuse it — the production
+    * lifecycle; the registered query re-trains per invocation only
+    * because a Q is a self-contained plan.
     */
-  private[graft] def pqTrainEncode(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[graft] def pqTrainEncode(s: SparkSession,
+                                   dir: String): (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val sv = pqNormSubvectors(s, dir).localCheckpoint()
     // TRAINING SET: the pqTrainBudget vectors with smallest md5(vec_id) —
@@ -1182,8 +1362,60 @@ object LlmOps {
       .select(col("vec_id"), col("sub").cast("int"), col("sv"))
       .as[(Long, Int, Seq[Double])].collect()
     val cb = trainCodebookDriver(train).toDF("sub", "code", "c")
-    // Encode: the corpus as pqM-int code arrays — the persisted PQ index.
-    (cb, pqEncode(sv, cb))
+    val cents = trainCoarseDriver(train)
+    val centsDf = cents.toDF("cell", "c")
+    // Encode: the corpus as pqM-int code arrays, each replicated under its
+    // pqAssign coarse cells — the persisted IVF-PQ index.
+    (centsDf, cb, pqEncode(sv, cb).join(coarseCellsOf(s, dir, cents), Seq("vec_id")))
+  }
+
+  /** (vec_id, cell): each surviving vector's [[pqAssign]] nearest coarse
+    * cells, as a distributed pass with the centroids inlined as LITERALS
+    * (they are driver-trained index metadata — 16 × 64 doubles). The
+    * per-row work is [[pqCells]] fixed-order zip_with/aggregate folds plus
+    * an array_sort of (d2, cell) structs — fully deterministic, including
+    * ties (lowest cell wins), so refresh-encode ≡ rebuild-encode holds for
+    * the cell column exactly as it does for the codes.
+    */
+  private[graft] def coarseCellsOf(s: SparkSession, dir: String,
+                                   cents: Seq[(Int, Seq[Double])]): DataFrame =
+    coarseCellsOfEmb(Tables.embeddings(s, dir), cents)
+
+  private[graft] def coarseCellsOfEmb(emb: DataFrame,
+                                      cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val norm = vectors.l2Norm(col("embedding"))
+    val entries = cents.sortBy(_._1).map { case (cell, c) =>
+      struct(l2sqCol(col("nv"), typedlit(c)).as("d2"), lit(cell).as("cell"))
+    }
+    emb
+      .filter(norm > 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double") / norm).as("nv"))
+      .select(col("vec_id"),
+        explode(slice(array_sort(array(entries: _*)), 1, pqAssign)).as("bc"))
+      .select(col("vec_id"), col("bc.cell").as("cell"))
+  }
+
+  /** The full refresh-side encode: codes + coarse cells for an arbitrary
+    * (vec_id, embedding) frame against a STANDING codebook + centroids —
+    * what [[graft.sources.Sinks.refreshPqIndex]] routes an append batch
+    * through, so a refreshed batch can never normalize, slice, code, or
+    * cell-assign differently from the original build pass.
+    */
+  private[graft] def pqEncodeWithCells(emb: DataFrame, cb: DataFrame,
+                                       cents: Seq[(Int, Seq[Double])]): DataFrame =
+    pqEncode(pqNormSubvectorsOf(emb), cb)
+      .join(coarseCellsOfEmb(emb, cents), Seq("vec_id"))
+
+  /** Collect a (cell, c) centroids frame back to the driver in cell order
+    * — index metadata ([[pqCells]] rows), shared by every query path that
+    * ranks probe cells.
+    */
+  private[graft] def centsOf(centsDf: DataFrame): Seq[(Int, Seq[Double])] = {
+    val s = centsDf.sparkSession
+    import s.implicits._
+    centsDf.select(col("cell").cast("int"), col("c").cast("array<double>"))
+      .as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
   }
 
   /** Driver-side half of the PQ build: per-subspace k-means over the
@@ -1204,38 +1436,72 @@ object LlmOps {
       val pts: Array[(Long, Array[Double])] = train.iterator
         .filter(_._2 == sub).map(t => (t._1, t._3.toArray)).toArray.sortBy(_._1)
       val byId = pts.toMap
-      var cents: Array[Array[Double]] = seedIds.map(byId)
-      for (_ <- 1 to pqRounds) {
-        val sums = Array.fill(cents.length)(new Array[Double](pqDsub))
-        val cnts = new Array[Long](cents.length)
-        for ((_, v) <- pts) {
-          var best = 0
-          var bestD = Double.MaxValue
-          var c = 0
-          while (c < cents.length) {
-            var d = 0.0
-            var i = 0
-            while (i < pqDsub) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
-            if (d < bestD) { bestD = d; best = c } // strict < = lowest-code tiebreak
-            c += 1
-          }
-          var i = 0
-          while (i < pqDsub) { sums(best)(i) += v(i); i += 1 }
-          cnts(best) += 1
-        }
-        cents = cents.indices.map { c =>
-          if (cnts(c) == 0) cents(c)
-          else {
-            val m = new Array[Double](pqDsub)
-            var i = 0
-            while (i < pqDsub) { m(i) = sums(c)(i) / cnts(c); i += 1 }
-            m
-          }
-        }.toArray
-      }
+      val cents = lloydDriver(pts, seedIds.map(byId), pqRounds, pqDsub)
       for (c <- cents.indices) out += ((sub, c, cents(c).toSeq))
     }
     out.toSeq
+  }
+
+  /** The shared driver-side Lloyd loop behind [[trainCodebookDriver]]
+    * (pqDsub-dim subvectors, one run per subspace) and
+    * [[trainCoarseDriver]] (full-dim coarse cells): assign every point to
+    * its nearest centroid with lowest-index tiebreak (strict `<`), then
+    * recompute means in deterministic point order; an empty centroid
+    * keeps its previous value so no code/cell index is ever lost.
+    */
+  private def lloydDriver(pts: Array[(Long, Array[Double])],
+                          seeds: Array[Array[Double]], rounds: Int,
+                          dim: Int): Array[Array[Double]] = {
+    var cents = seeds
+    for (_ <- 1 to rounds) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val cnts = new Array[Long](cents.length)
+      for ((_, v) <- pts) {
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          var d = 0.0
+          var i = 0
+          while (i < dim) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c } // strict < = lowest-index tiebreak
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        cnts(best) += 1
+      }
+      cents = cents.indices.map { c =>
+        if (cnts(c) == 0) cents(c)
+        else {
+          val m = new Array[Double](dim)
+          var i = 0
+          while (i < dim) { m(i) = sums(c)(i) / cnts(c); i += 1 }
+          m
+        }
+      }.toArray
+    }
+    cents
+  }
+
+  /** Coarse-cell training, driver-side on the SAME budget-capped md5
+    * sample the PQ codebook trains on: the sample's subvector rows are
+    * re-assembled into full normalized vectors (sub order restores the
+    * exact doubles) and [[pqCells]] centroids are Lloyd-fit over them —
+    * seeds are the first [[pqCells]] training vec_ids ascending, the
+    * surviving-seeds convention. Unit vectors make L2 ranking ≡ cosine
+    * ranking, so the cell a query probes first is the cell its true
+    * neighbors most likely live in.
+    */
+  private def trainCoarseDriver(
+      train: Array[(Long, Int, Seq[Double])]): Seq[(Int, Seq[Double])] = {
+    val full: Array[(Long, Array[Double])] = train.groupBy(_._1).toArray
+      .map { case (id, subs) => (id, subs.sortBy(_._2).flatMap(_._3.toArray)) }
+      .sortBy(_._1)
+    val byId = full.toMap
+    val seeds = full.map(_._1).sorted.take(pqCells).map(byId)
+    val cents = lloydDriver(full, seeds, pqCoarseRounds, pqM * pqDsub)
+    cents.indices.map(c => (c, cents(c).toSeq))
   }
 
   /** The ENCODE half of the PQ build, against a GIVEN codebook: nearest
@@ -1270,8 +1536,24 @@ object LlmOps {
     * and therefore every last-ulp tie — reproducible across both forms).
     */
   private[graft] def pqAdcShortlist(s: SparkSession, dir: String,
-                                    cb: DataFrame, codes: DataFrame,
+                                    cents: DataFrame, cb: DataFrame,
+                                    codes: DataFrame,
                                     maxQ: Long = 100): DataFrame = {
+    import s.implicits._
+    // IVF stage: rank the pqCells coarse cells per query DRIVER-SIDE (the
+    // centroids are 16×64-double index metadata; the queries are the
+    // bounded request batch every path here already treats as
+    // driver-held) and keep the best pqNprobe. Two artifacts come out:
+    // the per-query (q_id, cell) probe relation, and the REQUEST-WIDE
+    // literal cell IN-list — the latter constant-folds into the code
+    // scan's PartitionFilters, so a cell-partitioned standing code table
+    // reads only the probed partitions (the log_sql_search_served
+    // pruning pattern applied to vectors).
+    val cn = centsOf(cents)
+    val probes = pqProbes(s, dir, cn, maxQ)
+    val probeDf = probes.toDF("q_id", "cell")
+    val cellList = probes.map(_._2).distinct.sorted
+    val pruned = codes.filter(col("cell").isin(cellList: _*))
     // ADC tables: map<sub, map<code, ‖q_sub − c‖²>> per query, broadcast.
     val dtabs = pqNormSubvectors(s, dir).filter(col("vec_id") < maxQ)
       .select(col("vec_id").as("q_id"), col("sub"), col("sv").as("qsv"))
@@ -1284,22 +1566,54 @@ object LlmOps {
       // map build is insertion-order-independent anyway
       .agg(map_from_entries(collect_list(struct(col("sub"), col("sm")))).as("tabs"))
     // ADC scan → top-`pqShortlist` candidates per query in the COMPRESSED
-    // domain (the cheap part: pqM map lookups per pair, no float math)
+    // domain (the cheap part: pqM map lookups per pair, no float math).
+    // The probe join is a broadcast HASH join on cell (the old flat-PQ
+    // BNLJ is gone with the pruning); boundary-replicated vectors can
+    // reach one query through BOTH probed cells with bit-identical
+    // approx_d2 (same codes, same tabs), so the candidate set dedups on
+    // the full (q_id, vec_id, approx_d2) row before ranking.
     val wAdc = Window.partitionBy("q_id").orderBy(col("approx_d2").asc, col("vec_id").asc)
-    broadcast(dtabs)
-      .join(codes, col("vec_id") =!= col("q_id"))
+    broadcast(dtabs.join(probeDf, Seq("q_id")))
+      .join(pruned, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
       .withColumn("approx_d2",
         aggregate(sequence(lit(0), lit(pqM - 1)), lit(0.0),
           (acc, sub) => acc +
             element_at(element_at(col("tabs"), sub), element_at(col("codes"), sub + 1))))
+      .select("q_id", "vec_id", "approx_d2").distinct()
       .withColumn("arn", row_number().over(wAdc))
       .filter(col("arn") <= pqShortlist)
       .select("q_id", "vec_id", "arn")
   }
 
-  private[graft] def pqSearch(s: SparkSession, dir: String,
+  /** Per-query probe plan: each query's [[pqNprobe]] nearest coarse cells
+    * by centroid L2 (≡ cosine on unit vectors), lowest-cell tiebreak.
+    * Runs driver-side over the collected query subvectors (re-assembled
+    * into full vectors — sub order restores the exact doubles) — shared
+    * by the programmatic shortlist and the SQL face so the two can never
+    * rank probes differently.
+    */
+  private[graft] def pqProbes(s: SparkSession, dir: String,
+                              cents: Seq[(Int, Seq[Double])],
+                              maxQ: Long): Seq[(Long, Int)] = {
+    import s.implicits._
+    val qsv = pqNormSubvectors(s, dir).filter(col("vec_id") < maxQ)
+      .select(col("vec_id"), col("sub").cast("int"), col("sv"))
+      .as[(Long, Int, Seq[Double])].collect()
+    val centArr = cents.sortBy(_._1).map { case (cell, c) => (cell, c.toArray) }
+    qsv.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (q, subs) =>
+      val v = subs.sortBy(_._2).flatMap(_._3.toArray)
+      centArr.map { case (cell, c) =>
+        var d = 0.0; var i = 0
+        while (i < v.length) { val t = v(i) - c(i); d += t * t; i += 1 }
+        (d, cell)
+      }.sorted.take(pqNprobe).map { case (_, cell) => (q, cell) }
+    }
+  }
+
+  private[graft] def pqSearch(s: SparkSession, dir: String, cents: DataFrame,
                               cb: DataFrame, codes: DataFrame): DataFrame = {
-    val shortlist = pqAdcShortlist(s, dir, cb, codes).select("q_id", "vec_id")
+    val shortlist = pqAdcShortlist(s, dir, cents, cb, codes).select("q_id", "vec_id")
     // …then exact-cosine re-rank of the shortlist against the ORIGINAL
     // vectors — the FAISS refine step. Only queries × shortlist rows (not
     // the corpus) pay full-precision math; the fetch is a broadcast

@@ -92,6 +92,136 @@ object MultiModal {
     }
   }
 
+  final case class DecodedMeta(media_id: Long, kind: String, status: String,
+                               width: Option[Int], height: Option[Int],
+                               sample_rate: Option[Int], channels: Option[Int],
+                               brand: Option[String])
+
+  /** Rows whose payload is deliberately CORRUPTED before decode — the
+    * clean-error path every real media pipeline needs (a 100 TB crawl
+    * always contains truncated/mislabeled files, and one throwing row
+    * must not kill a 10⁶-row partition). Deterministic so the oracle can
+    * assert exactly which rows error.
+    */
+  def isCorrupt(mediaId: Long): Boolean = mediaId % 37 == 0
+
+  /** REAL decodable payloads for the decode seam: a minimal-but-VALID
+    * PNG (signature + IHDR with correct CRC32 + IEND) whose IHDR carries
+    * doc-derived width/height, a valid canonical WAVE header (RIFF +
+    * fmt chunk, PCM) carrying doc-derived sample rate/channels, and an
+    * MP4 `ftyp` box carrying the `isom` brand. Field values are pure
+    * functions of (doc_id, n_chars), so the oracle asserts the DECODED
+    * fields from the generation rule — the hash match then proves the
+    * JDK decoders extracted exactly what the writer encoded (encoder and
+    * decoder share no code: manual spec-offset byte packing vs
+    * javax.imageio / AudioSystem).
+    */
+  def decodablePayload(kind: String, nChars: Long): Array[Byte] = {
+    val bb = new java.io.ByteArrayOutputStream()
+    def be32(v: Int): Unit =
+      bb.write(Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte))
+    def le32(v: Int): Unit =
+      bb.write(Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte))
+    def le16(v: Int): Unit = bb.write(Array(v.toByte, (v >>> 8).toByte))
+    def ascii(s: String): Unit = bb.write(s.getBytes("US-ASCII"))
+    kind match {
+      case "image" =>
+        val w = imageWidth(nChars)
+        val h = imageHeight(nChars)
+        bb.write(Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a))
+        val ihdr = new java.io.ByteArrayOutputStream()
+        ihdr.write("IHDR".getBytes("US-ASCII"))
+        Seq(w, h).foreach { v =>
+          ihdr.write(Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte))
+        }
+        ihdr.write(Array[Byte](8, 2, 0, 0, 0)) // depth 8, truecolor, no interlace
+        val body = ihdr.toByteArray
+        be32(13); bb.write(body)
+        val crc = new java.util.zip.CRC32(); crc.update(body)
+        be32(crc.getValue.toInt)
+        be32(0); ascii("IEND"); be32(0xAE426082) // fixed IEND CRC
+      case "audio" =>
+        val rate = audioSampleRate(nChars)
+        val ch = audioChannels(nChars)
+        val dataLen = 8
+        ascii("RIFF"); le32(36 + dataLen); ascii("WAVE")
+        ascii("fmt "); le32(16); le16(1); le16(ch); le32(rate)
+        le32(rate * ch * 2); le16(ch * 2); le16(16) // byteRate, blockAlign, 16-bit
+        ascii("data"); le32(dataLen); bb.write(new Array[Byte](dataLen))
+      case _ =>
+        be32(16); ascii("ftyp"); ascii("isom"); be32(0)
+    }
+    bb.toByteArray
+  }
+
+  /** The doc-derived field rules — shared by the payload writer and the
+    * oracle SQL (spelled there in arithmetic), one definition per field. */
+  def imageWidth(nChars: Long): Int = (nChars % 640 + 1).toInt
+  def imageHeight(nChars: Long): Int = (nChars % 480 + 1).toInt
+  def audioSampleRate(nChars: Long): Int = (8000 + (nChars % 8) * 1000).toInt
+  def audioChannels(nChars: Long): Int = (nChars % 2 + 1).toInt
+
+  /** The REAL decode seam: one mapPartitions pass that builds each row's
+    * decodable payload (corrupting the deterministic [[isCorrupt]] rows at
+    * the format-magic offset), then runs the JDK's OWN decoders on the
+    * bytes — `javax.imageio` readers for PNG dimensions, `AudioSystem`'s
+    * WAVE parser for the fmt chunk, a spec-offset `ftyp` parse for the MP4
+    * brand. Decoder init happens once per partition (the iterator seam a
+    * production codec swaps into); a row that fails to decode yields a
+    * clean `status = "decode_error"` row with null fields — never an
+    * exception out of the partition. Payload bytes exist only inside the
+    * pass: the output is metadata-wide, so nothing binary shuffles.
+    */
+  def decodedMeta(docs: DataFrame): Dataset[DecodedMeta] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val in = docs.select(col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        col("n_chars"))
+      .as[(Long, String, Long)]
+    in.mapPartitions { rows =>
+      // <- production: initialize codecs once per partition here
+      rows.map { case (id, kind, nChars) =>
+        val payload = decodablePayload(kind, nChars)
+        if (isCorrupt(id)) {
+          // break the format magic: byte 0 for PNG/RIFF, the box tag for ftyp
+          payload(if (kind == "video") 4 else 0) = 0x00
+        }
+        try {
+          kind match {
+            case "image" =>
+              val iis = javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(payload))
+              val readers = javax.imageio.ImageIO.getImageReaders(iis)
+              if (!readers.hasNext) throw new java.io.IOException("no reader")
+              val r = readers.next()
+              try {
+                r.setInput(iis)
+                DecodedMeta(id, kind, "ok", Some(r.getWidth(0)), Some(r.getHeight(0)),
+                  None, None, None)
+              } finally { r.dispose(); iis.close() }
+            case "audio" =>
+              val fmt = javax.sound.sampled.AudioSystem
+                .getAudioFileFormat(new java.io.ByteArrayInputStream(payload))
+                .getFormat
+              DecodedMeta(id, kind, "ok", None, None,
+                Some(fmt.getSampleRate.toInt), Some(fmt.getChannels), None)
+            case _ =>
+              val tag = new String(payload.slice(4, 8), "US-ASCII")
+              if (payload.length < 12 || tag != "ftyp")
+                throw new java.io.IOException(s"not an ftyp box: $tag")
+              DecodedMeta(id, kind, "ok", None, None, None, None,
+                Some(new String(payload.slice(8, 12), "US-ASCII")))
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            DecodedMeta(id, kind, "decode_error", None, None, None, None, None)
+        }
+      }
+    }
+  }
+
   /** Frame sampling: one row per sampled frame, offsets stride the payload.
     * A generator (posexplode) — not a shuffle — so it scales linearly.
     * Default stride 16 bytes against the 72-byte payloads (8-byte header +
@@ -260,6 +390,37 @@ object MultiModalOps {
       .orderBy("kind")
   }
 
+  /** The REAL-decoder face of the seam ([[MultiModal.decodedMeta]]): the
+    * payloads are valid minimal PNG / WAVE / ftyp bytes whose header
+    * fields carry doc-derived values, the decode runs the JDK's OWN
+    * parsers (javax.imageio, AudioSystem), and the oracle asserts the
+    * decoded fields straight from the generation rule — hash parity
+    * proves the independent decoders read back exactly what the
+    * spec-offset writer encoded, including the deterministic corrupt rows
+    * surfacing as clean `decode_error` rows with null fields (never an
+    * exception). The other four mm_* queries keep the md5-body payloads
+    * whose BYTES DuckDB can re-derive; this one's bytes live only inside
+    * the partition pass, so the oracle checks the decode, not the blob.
+    */
+  val decodedMeta = Q(
+    "mm_decoded_meta",
+    """SELECT doc_id AS media_id,
+      |  (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+      |  CASE WHEN doc_id % 37 = 0 THEN 'decode_error' ELSE 'ok' END AS status,
+      |  CASE WHEN doc_id % 37 <> 0 AND doc_id % 3 = 0
+      |       THEN CAST(n_chars % 640 + 1 AS INT) END AS width,
+      |  CASE WHEN doc_id % 37 <> 0 AND doc_id % 3 = 0
+      |       THEN CAST(n_chars % 480 + 1 AS INT) END AS height,
+      |  CASE WHEN doc_id % 37 <> 0 AND doc_id % 3 = 1
+      |       THEN CAST(8000 + (n_chars % 8) * 1000 AS INT) END AS sample_rate,
+      |  CASE WHEN doc_id % 37 <> 0 AND doc_id % 3 = 1
+      |       THEN CAST(n_chars % 2 + 1 AS INT) END AS channels,
+      |  CASE WHEN doc_id % 37 <> 0 AND doc_id % 3 = 2
+      |       THEN 'isom' END AS brand
+      |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
+    MultiModal.decodedMeta(Tables.documents(s, dir)).toDF().orderBy("media_id")
+  }
+
   val all: Seq[Q] = Seq(kindStats, frameSample, featureProfile, dedupPayload,
-    resizeProfile)
+    resizeProfile, decodedMeta)
 }

@@ -121,6 +121,19 @@ private[graft] object Fs {
     // the remote branch — that is how FsSpec covers the FileContext path
     // without an HDFS cluster.
     val scheme = fs.getUri.getScheme
+    // A destination first created by a CHECKSUMMED writer (fs.create on
+    // LocalFileSystem — the pre-raw-layer Bloom writer did this) carries a
+    // `.<name>.crc` sidecar; the raw-layer move below replaces the data
+    // bytes only, so a stale sidecar would make every later checksummed
+    // read throw ChecksumException — the store would become unreadable
+    // after its first in-place refresh. Drop the sidecar BEFORE the move:
+    // old-data+no-crc and new-data+no-crc both read fine (a missing
+    // sidecar skips verification); new-data+stale-crc is the broken state.
+    fs match {
+      case l: org.apache.hadoop.fs.LocalFileSystem =>
+        l.getRawFileSystem.delete(l.getChecksumFile(path), false): Unit
+      case _ => ()
+    }
     if (scheme == null || scheme == "file")
       java.nio.file.Files.move(
         java.nio.file.Paths.get(tmp.toUri.getPath),

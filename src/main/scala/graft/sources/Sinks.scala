@@ -56,18 +56,28 @@ object Sinks {
     df.repartition(numFiles).write.mode("overwrite")
       .option("compression", "zstd").parquet(path)
 
-  /** PQ ANN index sink: the trained per-subspace codebook (metadata-sized,
-    * one broadcastable file) + the encoded corpus code table (the 32×
-    * compressed corpus, split for parallel scans). This is the production
-    * lifecycle the registered `llm_ann_ivfpq` query compresses into one
-    * plan: build ONCE, persist, and serve every query batch from the
-    * persisted index — LlmOpsSpec proves the parquet round-trip is
+  /** IVF-PQ ANN index sink: the trained coarse centroids + per-subspace
+    * codebook (both metadata-sized, one broadcastable file each) + the
+    * encoded corpus code table — the 32×-compressed codes, replicated
+    * under each vector's pqAssign coarse cells and PARTITIONED BY CELL so
+    * a query's literal probe-cell IN-list prunes the scan to its
+    * nprobe-of-pqCells partitions (the inverted-file structure; without
+    * it every query batch scans the whole compressed corpus). This is the
+    * production lifecycle the registered `llm_ann_ivfpq` query compresses
+    * into one plan: build ONCE, persist, and serve every query batch from
+    * the persisted index — LlmOpsSpec proves the parquet round-trip is
     * search-equivalent.
     */
-  def writePqIndex(codebook: DataFrame, codes: DataFrame, path: String,
-                   codeFiles: Int = 8): Unit = {
+  def writePqIndex(centroids: DataFrame, codebook: DataFrame,
+                   codes: DataFrame, path: String): Unit = {
+    writeSized(centroids, s"$path/centroids", 1)
     writeSized(codebook, s"$path/codebook", 1)
-    writeSized(codes, s"$path/codes", codeFiles)
+    codes
+      .repartition(col("cell"))
+      .write.mode("overwrite")
+      .option("compression", "zstd")
+      .partitionBy("cell")
+      .parquet(s"$path/codes")
   }
 
   /** Incremental refresh of a [[writePqIndex]] store for an APPEND batch
@@ -94,12 +104,18 @@ object Sinks {
   def refreshPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                      newVectors: DataFrame): Unit = {
     val cb = spark.read.parquet(s"$path/codebook")
-    val standing = spark.read.parquet(s"$path/codes").select("vec_id")
+    val cents = graft.engine.LlmOps.centsOf(spark.read.parquet(s"$path/centroids"))
+    val standing = spark.read.parquet(s"$path/codes").select("vec_id").distinct()
     val fresh = newVectors.join(standing, Seq("vec_id"), "left_anti")
-    graft.engine.LlmOps.pqEncode(graft.engine.LlmOps.pqNormSubvectorsOf(fresh), cb)
-      .repartition(1)
+    // cells come from the STANDING centroids (frozen, like the codebook —
+    // coarse drift is the same scheduled-rebuild concern), so the batch's
+    // code rows land in the same cell partitions a full rebuild would put
+    // them in; the append writes only the touched cell directories
+    graft.engine.LlmOps.pqEncodeWithCells(fresh, cb, cents)
+      .repartition(col("cell"))
       .write.mode("append")
       .option("compression", "zstd")
+      .partitionBy("cell")
       .parquet(s"$path/codes")
   }
 
@@ -129,6 +145,29 @@ object Sinks {
                           existingDocs: DataFrame, newDocs: DataFrame): Unit = {
     val standing = spark.read.parquet(path).select("id_a", "id_b")
     graft.engine.LlmOps.shinglePairsDelta(existingDocs, newDocs)
+      .join(standing, Seq("id_a", "id_b"), "left_anti")
+      .repartition(1)
+      .write.mode("append")
+      .option("compression", "zstd")
+      .parquet(path)
+  }
+
+  /** [[refreshShinglePairs]] served from the STANDING doc-side shingle
+    * index instead of an existing-docs relation — the streaming pair
+    * sink's per-batch step ([[graft.streaming.Streaming
+    * .shinglePairsIngestBatch]] assembles the component frames). Same
+    * guard (standing-key anti-join), same append-only contract, same
+    * df-cap stability caveat; what changes is the delta's cost shape:
+    * shard-pruned posting scans instead of a corpus re-shingle
+    * ([[graft.engine.LlmOps.shinglePairsDeltaSharded]]).
+    */
+  def refreshShinglePairsSharded(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, existPostings: DataFrame,
+                                 existByDoc: DataFrame, existCensus: DataFrame,
+                                 newDocs: DataFrame): Unit = {
+    val standing = spark.read.parquet(path).select("id_a", "id_b")
+    graft.engine.LlmOps
+      .shinglePairsDeltaSharded(existPostings, existByDoc, existCensus, newDocs)
       .join(standing, Seq("id_a", "id_b"), "left_anti")
       .repartition(1)
       .write.mode("append")
@@ -413,14 +452,19 @@ object Sinks {
     * regardless — `previous` is what an in-flight reader of the last
     * swap holds.
     */
+  /** The `spark.graft.genRetention` knob, parsed once for the GC and the
+    * health view so the two can never disagree on the effective window. */
+  private[graft] def genRetention(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption("spark.graft.genRetention")
+      .map(v => v.trim.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"spark.graft.genRetention must be an integer, got '$v'")))
+      .getOrElse(1).max(1)
+
   private def gcPostings(spark: org.apache.spark.sql.SparkSession,
                          path: String): Unit = {
     val (cur, prev) = readBasePointer(path)
     if (cur.isEmpty && prev.isEmpty) return // nothing ever committed
-    val retain = spark.conf.getOption("spark.graft.genRetention")
-      .map(v => v.trim.toIntOption.getOrElse(throw new IllegalArgumentException(
-        s"spark.graft.genRetention must be an integer, got '$v'")))
-      .getOrElse(1).max(1)
+    val retain = genRetention(spark)
     val retired = Fs.listSubdirs(path).map(_._1)
       .filter(n => n.startsWith("gen-") && !cur.contains(n))
       .sortBy(genNumber(_).getOrElse(-1L)).reverse // newest retiree first
@@ -517,6 +561,33 @@ object Sinks {
     import spark.implicits._
     Seq((v.nDocs, v.sumDl.toDouble / v.nDocs, v.buckets))
       .toDF("n_docs", "avgdl", "buckets")
+  }
+
+  /** One-row OPERATIONAL health snapshot of a posting store — the
+    * monitoring face of the genRetention contract (`graft_store_health`
+    * in [[graft.GraftSession.openStores]]). `gen_seq` is the current
+    * generation's monotonic number: a monitoring query records it per
+    * probe window and alarms when it advances by ≥ `gen_retention` while
+    * a probe is still in flight — that probe's snapshot is now outside
+    * the retention window and its next read will fail with the clean
+    * FileNotFound contract rather than a wrong answer. The safe-probe
+    * rule this view makes checkable: max safe probe duration =
+    * (maintenance cadence) × gen_retention; raise
+    * `spark.graft.genRetention` until that product covers the slowest
+    * analytical probe (README's deployment-knobs row works the numbers).
+    */
+  private[graft] def storeHealth(spark: org.apache.spark.sql.SparkSession,
+                                 path: String): DataFrame = {
+    val (cur, _) = readBasePointer(path)
+    val v = postingsView(spark, path)
+    val retiredKept = Fs.listSubdirs(path).map(_._1)
+      .count(n => n.startsWith("gen-") && !cur.contains(n))
+    import spark.implicits._
+    Seq((cur.getOrElse(""), cur.flatMap(genNumber).getOrElse(-1L),
+        v.foldedThrough, v.segs.size.toLong, retiredKept.toLong,
+        genRetention(spark).toLong, v.nDocs))
+      .toDF("current_gen", "gen_seq", "folded_through", "visible_segments",
+        "retired_generations_on_disk", "gen_retention", "n_docs")
   }
 
   /** Incremental refresh of a [[writePostings]] store for an APPEND batch
@@ -739,6 +810,22 @@ object Sinks {
         "not a replay; the segment would be invisible and GC'd. Allocate " +
         "ids above the watermark (refreshPostings does) or keep the " +
         "sink's checkpoint so batch ids resume past it.")
+    // The EQUALITY case is inherently ambiguous: a genuine replay of the
+    // exact batch the store folded through looks identical to a sink
+    // restarted with a RESET checkpoint against a store whose watermark
+    // happens to equal the restart id (e.g. batchId=0 vs folded_through=0)
+    // — and in the reset case the landed segment is committed-but-
+    // INVISIBLE (visibility is id > watermark) and the next GC deletes the
+    // docs. The guard cannot distinguish them, so warn loudly and document:
+    // never reset a checkpoint on a store whose watermark equals the id
+    // the fresh sink will restart at.
+    if (batchId == view.foldedThrough && !Fs.exists(seg))
+      System.err.println(
+        s"[graft] WARNING: postings ingest batchId=$batchId EQUALS " +
+          s"folded_through and no prior segment exists at $seg. If this " +
+          "sink was restarted with a reset checkpoint (not replaying), " +
+          "this batch will be invisible and GC'd — resume past the " +
+          "watermark instead.")
     Fs.delete(s"$seg/_COMMIT") // replay: hide the segment while rewriting
     // a segment id CAN recur with different rows (rebuild + GC resets the
     // id space) — drop any memoized stats while the marker is down; probes

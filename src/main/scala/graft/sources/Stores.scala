@@ -38,7 +38,14 @@ object Stores {
   //     v4 store's flat postings/docstats/meta would be invisible to the
   //     v5 readers, so the bump forces a rebuild rather than an empty
   //     probe.
-  private val VERSION = "v5"
+  // v6: the PQ index gained its IVF half — a `centroids` component, a
+  //     `cell` column on every code row (pqAssign-replicated), and a
+  //     cell-PARTITIONED code layout. A v5 store has none of the three,
+  //     so v6 readers would throw (missing centroids path) or scan
+  //     unpruned; the bump rebuilds every store instead. It also retires
+  //     any pre-r12 checksum-sidecar'd files wholesale (Fs.writeAtomic
+  //     now drops stale .crc sidecars too — belt and braces).
+  private val VERSION = "v6"
   private val memo = scala.collection.concurrent.TrieMap.empty[String, String]
   private val buildLock = new Object
 
@@ -246,16 +253,17 @@ object Stores {
     }
   }
 
-  /** Path of the standing PQ ANN index (codebook + encoded corpus) for
-    * `dataDir`'s embeddings table, training + encoding on first use via
-    * the same `pqTrainEncode` the self-contained query runs.
+  /** Path of the standing IVF-PQ ANN index (coarse centroids + codebook +
+    * cell-partitioned encoded corpus) for `dataDir`'s embeddings table,
+    * training + encoding on first use via the same `pqTrainEncode` the
+    * self-contained query runs.
     */
   def pqIndex(spark: SparkSession, dataDir: String): String = {
     val path = storeRoot(spark, dataDir, "embeddings.parquet", "pq_index")
-    // codes is written after codebook (writePqIndex order) → marker
+    // codes is written after centroids + codebook (writePqIndex order) → marker
     buildOnce(path, s"$path/codes/_SUCCESS") {
-      val (cb, codes) = graft.engine.LlmOps.pqTrainEncode(spark, dataDir)
-      Sinks.writePqIndex(cb, codes, path)
+      val (cents, cb, codes) = graft.engine.LlmOps.pqTrainEncode(spark, dataDir)
+      Sinks.writePqIndex(cents, cb, codes, path)
     }
   }
 }

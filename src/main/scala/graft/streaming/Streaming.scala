@@ -807,14 +807,22 @@ object Streaming {
     * a cap-boundary crossing is the scheduled-rebuild case there too.
     *
     * At 100 TB two costs govern (both measured, SCALE.md §6j): the
-    * per-batch delta join is EXISTING-corpus-linear (flat across
-    * batches — batch 0 and batch 11 cost the same), and the
-    * strictly-before reconstruction unions one doc segment per prior
-    * batch — which `foldEvery` bounds: once the visible doc-segment count
-    * reaches the threshold, the batch that crossed it folds every visible
-    * segment into one consolidated BASE version ([[foldDocSegments]] —
-    * the postings store's every-N compaction discipline applied to the
-    * doc side), so segment discovery and the existing-set union stay
+    * per-batch delta cost, and the strictly-before reconstruction. The
+    * delta is served from the STANDING doc-side shingle index each
+    * component (seed / fold base / segment) maintains next to its docs —
+    * shard-partitioned postings + a by-doc copy + a census — so a batch
+    * pays batch shingling, a vocabulary-sized census merge, and posting
+    * scans PRUNED to its touched shingle shards
+    * ([[graft.engine.LlmOps.shinglePairsDeltaSharded]]); before r12 the
+    * step re-shingled the ENTIRE existing corpus text per batch
+    * (8–13 s/batch at the ×10 soak, flat across batches — the cost the
+    * index exists to remove). The reconstruction unions one component per
+    * prior batch — which `foldEvery` bounds: once the visible doc-segment
+    * count reaches the threshold, the batch that crossed it folds every
+    * visible segment into one consolidated BASE version
+    * ([[foldDocSegments]] — the postings store's every-N compaction
+    * discipline applied to the doc side, index components folded with the
+    * docs), so segment discovery and the existing-set union stay
     * O(foldEvery) no matter how long the stream lives. The pair rows
     * themselves never need rewriting.
     */
@@ -858,34 +866,116 @@ object Streaming {
       s"pair ingest batchId=$batchId is below the doc-fold watermark " +
         s"$folded and no segment directory exists at $seg — not a replay; " +
         "keep the sink's checkpoint so batch ids resume past the watermark.")
+    // Equality is the one ambiguous case (see Sinks.ingestPostingsSegment):
+    // a true replay of the folded-through batch is indistinguishable from
+    // a reset checkpoint restarting at the watermark id, and the reset
+    // case lands docs the next fold's GC silently deletes. Warn loudly;
+    // operators must not reset checkpoints on stores whose watermark
+    // equals the restart id.
+    if (batchId == folded && !graft.sources.Fs.exists(seg))
+      System.err.println(
+        s"[graft] WARNING: pair ingest batchId=$batchId EQUALS the " +
+          s"doc-fold watermark and no prior segment exists at $seg. If " +
+          "this sink restarted with a reset checkpoint (not replaying), " +
+          "the batch's docs will be invisible and GC'd at the next fold " +
+          "— resume past the watermark instead.")
+    // the seed corpus's shingle-index components materialize ONCE (marker-
+    // guarded): the static pre-stream docs never need re-shingling again
+    ensureDocSeedIndex(spark, docsPath, baseDocs)
     batch.write.mode("overwrite")
       .option("compression", "zstd").parquet(s"$seg/data")
+    // the segment's own doc-side shingle-index components, derived from
+    // the LANDED data so a replay re-derives byte-identical components;
+    // written before the marker like everything else in the segment
+    writeDocShingleIndex(spark.read.parquet(s"$seg/data"), seg)
     graft.sources.Fs.touch(s"$seg/_COMMIT")
     // strictly-before: replays re-derive the same existing set, and the
     // batch can never pair against its own just-landed segment. A replay
     // that lands AFTER its batch was folded (crash between fold and the
     // checkpoint commit) reads the folded base — a superset containing
     // its own docs — so the batch's doc_ids are anti-joined OUT of the
-    // existing side: the delta's df census then counts every shingle
-    // exactly as the original run did (a lingering batch copy would
-    // inflate dfs and, at a binding cap boundary, flip a keep-set
-    // decision into pairs no crash-free run produced). With the batch
-    // excluded, the re-derived delta is identical and the standing-key
-    // anti-join drops all of it — idempotent in every cap regime.
+    // existing side (inside shinglePairsDeltaSharded, via the dshard-
+    // pruned overlap subtraction): the delta's df census then counts
+    // every shingle exactly as the original run did (a lingering batch
+    // copy would inflate dfs and, at a binding cap boundary, flip a
+    // keep-set decision into pairs no crash-free run produced). With the
+    // batch excluded, the re-derived delta is identical and the
+    // standing-key anti-join drops all of it — idempotent in every cap
+    // regime.
     val committed = committedDocSegments(docsPath)
     val prior = committed.filter(p => p._1 > folded && p._1 < batchId)
-    val foldedBase =
-      if (folded < 0) Nil
-      else Seq(spark.read.parquet(s"$docsPath/base/v=$folded/data"))
+    val comps = (s"$docsPath/seed" +:
+      (if (folded < 0) Nil else Seq(s"$docsPath/base/v=$folded"))) ++
+      prior.map(_._2)
     val batchDocs = spark.read.parquet(s"$seg/data")
-    val existing = ((baseDocs +: foldedBase) ++
-      prior.map(p => spark.read.parquet(s"${p._2}/data")))
-      .reduce(_ unionByName _)
-      .join(batchDocs.select("doc_id"), Seq("doc_id"), "left_anti")
-    graft.sources.Sinks.refreshShinglePairs(spark, pairsPath, existing, batchDocs)
+    val (posts, bydoc, census) = readDocShingleIndex(spark, comps)
+    graft.sources.Sinks.refreshShinglePairsSharded(
+      spark, pairsPath, posts, bydoc, census, batchDocs)
     // visible count AFTER this batch (`committed` was listed after the
     // segment landed, so it is included) — the auto-fold trigger input
     committed.count(_._1 > folded)
+  }
+
+  /** Write the doc-side shingle-index components for `docs` under `dir`:
+    * `postings` (doc_id, sh) partitioned by `shard = pmod(hash(sh), S)`,
+    * `postings_bydoc` partitioned by `dshard = pmod(hash(doc_id), S)`,
+    * and the vocabulary-sized `census` (sh, df). One shared writer for
+    * seed, segment, and fold, so no component can ever shingle
+    * differently from another.
+    */
+  private[graft] def writeDocShingleIndex(docs: DataFrame, dir: String): Unit = {
+    val (posts, bydoc, census) =
+      graft.engine.LlmOps.docShingleIndexOf(docs.localCheckpoint())
+    posts.repartition(col("shard"))
+      .write.mode("overwrite").option("compression", "zstd")
+      .partitionBy("shard").parquet(s"$dir/postings")
+    bydoc.repartition(col("dshard"))
+      .write.mode("overwrite").option("compression", "zstd")
+      .partitionBy("dshard").parquet(s"$dir/postings_bydoc")
+    census.repartition(1)
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$dir/census")
+  }
+
+  /** Idempotent one-time materialization of the SEED corpus's index
+    * components under `docsPath/seed` (marker-guarded — checked once per
+    * batch, a driver-side exists). The seed stays outside the fold
+    * lifecycle exactly like the raw `baseDocs` relation always did.
+    */
+  private def ensureDocSeedIndex(spark: SparkSession, docsPath: String,
+                                 baseDocs: DataFrame): Unit = {
+    val dir = s"$docsPath/seed"
+    if (!graft.sources.Fs.exists(s"$dir/_COMMIT")) {
+      writeDocShingleIndex(baseDocs, dir)
+      graft.sources.Fs.touch(s"$dir/_COMMIT")
+    }
+  }
+
+  /** Union the index components of `comps` (seed + folded base + prior
+    * segments) into the three frames [[graft.engine.LlmOps
+    * .shinglePairsDeltaSharded]] consumes. Schemas are explicit so an
+    * EMPTY component (a seed with no docs writes no part files) reads as
+    * zero rows instead of failing inference; the census union re-sums per
+    * shingle. Shard `isin` filters push into every branch of the unions,
+    * so partition pruning survives the multi-component shape.
+    */
+  private def readDocShingleIndex(spark: SparkSession, comps: Seq[String])
+      : (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types._
+    val postSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("sh", StringType), StructField("shard", IntegerType)))
+    val bydocSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("sh", StringType), StructField("dshard", IntegerType)))
+    val censusSchema = StructType(Seq(StructField("sh", StringType),
+      StructField("df", LongType)))
+    val posts = comps.map(c => spark.read.schema(postSchema).parquet(s"$c/postings"))
+      .reduce(_ unionByName _)
+    val bydoc = comps.map(c => spark.read.schema(bydocSchema).parquet(s"$c/postings_bydoc"))
+      .reduce(_ unionByName _)
+    val census = comps.map(c => spark.read.schema(censusSchema).parquet(s"$c/census"))
+      .reduce(_ unionByName _)
+      .groupBy("sh").agg(org.apache.spark.sql.functions.sum("df").as("df"))
+    (posts, bydoc, census)
   }
 
   /** Fold every visible doc segment of a pair-ingest sink into ONE
@@ -925,6 +1015,12 @@ object Streaming {
     parts.reduce(_ unionByName _)
       .write.mode("overwrite")
       .option("compression", "zstd").parquet(s"$dst/data")
+    // the folded base's shingle-index components, re-derived from the
+    // folded data through the ONE shared writer — identical rows to
+    // unioning the folded segments' components (bigramShingles is
+    // row-wise), so fold ≡ no-fold holds for the index exactly as it does
+    // for the docs; cost rides the fold's existing linear rewrite
+    writeDocShingleIndex(spark.read.parquet(s"$dst/data"), dst)
     graft.sources.Fs.touch(s"$dst/_COMMIT")
     // GC with one-cycle grace: what the PREVIOUS fold superseded has now
     // outlived a full cycle — retire base versions below the old watermark

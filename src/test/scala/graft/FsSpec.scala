@@ -57,6 +57,32 @@ class FsSpec extends SparkSpecBase {
     assert(leftovers.isEmpty, s"pointer swap left files behind: $leftovers")
   }
 
+  test("writeAtomic over a LEGACY checksummed destination drops the stale " +
+    ".crc sidecar — a refreshed pre-raw-layer Bloom store stays readable") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    val dir = s"$tmp/legacy_bloom"
+    // legacy writer: checksummed fs.create (what writeBloomFilter did
+    // before the raw-layer writeAtomic) — leaves .bloom.bin.crc behind
+    val bf0 = org.apache.spark.util.sketch.BloomFilter.create(100, 0.03)
+    bf0.putString("old-gram")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/bloom.bin")
+    val lfs = p.getFileSystem(hc).asInstanceOf[org.apache.hadoop.fs.LocalFileSystem]
+    val out = lfs.create(p, true)
+    try bf0.writeTo(out) finally out.close()
+    assert(new java.io.File(s"$dir/.bloom.bin.crc").exists(),
+      "fixture setup: the legacy writer should have produced a crc sidecar")
+    // in-place refresh through the raw-layer atomic writer: without the
+    // sidecar cleanup the NEXT checksummed read throws ChecksumException
+    val bf1 = org.apache.spark.util.sketch.BloomFilter.create(100, 0.03)
+    bf1.putString("new-gram")
+    graft.sources.Sinks.writeBloomFilter(bf1, dir, hc)
+    assert(!new java.io.File(s"$dir/.bloom.bin.crc").exists(),
+      "stale checksum sidecar survived the atomic rewrite")
+    val back = graft.sources.Sinks.readBloomFilter(dir, hc)
+    assert(back.mightContainString("new-gram") && !back.mightContainString("absent"),
+      "refreshed legacy store did not serve the new bytes")
+  }
+
   test("Fs primitives on a NON-LOCAL scheme take the FileContext branch: " +
     "atomic overwrite swap, absent-read None, renameDir refuse-existing") {
     mockReady

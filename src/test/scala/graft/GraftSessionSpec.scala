@@ -86,6 +86,7 @@ class GraftSessionSpec extends SparkSpecBase {
     val got = df.collect().map(_.toString).toSeq
     val path = sources.Stores.pqIndex(spark, sfDir)
     val want = engine.LlmOps.pqAdcShortlist(spark, sfDir,
+        spark.read.parquet(s"$path/centroids"),
         spark.read.parquet(s"$path/codebook"),
         spark.read.parquet(s"$path/codes"),
         maxQ = engine.LlmOps.sqlAnnQueries)
@@ -93,6 +94,31 @@ class GraftSessionSpec extends SparkSpecBase {
       .collect().map(_.toString).toSeq
     assert(got === want)
     assert(got.nonEmpty)
+  }
+
+  test("SQL ANN pruning: a single-query request's code scan carries a literal " +
+    "cell IN-list — ≤ nprobe of the pqCells partitions are read") {
+    val df = engine.LlmOps.sqlAnnServedFor(spark, sfDir, 1L)
+    val scans = scansOf(df).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("pq_index/codes")))
+    assert(scans.nonEmpty, "no code-table scan in the served plan")
+    scans.foreach { f =>
+      val ins = f.partitionFilters.collect {
+        case i: org.apache.spark.sql.catalyst.expressions.In => i.list.size
+      }
+      assert(ins.nonEmpty && ins.forall(_ <= engine.LlmOps.pqNprobe),
+        s"code scan not pruned to ≤ nprobe cell partitions: ${f.partitionFilters}")
+    }
+    // and the pruned single-query answer is exactly the programmatic
+    // shortlist's — pruning changed the scan, not the rows
+    val path = sources.Stores.pqIndex(spark, sfDir)
+    val want = engine.LlmOps.pqAdcShortlist(spark, sfDir,
+        spark.read.parquet(s"$path/centroids"),
+        spark.read.parquet(s"$path/codebook"),
+        spark.read.parquet(s"$path/codes"), maxQ = 1L)
+      .orderBy("q_id", "arn").collect().map(_.toString).toSeq
+    val got = df.collect().map(_.toString).toSeq
+    assert(got === want && got.nonEmpty)
   }
 
   test("term-dict view relation: a freshly written delta is visible through the " +
@@ -124,11 +150,84 @@ class GraftSessionSpec extends SparkSpecBase {
     assert(viaView.head === "[zqx,2,3]", viaView.mkString("; "))
   }
 
+  test("graft_store_health: one-row snapshot whose gen_seq advances across a " +
+    "maintenance cycle — the probe-age alarm input") {
+    GraftSession.openStores(spark, sfDir)
+    val viewRow = spark.table("graft_store_health").collect()
+    assert(viewRow.length === 1)
+    // a scratch store to drive a maintenance cycle without touching the
+    // shared standing store other tests probe
+    val dir = java.nio.file.Files.createTempDirectory("graft_health").toString
+    val docs = engine.Tables.documents(spark, sfDir)
+    import org.apache.spark.sql.functions.{col => c}
+    sources.Sinks.writePostings(docs.filter(c("doc_id") % 2 === 0), dir)
+    val h0 = sources.Sinks.storeHealth(spark, dir).head()
+    val seq0 = h0.getAs[Long]("gen_seq")
+    assert(seq0 >= 0 && h0.getAs[Long]("gen_retention") === 1L)
+    // refresh + compaction = one maintenance cycle: the monitoring rule is
+    // "alarm when gen_seq advances ≥ gen_retention during a probe"
+    sources.Sinks.refreshPostings(spark, dir, docs.filter(c("doc_id") % 2 === 1))
+    sources.Sinks.compactPostings(spark, dir)
+    val h1 = sources.Sinks.storeHealth(spark, dir).head()
+    assert(h1.getAs[Long]("gen_seq") > seq0,
+      s"gen_seq did not advance across a maintenance cycle: $h0 -> $h1")
+    assert(h1.getAs[Long]("folded_through") >= h0.getAs[Long]("folded_through"))
+    assert(h1.getAs[Long]("n_docs") === docs.count())
+    assert(h1.getAs[Long]("visible_segments") === 0L,
+      "compaction left visible segments in the health row")
+  }
+
+  test("CALL graft.refresh_postings: a pure-SQL refresh lands the batch — the " +
+    "served probe equals a full rebuild; fresh-checkpoint misuse errors loudly") {
+    GraftSession.openStores(spark, sfDir) // wires the `graft` procedure catalog
+    import org.apache.spark.sql.functions.{col => c}
+    val docs = engine.Tables.documents(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_callrefresh").toString
+    sources.Sinks.writePostings(docs.filter(c("doc_id") % 3 =!= 0), dir)
+    docs.filter(c("doc_id") % 3 === 0).createOrReplaceTempView("graft_test_batch")
+    spark.sql(s"CALL graft.refresh_postings('$dir', 'graft_test_batch')").collect()
+    val served = sources.Sinks.probePostingsBm25(spark, dir, Seq("spark", "join"), k = 20)
+      .collect().map(_.toString).toSeq
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft_callrebuild").toString
+    sources.Sinks.writePostings(docs, rebuilt)
+    val want = sources.Sinks.probePostingsBm25(spark, rebuilt, Seq("spark", "join"), k = 20)
+      .collect().map(_.toString).toSeq
+    assert(served === want && served.nonEmpty,
+      "SQL-driven refresh diverged from a full rebuild")
+    // misuse: run maintenance until segment b=0's directory is past its
+    // retention grace (while it is on disk, id 0 is a legal replay — the
+    // GC keeps a segment as long as ANY retained generation predates its
+    // fold), then hand the ingest procedure the id — the fresh-checkpoint
+    // shape the guard exists to reject, now reachable from pure SQL and
+    // still loud. The third compact folds nothing but its leading GC
+    // retires the initial generation and with it the folded segment.
+    sources.Sinks.compactPostings(spark, dir)
+    spark.sql(s"CALL graft.refresh_postings('$dir', 'graft_test_batch')").collect()
+    sources.Sinks.compactPostings(spark, dir)
+    sources.Sinks.compactPostings(spark, dir)
+    assert(!sources.Fs.exists(s"$dir/seg/b=0"),
+      "fixture setup: segment b=0 should be GC'd before the misuse probe")
+    val err = intercept[Exception] {
+      spark.sql(s"CALL graft.ingest_postings_segment('$dir', 'graft_test_batch', '0')")
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => String.valueOf(e.getMessage) +: messages(e.getCause))
+    assert(messages(err).exists(m => m.contains("watermark") || m.contains("folded_through")),
+      s"misuse did not surface the guard: ${messages(err).mkString(" | ")}")
+    // and an unknown procedure name lists the real ones
+    val unknown = intercept[Exception] {
+      spark.sql(s"CALL graft.no_such_proc('x')").collect()
+    }
+    assert(messages(unknown).exists(_.contains("refresh_postings")), unknown.getMessage)
+  }
+
   test("openStores registers every documented store view") {
     GraftSession.openStores(spark, sfDir)
     val views = Seq("graft_postings", "graft_docstats", "graft_search_meta",
-      "graft_term_dict", "graft_latency_sketch", "graft_daily_rollup",
-      "graft_shingle_pairs", "graft_pq_codebook", "graft_pq_codes")
+      "graft_store_health", "graft_term_dict", "graft_latency_sketch",
+      "graft_daily_rollup", "graft_shingle_pairs", "graft_pq_centroids",
+      "graft_pq_codebook", "graft_pq_codes")
     views.foreach { v =>
       assert(spark.catalog.tableExists(v), s"missing view $v")
       assert(spark.table(v).columns.nonEmpty, s"empty schema for $v")

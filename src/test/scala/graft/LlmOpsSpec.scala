@@ -782,12 +782,14 @@ class LlmOpsSpec extends SparkSpecBase {
     val recall = recalls.sum / recalls.size
     // Raw ADC alone reaches only 0.27 on these NEAR-ORTHOGONAL synthetic
     // vectors (PQ's worst regime); the exact-cosine re-rank of the ADC
-    // shortlist recovers the rest. Measured recall@10 is 0.816 at
-    // sf0.001 / 0.809 at sf0.01 with the round-5 top-100 re-rank
-    // shortlist (0.640/0.624 at the original top-50) — a deterministic
-    // constant of the fixture. 0.75 is the regression floor, pinned
-    // below measured to catch regressions, not noise — same policy as
-    // the LSH/IVF floors.
+    // shortlist recovers the rest. Measured recall@10 with the full
+    // r12 IVF-PQ pipeline (nprobe=6/16 coarse pruning, pqAssign=2
+    // boundary replication, top-100 re-rank) is 0.810 at sf0.001 /
+    // 0.783 at sf0.01 — the flat-PQ r11 numbers were 0.816/0.809, so the
+    // sub-linear scan costs ~0.02 recall (single-assignment pruning
+    // would have cost ~0.07 more: cell-stage ceiling 0.74 vs 0.89
+    // measured). 0.75 is the regression floor, pinned below measured to
+    // catch regressions, not noise — same policy as the LSH/IVF floors.
     assert(recall >= 0.75, s"PQ recall@10 $recall below floor 0.75")
   }
 
@@ -804,12 +806,16 @@ class LlmOpsSpec extends SparkSpecBase {
     data.toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     assert(1500L > LlmOps.pqTrainBudget, "corpus no longer exceeds the budget")
-    val (cb, codes) = LlmOps.pqTrainEncode(spark, dir)
-    // no centroid lost to sampling: the full pqM × pqKs codebook exists
+    val (cents, cb, codes) = LlmOps.pqTrainEncode(spark, dir)
+    // no centroid lost to sampling: the full pqM × pqKs codebook exists,
+    // and all pqCells coarse centroids too
     assert(cb.count() === LlmOps.pqM.toLong * LlmOps.pqKs)
-    // the ENCODE is full-corpus even though training was capped
-    assert(codes.count() === 1500L)
-    val got = LlmOps.pqSearch(spark, dir, cb, codes)
+    assert(cents.count() === LlmOps.pqCells.toLong)
+    // the ENCODE is full-corpus even though training was capped — every
+    // vector appears, replicated under its pqAssign coarse cells
+    assert(codes.select("vec_id").distinct().count() === 1500L)
+    assert(codes.count() === 1500L * LlmOps.pqAssign)
+    val got = LlmOps.pqSearch(spark, dir, cents, cb, codes)
       .select("q_id", "vec_id", "rn").as[(Long, Long, Int)].collect()
     val byQ = got.groupBy(_._1)
     assert(byQ.size === 100)
@@ -825,24 +831,52 @@ class LlmOpsSpec extends SparkSpecBase {
     val recall = recalls.sum / recalls.size
     // this 1500-distractor corpus is intrinsically harder than the 500-
     // vector fixture (fixed 100-row shortlist, 3× the candidates): full-
-    // corpus training measured 0.637 here, budget-capped training 0.597 —
-    // the cap costs ~0.04 recall for a corpus-size-independent build.
-    // 0.55 is the regression floor, same below-measured policy as the
-    // other ANN floors.
+    // corpus flat-PQ training measured 0.637 here, budget-capped 0.597;
+    // the r12 IVF-PQ pipeline measures 0.602 (boundary replication
+    // recovers what the nprobe pruning drops, and the pruned shortlist
+    // is slightly LESS contested). 0.55 is the regression floor, same
+    // below-measured policy as the other ANN floors.
     assert(recall >= 0.55, s"budget-trained recall@10 $recall below floor 0.55")
   }
 
-  test("ivf-pq index: parquet round-trip of codebook+codes is search-equivalent") {
-    val (cb, codes) = LlmOps.pqTrainEncode(spark, sfDir)
-    val inMem = LlmOps.pqSearch(spark, sfDir, cb, codes)
+  test("ivf-pq index: parquet round-trip of centroids+codebook+codes is search-equivalent") {
+    val (cents, cb, codes) = LlmOps.pqTrainEncode(spark, sfDir)
+    val inMem = LlmOps.pqSearch(spark, sfDir, cents, cb, codes)
       .collect().map(_.toString).sorted.toSeq
     val dir = java.nio.file.Files.createTempDirectory("graft-pq-index").toString
-    graft.sources.Sinks.writePqIndex(cb, codes, dir)
+    graft.sources.Sinks.writePqIndex(cents, cb, codes, dir)
     val persisted = LlmOps.pqSearch(spark, sfDir,
+      spark.read.parquet(s"$dir/centroids"),
       spark.read.parquet(s"$dir/codebook"), spark.read.parquet(s"$dir/codes"))
       .collect().map(_.toString).sorted.toSeq
     assert(persisted === inMem)
     assert(inMem.nonEmpty)
+  }
+
+  test("ivf-pq pruning: the standing code table is cell-partitioned and a " +
+    "single-query shortlist carries the nprobe-cell partition IN-list") {
+    val path = graft.sources.Stores.pqIndex(spark, sfDir)
+    // physical layout: one cell=N directory per populated coarse cell
+    val cellDirs = new java.io.File(s"$path/codes").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell=")).map(_.getName).toSeq
+    assert(cellDirs.size > 1 && cellDirs.size <= LlmOps.pqCells,
+      s"unexpected cell partition layout: $cellDirs")
+    val df = LlmOps.pqAdcShortlist(spark, sfDir,
+      spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/codebook"),
+      spark.read.parquet(s"$path/codes"), maxQ = 1L)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("pq_index/codes")) => f
+    }
+    assert(scans.nonEmpty, "no code-table scan in the shortlist plan")
+    scans.foreach { f =>
+      val ins = f.partitionFilters.collect {
+        case i: org.apache.spark.sql.catalyst.expressions.In => i.list.size
+      }
+      assert(ins.nonEmpty && ins.forall(_ <= LlmOps.pqNprobe),
+        s"code scan not pruned to ≤ nprobe cell partitions: ${f.partitionFilters}")
+    }
   }
 
   test("registered indexed ANN: serves from the standing PQ store, full top-10s, recall floor") {

@@ -391,13 +391,10 @@ class PlanSpec extends SparkSpecBase {
     "llm_hard_negatives"    -> "100-row anchor side broadcast over the corpus (knn discipline); label inequality rides the join",
     "llm_ann_lsh"           -> "bucketed candidates; residual BNLJ side is the 100-row query set",
     "llm_ann_ivf"           -> "centroid table ≤ 2^bits rows, broadcast by construction",
-    "llm_ann_ivfpq"         -> ("100-row ADC-table side broadcast over the code scan (knn " +
-                                "discipline); codebook ≤ m·ks rows, broadcast by construction"),
-    "llm_ann_ivfpq_indexed" -> ("same query path as llm_ann_ivfpq served from the persisted " +
-                                "index — 100-row ADC broadcast over the code-table scan"),
-    "llm_sql_ann_served"    -> ("the SQL face of llm_ann_ivfpq_indexed's shortlist: the 10-row " +
-                                "inline ADC-table relation broadcast over the code-table scan " +
-                                "(vec_id <> q_id theta join, same shape as its twins)"),
+    // llm_ann_ivfpq / _indexed / llm_sql_ann_served left the allowlist in
+    // r12: the IVF probe stage turned the ADC-table BNLJ into a broadcast
+    // HASH join on the coarse cell, so their plans now clear the rule
+    // outright.
     "log_search_ranked"     -> ("single-row corpus-stats aggregate (N, avgdl, dfs) cross-joined " +
                                 "into the BM25 score — metadata rebase"),
     "log_trending_templates"-> ("single-row day-census aggregate cross-joined into the lift " +

@@ -147,10 +147,44 @@ class SourcesAndUdafSpec extends SparkSpecBase {
       assert(math.abs(got - want((i, j))) < 1e-9,
         s"corr($i,$j): comoment $got vs built-in ${want((i, j))}")
     }
-    // the moment sums agree across partitionings to double merge tolerance
+    // raw slots are pivot-relative (each partitioning picks its own first
+    // row), so cross-partitioning agreement is asserted on the
+    // PIVOT-INVARIANT derived stats: n exactly, every pairwise corr to
+    // merge tolerance
     assert(m(0) === m1(0))
-    m.indices.foreach(k => assert(math.abs(m(k) - m1(k)) <=
-      1e-9 * math.max(1.0, math.abs(m1(k))), s"slot $k diverged across partitionings"))
+    for { i <- 0 until d; j <- i until d } {
+      val a = graft.functions.CorrComomentAgg.corrOf(m, d, i, j)
+      val b = graft.functions.CorrComomentAgg.corrOf(m1, d, i, j)
+      assert(math.abs(a - b) < 1e-9, s"corr($i,$j) diverged across partitionings: $a vs $b")
+    }
+  }
+
+  test("A10/D4: corr co-moment UDAF — pivot centering keeps Pearson accurate on an " +
+    "OFFSET corpus (|mean| >> std), where the un-centered textbook form cancels") {
+    val d = 4
+    // dims sit at huge offsets with tiny spread: Σxy − ΣxΣy/n in doubles
+    // loses ~14 digits to cancellation here; the pivoted form must not
+    val vecs = (0 until 500).map { r =>
+      val t = math.sin(r * 13.0)
+      Seq(1e9 + t, -7e8 + 0.5 * t + 0.1 * math.cos(r * 3.0),
+          3e7 + math.cos(r * 13.0), 5e8 + 0.25 * t)
+    }
+    val df = vecs.map(Tuple1(_)).toDF("v").repartition(7)
+    val m = df.agg(graft.functions.CorrComomentAgg.udaf(d)(col("v")).as("m"))
+      .head.getSeq[Double](0)
+    val exploded = vecs.zipWithIndex.flatMap { case (v, r) =>
+      v.zipWithIndex.map { case (x, i) => (r, i, x) }
+    }.toDF("r", "i", "x")
+    val want = exploded.select(col("r"), col("i").as("di"), col("x").as("xi"))
+      .join(exploded.select(col("r"), col("i").as("dj"), col("x").as("xj")), "r")
+      .filter(col("di") < col("dj"))
+      .groupBy("di", "dj").agg(corr(col("xi"), col("xj")).as("c"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    for { i <- 0 until d; j <- i + 1 until d } {
+      val got = graft.functions.CorrComomentAgg.corrOf(m, d, i, j)
+      assert(math.abs(got - want((i, j))) < 1e-6,
+        s"offset corpus corr($i,$j): pivoted comoment $got vs stable built-in ${want((i, j))}")
+    }
   }
 
   test("D8: media derivation, decode-stub features, frame sampling") {
@@ -208,5 +242,45 @@ class SourcesAndUdafSpec extends SparkSpecBase {
       assert(fs.map(_.getInt(1)).sorted.toSeq === (0 until fs.length).toSeq)
       fs.foreach(r => assert(r.getLong(2) === r.getInt(1) * 16L))
     }
+  }
+
+  test("D8: REAL decoders behind the seam — javax.imageio reads back the encoded " +
+    "PNG dims, AudioSystem the WAVE rate; corrupt rows error cleanly") {
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+    val out = MultiModal.decodedMeta(docs).collect()
+    assert(out.length === docs.count())
+    val expect = docs.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var imgs = 0; var auds = 0; var vids = 0; var errs = 0
+    out.foreach { m =>
+      val n = expect(m.media_id)
+      if (MultiModal.isCorrupt(m.media_id)) {
+        errs += 1
+        assert(m.status === "decode_error" && m.width.isEmpty && m.height.isEmpty &&
+          m.sample_rate.isEmpty && m.channels.isEmpty && m.brand.isEmpty,
+          s"corrupt row ${m.media_id} did not error cleanly: $m")
+      } else m.kind match {
+        case "image" =>
+          imgs += 1
+          assert(m.status === "ok" &&
+            m.width.contains(MultiModal.imageWidth(n)) &&
+            m.height.contains(MultiModal.imageHeight(n)),
+            s"imageio decoded ${m.width}x${m.height}, wrote " +
+              s"${MultiModal.imageWidth(n)}x${MultiModal.imageHeight(n)}")
+        case "audio" =>
+          auds += 1
+          assert(m.status === "ok" &&
+            m.sample_rate.contains(MultiModal.audioSampleRate(n)) &&
+            m.channels.contains(MultiModal.audioChannels(n)),
+            s"AudioSystem decoded ${m.sample_rate}/${m.channels}, wrote " +
+              s"${MultiModal.audioSampleRate(n)}/${MultiModal.audioChannels(n)}")
+        case _ =>
+          vids += 1
+          assert(m.status === "ok" && m.brand.contains("isom"), m.toString)
+      }
+    }
+    // every branch genuinely exercised, including the clean-error path
+    assert(imgs > 0 && auds > 0 && vids > 0 && errs > 0,
+      s"vacuous coverage: imgs=$imgs auds=$auds vids=$vids errs=$errs")
   }
 }

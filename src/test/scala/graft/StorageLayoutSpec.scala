@@ -378,30 +378,36 @@ class StorageLayoutSpec extends SparkSpecBase {
     // a standing codebook (the invariant holds for ANY given codebook —
     // refresh never retrains, so which corpus trained it is immaterial);
     // initial store holds codes for the first 70% of vectors only
-    val cb = spark.read
-      .parquet(s"${graft.sources.Stores.pqIndex(spark, sfDir)}/codebook")
+    val standing = graft.sources.Stores.pqIndex(spark, sfDir)
+    val cb = spark.read.parquet(s"$standing/codebook")
+    val centsDf = spark.read.parquet(s"$standing/centroids")
+    val cents = graft.engine.LlmOps.centsOf(centsDf)
     graft.sources.Sinks.writePqIndex(
-      cb,
-      graft.engine.LlmOps.pqEncode(
-        graft.engine.LlmOps.pqNormSubvectorsOf(emb.filter(c("vec_id") <= cut)), cb),
+      centsDf, cb,
+      graft.engine.LlmOps.pqEncodeWithCells(emb.filter(c("vec_id") <= cut), cb, cents),
       dir)
     val before = spark.read.parquet(s"$dir/codes").inputFiles.toSet
     graft.sources.Sinks.refreshPqIndex(spark, dir, emb.filter(c("vec_id") > cut))
     val after = spark.read.parquet(s"$dir/codes").inputFiles.toSet
     assert(before.subsetOf(after) && after.size > before.size,
       "refresh rewrote or dropped standing code files")
-    // refresh == re-encoding the WHOLE corpus against the same codebook
+    // refresh == re-encoding the WHOLE corpus against the same codebook +
+    // centroids (cells included — select-ordered because the partitioned
+    // read appends `cell` last)
     val standingCb = spark.read.parquet(s"$dir/codebook")
-    val whole = graft.engine.LlmOps.pqEncode(
-        graft.engine.LlmOps.pqNormSubvectorsOf(emb), standingCb)
+    val whole = graft.engine.LlmOps.pqEncodeWithCells(emb, standingCb,
+        graft.engine.LlmOps.centsOf(spark.read.parquet(s"$dir/centroids")))
+      .select("vec_id", "codes", "cell")
       .collect().map(_.toString).sorted.toSeq
     val refreshed = spark.read.parquet(s"$dir/codes")
+      .select("vec_id", "codes", "cell")
       .collect().map(_.toString).sorted.toSeq
     assert(refreshed === whole)
     // replay safety: re-delivering the SAME batch appends nothing — the
     // vec_id anti-join guard makes refresh idempotent under at-least-once
     graft.sources.Sinks.refreshPqIndex(spark, dir, emb.filter(c("vec_id") > cut))
     val replayed = spark.read.parquet(s"$dir/codes")
+      .select("vec_id", "codes", "cell")
       .collect().map(_.toString).sorted.toSeq
     assert(replayed === whole, "replayed refresh duplicated code rows")
   }

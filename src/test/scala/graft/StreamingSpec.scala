@@ -683,6 +683,32 @@ class StreamingSpec extends SparkSpecBase {
       "replaying a delivered batch changed the pair store")
   }
 
+  test("sharded pair delta ≡ unsharded delta — including standing copies of " +
+    "batch doc_ids (the overlap subtraction)") {
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source")
+    val docRows = docs.as[Streaming.Doc].collect().toSeq.sortBy(_.doc_id)
+    val (exist, batch) = docRows.partition(_.doc_id % 4 != 0)
+    // standing copies of a few batch ids — the folded-replay shape the
+    // sharded delta must subtract from census, join, and sizes
+    val existPlus = exist ++ batch.take(5)
+    val base = java.nio.file.Files.createTempDirectory("graft-sharded-delta").toString
+    Streaming.writeDocShingleIndex(existPlus.toDF(), base)
+    def rows(df: DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    val got = rows(graft.engine.LlmOps.shinglePairsDeltaSharded(
+      spark.read.parquet(s"$base/postings"),
+      spark.read.parquet(s"$base/postings_bydoc"),
+      spark.read.parquet(s"$base/census"),
+      batch.toDF()))
+    // the unsharded reference receives existing ALREADY anti-joined on the
+    // batch ids — exactly what the old ingest step fed it
+    val batchIds = batch.map(_.doc_id).toSet
+    val want = rows(graft.engine.LlmOps.shinglePairsDelta(
+      existPlus.filterNot(d => batchIds(d.doc_id)).toDF(), batch.toDF()))
+    assert(got === want, "sharded delta diverged from the unsharded delta")
+    assert(got.nonEmpty, "no delta pairs — vacuous parity")
+  }
+
   test("shingle-pair sink AUTO-FOLD: a 12-batch stream keeps the visible doc-segment " +
     "count bounded, pairs equal an unfolded stream, and post-fold replay/misuse behave") {
     val docs = graft.engine.Tables.documents(spark, sfDir)
@@ -755,13 +781,15 @@ class StreamingSpec extends SparkSpecBase {
     val cut = emb.selectExpr("percentile(vec_id, 0.6)").head.getDouble(0).toLong
     val base = java.nio.file.Files.createTempDirectory("graft-pq-sink").toString
     val dir = s"$base/pq"
-    // standing store: frozen codebook + codes for the first 60% of vectors
-    val cb = spark.read
-      .parquet(s"${graft.sources.Stores.pqIndex(spark, sfDir)}/codebook")
+    // standing store: frozen centroids + codebook + codes for the first
+    // 60% of vectors
+    val standing = graft.sources.Stores.pqIndex(spark, sfDir)
+    val cb = spark.read.parquet(s"$standing/codebook")
+    val centsDf = spark.read.parquet(s"$standing/centroids")
     graft.sources.Sinks.writePqIndex(
-      cb,
-      graft.engine.LlmOps.pqEncode(
-        graft.engine.LlmOps.pqNormSubvectorsOf(emb.filter(col("vec_id") <= cut)), cb),
+      centsDf, cb,
+      graft.engine.LlmOps.pqEncodeWithCells(emb.filter(col("vec_id") <= cut), cb,
+        graft.engine.LlmOps.centsOf(centsDf)),
       dir)
     val rest = emb.filter(col("vec_id") > cut)
       .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
@@ -771,11 +799,13 @@ class StreamingSpec extends SparkSpecBase {
       input.toDF().toDF("vec_id", "embedding"), dir, s"$base/ckpt")
     try slices.foreach { s => input.addData(s); q.processAllAvailable() }
     finally q.stop()
-    def rows(df: DataFrame) = df.collect().map(_.toString).sorted.toSeq
+    def rows(df: DataFrame) = df.select("vec_id", "codes", "cell")
+      .collect().map(_.toString).sorted.toSeq
     // stream-fed codes ≡ re-encoding the WHOLE corpus with that codebook
-    val whole = rows(graft.engine.LlmOps.pqEncode(
-      graft.engine.LlmOps.pqNormSubvectorsOf(emb),
-      spark.read.parquet(s"$dir/codebook")))
+    // + centroids
+    val whole = rows(graft.engine.LlmOps.pqEncodeWithCells(emb,
+      spark.read.parquet(s"$dir/codebook"),
+      graft.engine.LlmOps.centsOf(spark.read.parquet(s"$dir/centroids"))))
     assert(rows(spark.read.parquet(s"$dir/codes")) === whole,
       "stream-fed code table diverged from a whole-corpus encode")
     assert(whole.nonEmpty)
