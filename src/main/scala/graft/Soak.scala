@@ -518,6 +518,51 @@ object Soak {
       }
     }
 
+    // §6j-r12: PAIR-DELTA A/B (SPARK_GRAFT_SOAK_ONLY=pair_delta_ab,
+    // SOAK_TABLES=documents, DOC_MODE=tag). Times ONE identical append
+    // batch through both delta spellings at the current factor —
+    // `shinglePairsDelta` (re-shingles the whole existing corpus text per
+    // batch, the pre-r12 path) vs `shinglePairsDeltaSharded` (served from
+    // the standing doc-side shingle index). Run at FACTOR=10 and
+    // FACTOR=30: the unsharded time must grow ~3× (corpus-linear by
+    // construction), and the sharded growth is the honest measure of how
+    // much of the per-batch cost still tracks the corpus (the pruned
+    // posting scan + the slim n_docs id pass) vs the batch. The index
+    // build itself is timed too — it is the fold/ingest-time cost that
+    // BUYS the cheaper batches, amortized over every batch between folds.
+    if (only.exists(_.contains("pair_delta_ab"))) {
+      def timed[T](f: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+      }
+      def med3(f: => Long): (Long, Double) = {
+        f // warm (plan + JIT)
+        val rs = (1 to 3).map(_ => timed(f))
+        (rs.head._1, rs.map(_._2).sorted.apply(1))
+      }
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text", "lang", "source")
+      val exist = docs.filter(col("doc_id") % 10 =!= 0).localCheckpoint()
+      // one sweep-sized batch (1/12 of the streamed 10%)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+        .filter(pmod(col("doc_id") / 10, lit(12)) === 0).localCheckpoint()
+      val (nExist, nBatch) = (exist.count(), batch.count())
+      val idx = s"$dir/ab_index"
+      graft.sources.Fs.delete(idx)
+      val (_, tIdx) = timed(
+        graft.streaming.Streaming.writeDocShingleIndex(exist, idx))
+      println(f"PAIRDELTA_AB f=$factor%3d exist=$nExist%7d batch=$nBatch%5d " +
+        f"index_build=$tIdx%7.2f s")
+      val (nOld, tOld) = med3(
+        graft.engine.LlmOps.shinglePairsDelta(exist, batch).count())
+      val posts = spark.read.parquet(s"$idx/postings")
+      val bydoc = spark.read.parquet(s"$idx/postings_bydoc")
+      val census = spark.read.parquet(s"$idx/census")
+      val (nNew, tNew) = med3(graft.engine.LlmOps
+        .shinglePairsDeltaSharded(posts, bydoc, census, batch).count())
+      println(f"PAIRDELTA_AB f=$factor%3d unsharded=$tOld%7.2f s " +
+        f"sharded=$tNew%7.2f s rows_equal=${nOld == nNew} rows=$nOld")
+    }
+
     // §6l: HEADLINE-SCALE sweep (SPARK_GRAFT_SOAK_ONLY=headline_scale,
     // SOAK_TABLES=events,documents,embeddings,customer,orders,lineitem,
     // DOC_MODE=tag EMB_MODE=rotate): the 10 driver-bench headliners plus
