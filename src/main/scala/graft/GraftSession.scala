@@ -109,10 +109,18 @@ object GraftSession {
     // generation's meta + visible segments' segmeta at open time
     sources.Sinks.storeMeta(spark, post)
       .createOrReplaceTempView("graft_search_meta")
-    // operational one-row health snapshot (generation seq, fold watermark,
+    // operational one-row health view (generation seq, fold watermark,
     // retention window) — what a monitoring query alarms on; see
-    // Sinks.storeHealth for the snapshot-age rule it makes checkable
-    sources.Sinks.storeHealth(spark, post)
+    // Sinks.storeHealth for the snapshot-age rule it makes checkable.
+    // LIVE, not an open-time snapshot: the view wraps the DSv2
+    // `graft.store_health` table, whose scan recomputes the row per query
+    // (a frozen LocalRelation here would make "alarm when gen_seq
+    // advances" unsatisfiable). The catalog conf must precede the
+    // spark.table call; the target-store conf is re-pointed per open.
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[sources.GraftProcedureCatalog].getName)
+    spark.conf.set("spark.graft.health.postings", post)
+    spark.table("graft.store_health")
       .createOrReplaceTempView("graft_store_health")
     val td = sources.Stores.termDict(spark, dir)
     // the probeTermDict read half of the LSM discipline — ONE shared
@@ -125,12 +133,10 @@ object GraftSession {
       .createOrReplaceTempView("graft_daily_rollup")
     spark.read.parquet(sources.Stores.shinglePairs(spark, dir))
       .createOrReplaceTempView("graft_shingle_pairs")
-    // the WRITE half of the SQL surface: DSv2 stored procedures under the
-    // `graft` catalog (CALL graft.refresh_postings(...) et al.) — set
-    // here so one openStores call completes both faces; the catalog is
-    // instantiated lazily on first CALL
-    spark.conf.set("spark.sql.catalog.graft",
-      classOf[sources.GraftProcedureCatalog].getName)
+    // the WRITE half of the SQL surface — DSv2 stored procedures under
+    // the same `graft` catalog (CALL graft.refresh_postings(...) et al.,
+    // wired above with the health table) — is now complete too: one
+    // openStores call serves reads, health, and maintenance.
     val pq = sources.Stores.pqIndex(spark, dir)
     spark.read.parquet(s"$pq/centroids")
       .createOrReplaceTempView("graft_pq_centroids")

@@ -33,7 +33,7 @@ object Plans {
     "log_event_runs" -> "both row_numbers and the island groupBy derive from one user_id sort order",
     "log_rolling_wau" -> "rolling distinct via map-side x7 fanout — no self-join, no per-window rescan",
     "log_type_affinity" -> "session-basket pair join partial-aggs onto <=C(types,2) keys; marginals broadcast",
-    "llm_embed_corr_pairs" -> "typed co-moment aggregator (CorrComomentAgg): each vector folds (n, Σx, Σxᵢxⱼ) into one flat per-partition buffer — no row fanout, corpus never shuffles, partitions × one 2145-double buffer move; the 2016 Pearson values are a driver-side loop over the single result row, so the dumped plan is the metadata-sized rank over a LocalTableScan (the distributed half is the co-moment job, same shape as llm_embed_pca_cov)",
+    "llm_embed_corr_pairs" -> "typed co-moment aggregator (CorrComomentAgg): each vector folds PIVOT-CENTERED co-moments (n, pivot p, Σ(x−p), Σ(x−p)ᵢ(x−p)ⱼ — layout 1+2d+d(d+1)/2 = 2209 doubles at d=64, centered so offset dims cannot cancel catastrophically) into one flat per-partition buffer — no row fanout, corpus never shuffles, partitions × one 2209-double buffer move; the 2016 Pearson values are a driver-side loop over the single result row, so the dumped plan is the metadata-sized rank over a LocalTableScan (the distributed half is the co-moment job, same shape as llm_embed_pca_cov)",
     "text_bigram_logprob" -> "bigram-count and prefix-count joins unhinted (bigram vocabulary must not broadcast at scale); occurrences partial-agg before the doc_id exchange",
     "agg_hll_union_daily" -> "both HLL aggregations partial-combine map-side: sketches merge in the combiner, raw events never reach the per-type union",
     "llm_bloom_decontaminate" -> "eval grams compressed into a driver-built Bloom sketch; train side is one scan + map-side membership probe, no shuffle of training text",

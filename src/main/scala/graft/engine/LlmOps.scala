@@ -356,7 +356,12 @@ object LlmOps {
     * `pmod(hash(doc_id), shingleShards)`), so a batch's delta join prunes
     * to the shards its own shingles (and overlap doc_ids) touch. At 100 TB
     * raise it so each shard stays a few GB — the constant tunes pruning
-    * grain only, never answers.
+    * grain only, never answers. The count is BAKED into every persisted
+    * component's partition values, so each component records it in a
+    * `shards` meta file and the reader refuses mismatched components
+    * ([[graft.streaming.Streaming]] `readDocShingleIndex`) — raising the
+    * constant against a live sink rebuilds (seed marker delete + fold)
+    * instead of silently half-pruning.
     */
   private[graft] val shingleShards = 16
 
@@ -371,36 +376,49 @@ object LlmOps {
     *  - `existByDoc` (doc_id, sh, dshard): the same rows partitioned by
     *    `dshard = pmod(hash(doc_id), shingleShards)` — the sizes/overlap
     *    lookup face
-    *  - `existCensus` (sh, df): the per-shingle posting counts, summed
-    *    over components (vocabulary-sized)
+    *  - `existCensus` (sh, df, shard): the per-shingle posting counts,
+    *    summed over components, partitioned by the same `shard` key so
+    *    the df probes below prune too
     *
     * Row-identical to `shinglePairsDelta(exist, batch)` where `exist` is
     * the postings' source docs anti-joined on the batch ids (spec-pinned):
     * the census is EXIST − overlap + batch by exact integer arithmetic,
     * the keep cap uses the same `least(frac·n, abs)` spelling on the same
     * distinct doc count, and every join/count/jaccard expression is the
-    * delta's own. Per-batch cost: batch shingling + a vocabulary-sized
-    * census merge + posting scans PRUNED to the batch's touched shingle
-    * shards (and the matched docs' dshards for sizes) + one slim
-    * distinct-id column pass for n_docs — never a corpus text re-shingle,
-    * never an unpruned posting scan. At 100 TB the postings would carry
+    * delta's own. Per-batch cost: batch shingling + shard-pruned census
+    * df probes for exactly the shingles that matter (the batch's own,
+    * then the matched docs') + posting scans PRUNED to the batch's
+    * touched shingle shards (and the matched docs' dshards for sizes) +
+    * one slim distinct-id column pass for n_docs — never a corpus text
+    * re-shingle, never an unpruned posting scan, never a vocabulary-wide
+    * keep materialization. At 100 TB the postings would carry
     * dictionary-coded shingle ids from the census instead of strings;
     * the string spelling here keeps exactness trivially auditable.
+    *
+    * `nShards` is the shard count the COMPONENTS were written with (their
+    * `shards` meta file) — every pruning expression here must use it, not
+    * the current constant, or a raised constant silently half-prunes.
     */
   private[graft] def shinglePairsDeltaSharded(existPostings: DataFrame,
                                               existByDoc: DataFrame,
                                               existCensus: DataFrame,
-                                              batch: DataFrame): DataFrame = {
+                                              batch: DataFrame,
+                                              nShards: Int = shingleShards): DataFrame = {
     val intEnc = org.apache.spark.sql.Encoders.scalaInt
     val shb0 = bigramShingles(batch).localCheckpoint()
-    val batchIds = shb0.select("doc_id").distinct().localCheckpoint()
+    // ALL batch doc ids, not just shingled ones: a re-ingested doc whose
+    // NEW text has no shingles must still evict its standing copy from
+    // the census, the join, and n_docs — the unsharded caller anti-joins
+    // existing docs on every batch id, and the equivalence spec pins a
+    // shingleless re-ingest explicitly.
+    val batchIds = batch.select("doc_id").distinct().localCheckpoint()
     // overlap: batch doc_ids with standing copies (a replay landing after
     // its segment was folded, or a re-ingested doc) — their standing
     // postings leave the census and the join, exactly like the ingest
     // path's anti-join of the existing DOCS on the batch ids. Pruned to
     // the batch ids' dshards.
     val dshards = batchIds
-      .select(pmod(hash(col("doc_id")), lit(shingleShards)).as("d"))
+      .select(pmod(hash(col("doc_id")), lit(nShards)).as("d"))
       .distinct().as(intEnc).collect().toSeq
     val overlapPost = existByDoc
       .filter(col("dshard").isin(dshards: _*))
@@ -408,28 +426,45 @@ object LlmOps {
       .localCheckpoint()
     val overlapCensus = overlapPost.groupBy("sh").agg(count(lit(1)).as("dfo"))
     val batchCensus = shb0.groupBy("sh").agg(count(lit(1)).as("dfb"))
-    // n_docs: distinct ids over (exist ∖ batch) ∪ batch — the one
-    // remaining whole-corpus touch, a single slim id column (today's
-    // unsharded delta re-reads and re-shingles every corpus BYTE instead)
+      .localCheckpoint()
+    // n_docs: distinct ids over (exist ∖ batch) ∪ shingled-batch — the one
+    // remaining whole-corpus touch, a single slim id column (the unsharded
+    // delta re-reads and re-shingles every corpus BYTE instead). The
+    // anti-join is LOAD-BEARING: a shingleless re-ingest whose standing
+    // copy IS shingled leaves `exist` and nothing re-adds it (the union
+    // side carries only docs holding ≥1 shingle, matching the unsharded
+    // census domain).
     val nDocs = existByDoc.select("doc_id")
       .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
-      .unionByName(batchIds)
+      .unionByName(shb0.select("doc_id"))
       .agg(countDistinct("doc_id")).head().getLong(0)
-    val keep = existCensus
-      .join(overlapCensus, Seq("sh"), "left_outer")
-      .select(col("sh"), (col("df") - coalesce(col("dfo"), lit(0L))).as("dfe"))
-      .join(batchCensus, Seq("sh"), "full_outer")
-      .select(col("sh"),
-        (coalesce(col("dfe"), lit(0L)) + coalesce(col("dfb"), lit(0L))).as("df"))
-      .filter(col("df") > 0 &&
-        col("df") <= least(lit(shingleDfFrac) * lit(nDocs), lit(shingleDfAbs)))
-      .select("sh")
-      .localCheckpoint()
-    val shb = shb0.join(keep, Seq("sh"), "left_semi").localCheckpoint()
+    val cap = least(lit(shingleDfFrac) * lit(nDocs), lit(shingleDfAbs))
+    // Union-census df for exactly the shingles in `shs`: dfe (standing
+    // minus overlapped copies) + dfb (batch copies), probed against the
+    // shard-partitioned census — batch-bounded work plus a PRUNED census
+    // read, replacing the r12-initial vocabulary-wide full_outer +
+    // checkpoint whose cost tracked the corpus (measured 7.1 s at ×10 →
+    // 24.7 s at ×30 per batch; see SCALE.md §6j-r12).
+    def dfOver(shs: DataFrame): DataFrame = {
+      val pshards = shs
+        .select(pmod(hash(col("sh")), lit(nShards)).as("p"))
+        .distinct().as(intEnc).collect().toSeq
+      shs.join(existCensus.filter(col("shard").isin(pshards: _*))
+            .select("sh", "df"), Seq("sh"), "left_outer")
+        .join(overlapCensus, Seq("sh"), "left_outer")
+        .join(batchCensus, Seq("sh"), "left_outer")
+        .select(col("sh"), (coalesce(col("df"), lit(0L))
+          - coalesce(col("dfo"), lit(0L))
+          + coalesce(col("dfb"), lit(0L))).as("dfu"))
+    }
+    val keepB = dfOver(shb0.select("sh").distinct())
+      .filter(col("dfu") > 0 && col("dfu") <= cap)
+      .select("sh").localCheckpoint()
+    val shb = shb0.join(keepB, Seq("sh"), "left_semi").localCheckpoint()
     // touched shingle shards of the KEPT batch shingles: the existing-side
     // posting scan reads only these partitions, and only rows whose sh the
     // batch actually holds can survive the join
-    val shards = shb.select(pmod(hash(col("sh")), lit(shingleShards)).as("p"))
+    val shards = shb.select(pmod(hash(col("sh")), lit(nShards)).as("p"))
       .distinct().as(intEnc).collect().toSeq
     val existPruned = existPostings
       .filter(col("shard").isin(shards: _*))
@@ -440,16 +475,22 @@ object LlmOps {
       .groupBy("bid", "xid").agg(count(lit(1)).as("c"))
       .localCheckpoint()
     // sizes of the MATCHED existing docs only: dshard-pruned by-doc
-    // lookup, keep-filtered — matched docs are batch-bounded, so the
-    // size pass is too
+    // lookup, then the same union-census keep decision applied to THEIR
+    // shingles (a doc's jaccard size is its kept-shingle count over the
+    // WHOLE vocabulary, not just the batch's) — matched docs are
+    // batch-bounded, so the size pass is too
     val matched = inter.select(col("xid").as("doc_id")).distinct().localCheckpoint()
     val mshards = matched
-      .select(pmod(hash(col("doc_id")), lit(shingleShards)).as("d"))
+      .select(pmod(hash(col("doc_id")), lit(nShards)).as("d"))
       .distinct().as(intEnc).collect().toSeq
-    val szx = existByDoc
+    val mshingles = existByDoc
       .filter(col("dshard").isin(mshards: _*))
       .join(broadcast(matched), Seq("doc_id"), "left_semi")
-      .join(keep, Seq("sh"), "left_semi")
+      .select("doc_id", "sh").localCheckpoint()
+    val keepM = dfOver(mshingles.select("sh").distinct())
+      .filter(col("dfu") > 0 && col("dfu") <= cap)
+      .select("sh")
+    val szx = mshingles.join(keepM, Seq("sh"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
     val szb = shb.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val jac = col("c").cast("double") / (col("bn") + col("xn") - col("c"))
@@ -470,10 +511,14 @@ object LlmOps {
     */
   private[graft] def docShingleIndexOf(docs: DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
-    val sh = bigramShingles(docs)
+    // checkpoint the SHINGLES, not just the docs: three consumers (both
+    // posting faces + the census) would otherwise each re-run the
+    // O(len²)-ish shingling — 3× the cost of every segment land and fold
+    val sh = bigramShingles(docs).localCheckpoint()
     (sh.withColumn("shard", pmod(hash(col("sh")), lit(shingleShards))),
       sh.withColumn("dshard", pmod(hash(col("doc_id")), lit(shingleShards))),
-      sh.groupBy("sh").agg(count(lit(1)).as("df")))
+      sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .withColumn("shard", pmod(hash(col("sh")), lit(shingleShards))))
   }
 
   /** [[shinglePairsOf]] over an arbitrary (doc_id, sh) shingle relation —

@@ -193,14 +193,20 @@ object MultiModal {
             case "image" =>
               val iis = javax.imageio.ImageIO.createImageInputStream(
                 new java.io.ByteArrayInputStream(payload))
-              val readers = javax.imageio.ImageIO.getImageReaders(iis)
-              if (!readers.hasNext) throw new java.io.IOException("no reader")
-              val r = readers.next()
+              // close `iis` on EVERY exit — including the no-reader throw,
+              // which is exactly the path each corrupt row takes (an
+              // unclosed FileCacheImageInputStream pins an FD + a disk-
+              // cache temp file per corrupt row until GC)
               try {
-                r.setInput(iis)
-                DecodedMeta(id, kind, "ok", Some(r.getWidth(0)), Some(r.getHeight(0)),
-                  None, None, None)
-              } finally { r.dispose(); iis.close() }
+                val readers = javax.imageio.ImageIO.getImageReaders(iis)
+                if (!readers.hasNext) throw new java.io.IOException("no reader")
+                val r = readers.next()
+                try {
+                  r.setInput(iis)
+                  DecodedMeta(id, kind, "ok", Some(r.getWidth(0)), Some(r.getHeight(0)),
+                    None, None, None)
+                } finally r.dispose()
+              } finally iis.close()
             case "audio" =>
               val fmt = javax.sound.sampled.AudioSystem
                 .getAudioFileFormat(new java.io.ByteArrayInputStream(payload))

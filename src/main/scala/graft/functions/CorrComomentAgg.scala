@@ -13,7 +13,8 @@ import org.apache.spark.sql.expressions.UserDefinedFunction
   * at sf0.1) and fed 2016 built-in `corr` aggregates; this one folds each
   * vector into a flat `Array[Double]` buffer in place, so the scan does
   * d(d+1)/2 fused multiply-adds per row with no row fanout at all, and the
-  * shuffle carries ONE 2145-double buffer per partition. All five corr
+  * shuffle carries ONE 2209-double buffer per partition (the layout
+  * below). All five corr
   * ingredients (n, Σxᵢ, Σxᵢxⱼ including the diagonal Σxᵢ²) come out of one
   * pass; the 2016 Pearson values are then a driver-side O(d²) loop over
   * the single result row — metadata in the k-means-centroid sense.

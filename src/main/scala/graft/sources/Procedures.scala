@@ -2,11 +2,14 @@ package graft.sources
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, SupportsRead, Table, TableCapability, TableCatalog}
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
-import org.apache.spark.sql.connector.read.Scan
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.types.{DataTypes, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 /** The SQL face of the store REFRESH half — Spark 4's DSv2 stored
   * procedures (`ProcedureCatalog` + the `CALL` statement), so an ad-hoc
@@ -33,12 +36,40 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * no result rows, and are declared non-deterministic so nothing ever
   * caches or re-plans around them.
   */
-class GraftProcedureCatalog extends ProcedureCatalog {
+class GraftProcedureCatalog extends ProcedureCatalog with TableCatalog {
   private var catalogName = "graft"
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
     catalogName = name
   override def name(): String = catalogName
+
+  // ---- TableCatalog half: the catalog's one table is the LIVE store-
+  // health snapshot. `graft_store_health` used to be a LocalRelation
+  // materialized at openStores time, which froze gen_seq forever and made
+  // the README's "alarm when gen_seq advances" recipe unsatisfiable; as a
+  // DSv2 table every SELECT re-plans a fresh Scan whose partition
+  // planning recomputes Sinks.storeHealth driver-side — the view is a
+  // genuine poll, not a snapshot.
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    require(namespace.isEmpty, "graft tables live in the root namespace")
+    Array(Identifier.of(Array.empty, "store_health"))
+  }
+  override def loadTable(ident: Identifier): Table = {
+    require(ident.namespace().isEmpty && ident.name() == "store_health",
+      s"unknown graft table '${ident.toString}' — available: store_health")
+    new StoreHealthTable
+  }
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table =
+    throw new UnsupportedOperationException("graft tables are engine-defined")
+  override def alterTable(ident: Identifier,
+                          changes: org.apache.spark.sql.connector.catalog.TableChange*): Table =
+    throw new UnsupportedOperationException("graft tables are engine-defined")
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException("graft tables are engine-defined")
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("graft tables are engine-defined")
 
   /** A driver-side void procedure over string parameters. */
   private def proc(procName: String, desc: String, params: Seq[String])(
@@ -105,5 +136,67 @@ class GraftProcedureCatalog extends ProcedureCatalog {
   override def listProcedures(namespace: Array[String]): Array[Identifier] = {
     require(namespace.isEmpty, "graft procedures live in the root namespace")
     procedures.keys.toSeq.sorted.map(Identifier.of(Array.empty, _)).toArray
+  }
+}
+
+/** The live `graft.store_health` table (see [[GraftProcedureCatalog]]).
+  * The target store is the session conf `spark.graft.health.postings`,
+  * set by [[graft.GraftSession.openStores]] (or pointed at any store by
+  * hand); the snapshot row is computed DRIVER-side in
+  * `planInputPartitions` — per query, at execution planning — from the
+  * same [[Sinks.storeHealth]] every programmatic poll uses, so the two
+  * faces cannot diverge. One row, metadata-sized: no distribution needed.
+  */
+private[sources] class StoreHealthTable extends Table with SupportsRead {
+  override def name(): String = "graft.store_health"
+  override def schema(): StructType = StoreHealthTable.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch {
+      override def build(): Scan = this
+      override def readSchema(): StructType = StoreHealthTable.schema
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] = {
+        val s = SparkSession.active
+        val path = s.conf.getOption("spark.graft.health.postings").getOrElse(
+          throw new IllegalStateException("graft.store_health: no store is " +
+            "open — GraftSession.openStores sets spark.graft.health.postings, " +
+            "or set it to a posting-store path by hand"))
+        val r = Sinks.storeHealth(s, path).head()
+        Array(StoreHealthRow(r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        StoreHealthReaderFactory
+    }
+}
+
+private[sources] object StoreHealthTable {
+  val schema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("current_gen", DataTypes.StringType),
+    org.apache.spark.sql.types.StructField("gen_seq", DataTypes.LongType),
+    org.apache.spark.sql.types.StructField("folded_through", DataTypes.LongType),
+    org.apache.spark.sql.types.StructField("visible_segments", DataTypes.LongType),
+    org.apache.spark.sql.types.StructField("retired_generations_on_disk", DataTypes.LongType),
+    org.apache.spark.sql.types.StructField("gen_retention", DataTypes.LongType),
+    org.apache.spark.sql.types.StructField("n_docs", DataTypes.LongType)))
+}
+
+private[sources] case class StoreHealthRow(currentGen: String, genSeq: Long,
+    foldedThrough: Long, visibleSegments: Long, retired: Long,
+    genRetention: Long, nDocs: Long) extends InputPartition
+
+private[sources] object StoreHealthReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val h = p.asInstanceOf[StoreHealthRow]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = !emitted && { emitted = true; true }
+      override def get(): InternalRow = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(h.currentGen), h.genSeq, h.foldedThrough,
+        h.visibleSegments, h.retired, h.genRetention, h.nDocs))
+      override def close(): Unit = ()
+    }
   }
 }

@@ -164,10 +164,12 @@ object Sinks {
   def refreshShinglePairsSharded(spark: org.apache.spark.sql.SparkSession,
                                  path: String, existPostings: DataFrame,
                                  existByDoc: DataFrame, existCensus: DataFrame,
-                                 newDocs: DataFrame): Unit = {
+                                 newDocs: DataFrame,
+                                 nShards: Int = graft.engine.LlmOps.shingleShards): Unit = {
     val standing = spark.read.parquet(path).select("id_a", "id_b")
     graft.engine.LlmOps
-      .shinglePairsDeltaSharded(existPostings, existByDoc, existCensus, newDocs)
+      .shinglePairsDeltaSharded(existPostings, existByDoc, existCensus, newDocs,
+        nShards)
       .join(standing, Seq("id_a", "id_b"), "left_anti")
       .repartition(1)
       .write.mode("append")

@@ -907,10 +907,22 @@ object Streaming {
     val comps = (s"$docsPath/seed" +:
       (if (folded < 0) Nil else Seq(s"$docsPath/base/v=$folded"))) ++
       prior.map(_._2)
+    // one-time in-place migration: a base/segment committed BEFORE the
+    // doc-side index existed (pre-index layout: data/_COMMIT only) — or
+    // whose index write crashed before its `shards` meta landed —
+    // re-derives its components from the landed docs here, so a resumed
+    // pre-index sink upgrades instead of throwing PATH_NOT_FOUND. The
+    // seed is ensureDocSeedIndex's job above (it has no data/ directory).
+    comps.filter(_ != s"$docsPath/seed")
+      .filterNot(c => graft.sources.Fs.exists(s"$c/shards"))
+      .foreach { c =>
+        System.err.println(s"[graft] backfilling doc shingle index at $c")
+        writeDocShingleIndex(spark.read.parquet(s"$c/data"), c)
+      }
     val batchDocs = spark.read.parquet(s"$seg/data")
-    val (posts, bydoc, census) = readDocShingleIndex(spark, comps)
+    val (posts, bydoc, census, nShards) = readDocShingleIndex(spark, comps)
     graft.sources.Sinks.refreshShinglePairsSharded(
-      spark, pairsPath, posts, bydoc, census, batchDocs)
+      spark, pairsPath, posts, bydoc, census, batchDocs, nShards)
     // visible count AFTER this batch (`committed` was listed after the
     // segment landed, so it is included) — the auto-fold trigger input
     committed.count(_._1 > folded)
@@ -925,57 +937,115 @@ object Streaming {
     */
   private[graft] def writeDocShingleIndex(docs: DataFrame, dir: String): Unit = {
     val (posts, bydoc, census) =
-      graft.engine.LlmOps.docShingleIndexOf(docs.localCheckpoint())
+      graft.engine.LlmOps.docShingleIndexOf(docs)
     posts.repartition(col("shard"))
       .write.mode("overwrite").option("compression", "zstd")
       .partitionBy("shard").parquet(s"$dir/postings")
     bydoc.repartition(col("dshard"))
       .write.mode("overwrite").option("compression", "zstd")
       .partitionBy("dshard").parquet(s"$dir/postings_bydoc")
-    census.repartition(1)
+    census.repartition(col("shard"))
       .write.mode("overwrite").option("compression", "zstd")
-      .parquet(s"$dir/census")
+      .partitionBy("shard").parquet(s"$dir/census")
+    // written LAST: its presence marks the component's index complete at
+    // this shard count — the reader's backfill-detection AND
+    // shard-count-consistency key (a crashed partial write redoes the
+    // whole component, each face is mode=overwrite)
+    graft.sources.Fs.writeTextAtomic(s"$dir/shards",
+      graft.engine.LlmOps.shingleShards.toString)
   }
 
-  /** Idempotent one-time materialization of the SEED corpus's index
-    * components under `docsPath/seed` (marker-guarded — checked once per
-    * batch, a driver-side exists). The seed stays outside the fold
-    * lifecycle exactly like the raw `baseDocs` relation always did.
+  /** Idempotent materialization of the SEED corpus's index components
+    * under `docsPath/seed`, guarded by a FINGERPRINT of the live
+    * `baseDocs` relation (doc count + wrapped sum of `xxhash64(doc_id)`)
+    * rather than a frozen first-batch marker: a sink restarted against a
+    * grown/shrunk/replaced seed corpus detects the drift and re-derives —
+    * the pre-index path re-read the live relation every batch, and a
+    * silently stale seed index would drop or resurrect pairs with no
+    * error. (`bit_xor`, not `sum`: order-independent like a sum but can
+    * never hit the ANSI long-overflow error; the count term catches the
+    * re-keyed-duplicate case XOR alone would cancel.)
+    * The check costs one slim id-column scan of the seed per batch
+    * (same order as the delta's n_docs pass, nothing like the per-batch
+    * corpus re-shingle it replaced). Contract: seed doc CONTENT is
+    * immutable per id (an in-place text edit under an unchanged doc_id is
+    * not detected — the scheduled-rebuild discipline, like every cap/
+    * codebook freeze here); add/remove/re-key is. A missing `shards` meta
+    * (a pre-meta seed) also re-derives.
     */
   private def ensureDocSeedIndex(spark: SparkSession, docsPath: String,
                                  baseDocs: DataFrame): Unit = {
     val dir = s"$docsPath/seed"
-    if (!graft.sources.Fs.exists(s"$dir/_COMMIT")) {
+    val fp = {
+      val r = baseDocs
+        .agg(count(lit(1)), expr("bit_xor(xxhash64(doc_id))")).head()
+      s"${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}"
+    }
+    val stale = graft.sources.Fs.readTextIfExists(s"$dir/_COMMIT")
+      .map(_.trim) match {
+      case Some(old) if old == fp && graft.sources.Fs.exists(s"$dir/shards") =>
+        false
+      case Some(old) =>
+        System.err.println(s"[graft] seed corpus drifted (fingerprint " +
+          s"$old -> $fp) or pre-meta — re-deriving the seed shingle index at $dir")
+        true
+      case None => true
+    }
+    if (stale) {
+      graft.sources.Fs.delete(s"$dir/_COMMIT")
       writeDocShingleIndex(baseDocs, dir)
-      graft.sources.Fs.touch(s"$dir/_COMMIT")
+      graft.sources.Fs.writeTextAtomic(s"$dir/_COMMIT", fp)
     }
   }
 
   /** Union the index components of `comps` (seed + folded base + prior
     * segments) into the three frames [[graft.engine.LlmOps
-    * .shinglePairsDeltaSharded]] consumes. Schemas are explicit so an
-    * EMPTY component (a seed with no docs writes no part files) reads as
-    * zero rows instead of failing inference; the census union re-sums per
-    * shingle. Shard `isin` filters push into every branch of the unions,
-    * so partition pruning survives the multi-component shape.
+    * .shinglePairsDeltaSharded]] consumes, plus the shard count they were
+    * written with. Schemas are explicit so an EMPTY component (a seed
+    * with no docs writes no part files) reads as zero rows instead of
+    * failing inference; the census union re-sums per (sh, shard). Shard
+    * `isin` filters push into every branch of the unions (and through the
+    * census re-aggregation — `shard` stays a grouping key), so partition
+    * pruning survives the multi-component shape.
+    *
+    * Every component's `shards` meta must agree — partition values are
+    * BAKED at write time, so components written under different
+    * [[graft.engine.LlmOps.shingleShards]] constants cannot be pruned by
+    * one expression and the read refuses loudly instead of silently
+    * dropping the mismatched components' pairs.
     */
   private def readDocShingleIndex(spark: SparkSession, comps: Seq[String])
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, Int) = {
     import org.apache.spark.sql.types._
+    val metas = comps.map { c =>
+      c -> graft.sources.Fs.readTextIfExists(s"$c/shards").map(_.trim.toInt)
+        .getOrElse(throw new IllegalStateException(
+          s"doc shingle index component $c has no `shards` meta — " +
+            "incomplete index write; re-run the backfill (delete nothing, " +
+            "re-deliver the batch) or fold"))
+    }
+    require(metas.map(_._2).distinct.size == 1,
+      "doc shingle index shard counts disagree across components (" +
+        metas.map { case (c, s) => s"$c=$s" }.mkString(", ") +
+        ") — raising graft.engine.LlmOps.shingleShards against a live " +
+        "sink requires a rebuild: delete '<docsPath>/seed/_COMMIT' (the " +
+        "seed re-derives) and run foldDocSegments (segments re-derive) " +
+        "before the next batch")
     val postSchema = StructType(Seq(StructField("doc_id", LongType),
       StructField("sh", StringType), StructField("shard", IntegerType)))
     val bydocSchema = StructType(Seq(StructField("doc_id", LongType),
       StructField("sh", StringType), StructField("dshard", IntegerType)))
     val censusSchema = StructType(Seq(StructField("sh", StringType),
-      StructField("df", LongType)))
+      StructField("df", LongType), StructField("shard", IntegerType)))
     val posts = comps.map(c => spark.read.schema(postSchema).parquet(s"$c/postings"))
       .reduce(_ unionByName _)
     val bydoc = comps.map(c => spark.read.schema(bydocSchema).parquet(s"$c/postings_bydoc"))
       .reduce(_ unionByName _)
     val census = comps.map(c => spark.read.schema(censusSchema).parquet(s"$c/census"))
       .reduce(_ unionByName _)
-      .groupBy("sh").agg(org.apache.spark.sql.functions.sum("df").as("df"))
-    (posts, bydoc, census)
+      .groupBy("sh", "shard")
+      .agg(org.apache.spark.sql.functions.sum("df").as("df"))
+    (posts, bydoc, census, metas.head._2)
   }
 
   /** Fold every visible doc segment of a pair-ingest sink into ONE

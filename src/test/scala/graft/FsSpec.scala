@@ -166,7 +166,7 @@ class FsSpec extends SparkSpecBase {
   }
 
   test("EVERY standing store builds and serves through a non-local store root: " +
-    "openStores on mockfs registers all nine views and the SQL surface answers " +
+    "openStores on mockfs registers all eleven views and the SQL surface answers " +
     "identically to the default-root engine") {
     mockReady
     // a FRESH session so the mock store root lives in ITS conf (and its
@@ -175,8 +175,9 @@ class FsSpec extends SparkSpecBase {
     s2.conf.set("spark.graft.storeRoot", s"mockfs:$tmp/store_root_all")
     GraftSession.openStores(s2, sfDir)
     val views = Seq("graft_postings", "graft_docstats", "graft_search_meta",
-      "graft_term_dict", "graft_latency_sketch", "graft_daily_rollup",
-      "graft_shingle_pairs", "graft_pq_codebook", "graft_pq_codes")
+      "graft_store_health", "graft_term_dict", "graft_latency_sketch",
+      "graft_daily_rollup", "graft_shingle_pairs", "graft_pq_centroids",
+      "graft_pq_codebook", "graft_pq_codes")
     views.foreach { v =>
       assert(s2.table(v).count() > 0, s"view $v empty through the mock scheme")
     }

@@ -150,31 +150,43 @@ class GraftSessionSpec extends SparkSpecBase {
     assert(viaView.head === "[zqx,2,3]", viaView.mkString("; "))
   }
 
-  test("graft_store_health: one-row snapshot whose gen_seq advances across a " +
-    "maintenance cycle — the probe-age alarm input") {
+  test("graft_store_health is LIVE: repeated SELECTs from the SAME temp view " +
+    "observe gen_seq advancing across a maintenance cycle — the probe-age " +
+    "alarm input (a frozen open-time snapshot could never fire it)") {
     GraftSession.openStores(spark, sfDir)
     val viewRow = spark.table("graft_store_health").collect()
     assert(viewRow.length === 1)
     // a scratch store to drive a maintenance cycle without touching the
-    // shared standing store other tests probe
+    // shared standing store other tests probe; the VIEW follows the
+    // health-target conf, so re-point it here and restore after
     val dir = java.nio.file.Files.createTempDirectory("graft_health").toString
     val docs = engine.Tables.documents(spark, sfDir)
     import org.apache.spark.sql.functions.{col => c}
-    sources.Sinks.writePostings(docs.filter(c("doc_id") % 2 === 0), dir)
-    val h0 = sources.Sinks.storeHealth(spark, dir).head()
-    val seq0 = h0.getAs[Long]("gen_seq")
-    assert(seq0 >= 0 && h0.getAs[Long]("gen_retention") === 1L)
-    // refresh + compaction = one maintenance cycle: the monitoring rule is
-    // "alarm when gen_seq advances ≥ gen_retention during a probe"
-    sources.Sinks.refreshPostings(spark, dir, docs.filter(c("doc_id") % 2 === 1))
-    sources.Sinks.compactPostings(spark, dir)
-    val h1 = sources.Sinks.storeHealth(spark, dir).head()
-    assert(h1.getAs[Long]("gen_seq") > seq0,
-      s"gen_seq did not advance across a maintenance cycle: $h0 -> $h1")
-    assert(h1.getAs[Long]("folded_through") >= h0.getAs[Long]("folded_through"))
-    assert(h1.getAs[Long]("n_docs") === docs.count())
-    assert(h1.getAs[Long]("visible_segments") === 0L,
-      "compaction left visible segments in the health row")
+    val prevTarget = spark.conf.get("spark.graft.health.postings")
+    try {
+      sources.Sinks.writePostings(docs.filter(c("doc_id") % 2 === 0), dir)
+      spark.conf.set("spark.graft.health.postings", dir)
+      // all reads below go through the ONE temp view openStores registered
+      // — no re-registration, no fresh storeHealth() call: this is the
+      // monitoring loop's exact shape (poll the same view, compare seqs)
+      val h0 = spark.table("graft_store_health").head()
+      val seq0 = h0.getAs[Long]("gen_seq")
+      assert(seq0 >= 0 && h0.getAs[Long]("gen_retention") === 1L)
+      // refresh + compaction = one maintenance cycle: the monitoring rule
+      // is "alarm when gen_seq advances ≥ gen_retention during a probe"
+      sources.Sinks.refreshPostings(spark, dir, docs.filter(c("doc_id") % 2 === 1))
+      sources.Sinks.compactPostings(spark, dir)
+      val h1 = spark.table("graft_store_health").head()
+      assert(h1.getAs[Long]("gen_seq") > seq0,
+        s"the view froze: gen_seq did not advance across a maintenance " +
+          s"cycle observed through the same temp view: $h0 -> $h1")
+      assert(h1.getAs[Long]("folded_through") >= h0.getAs[Long]("folded_through"))
+      assert(h1.getAs[Long]("n_docs") === docs.count())
+      assert(h1.getAs[Long]("visible_segments") === 0L,
+        "compaction left visible segments in the health row")
+      // and the view agrees with the programmatic face on the same target
+      assert(h1.toString === sources.Sinks.storeHealth(spark, dir).head().toString)
+    } finally spark.conf.set("spark.graft.health.postings", prevTarget)
   }
 
   test("CALL graft.refresh_postings: a pure-SQL refresh lands the batch — the " +

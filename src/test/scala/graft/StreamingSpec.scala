@@ -684,14 +684,22 @@ class StreamingSpec extends SparkSpecBase {
   }
 
   test("sharded pair delta ≡ unsharded delta — including standing copies of " +
-    "batch doc_ids (the overlap subtraction)") {
+    "batch doc_ids (the overlap subtraction) and a SHINGLELESS re-ingest " +
+    "whose standing copy is shingled") {
     val docs = graft.engine.Tables.documents(spark, sfDir)
       .select("doc_id", "text", "lang", "source")
     val docRows = docs.as[Streaming.Doc].collect().toSeq.sortBy(_.doc_id)
-    val (exist, batch) = docRows.partition(_.doc_id % 4 != 0)
+    val (exist, batch0) = docRows.partition(_.doc_id % 4 != 0)
     // standing copies of a few batch ids — the folded-replay shape the
-    // sharded delta must subtract from census, join, and sizes
-    val existPlus = exist ++ batch.take(5)
+    // sharded delta must subtract from census, join, and sizes. The
+    // copies keep their ORIGINAL (shingled) text…
+    val existPlus = exist ++ batch0.take(5)
+    // …while one of those re-ingested docs arrives with truncated,
+    // shingle-free text (<2 tokens): its standing postings must STILL
+    // leave the census, the join, and n_docs, even though the batch doc
+    // itself contributes no shingles — batch ids must come from the batch
+    // DOCS, not the batch shingles
+    val batch = batch0.head.copy(text = "solo") +: batch0.tail
     val base = java.nio.file.Files.createTempDirectory("graft-sharded-delta").toString
     Streaming.writeDocShingleIndex(existPlus.toDF(), base)
     def rows(df: DataFrame) = df.collect().map(_.toString).sorted.toSeq
@@ -707,6 +715,106 @@ class StreamingSpec extends SparkSpecBase {
       existPlus.filterNot(d => batchIds(d.doc_id)).toDF(), batch.toDF()))
     assert(got === want, "sharded delta diverged from the unsharded delta")
     assert(got.nonEmpty, "no delta pairs — vacuous parity")
+  }
+
+  test("pre-index pair-sink layout resumes: segments/bases holding only " +
+    "data/_COMMIT backfill their shingle-index components in place; a " +
+    "shard-count mismatch refuses loudly") {
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source")
+    val docRows = docs.as[Streaming.Doc].collect().toSeq.sortBy(_.doc_id)
+    val (exist, streamed) = docRows.partition(_.doc_id % 5 != 0)
+    val (b0, b1) = streamed.splitAt(streamed.length / 2)
+    def freshStore(suffix: String): (String, String) = {
+      val base = java.nio.file.Files
+        .createTempDirectory(s"graft-preidx-$suffix").toString
+      val pairs = s"$base/pairs"
+      graft.sources.Sinks.writeSized(
+        graft.engine.LlmOps.shinglePairsOfDocs(exist.toDF()), pairs, 2)
+      (base, pairs)
+    }
+    def rows(p: String) = spark.read.parquet(p)
+      .collect().map(_.toString).sorted.toSeq
+    // control: both batches through the current code
+    val (cBase, cPairs) = freshStore("ctl")
+    Streaming.shinglePairsIngestBatch(exist.toDF(), b0.toDF(),
+      cPairs, s"$cBase/docs", 0L)
+    Streaming.shinglePairsIngestBatch(exist.toDF(), b1.toDF(),
+      cPairs, s"$cBase/docs", 1L)
+    // upgrade path: batch 0's segment written in the PRE-INDEX layout
+    // (data + _COMMIT only — simulated by stripping the index components
+    // and the seed dir), then batch 1 arrives through the current code
+    val (uBase, uPairs) = freshStore("up")
+    Streaming.shinglePairsIngestBatch(exist.toDF(), b0.toDF(),
+      uPairs, s"$uBase/docs", 0L)
+    for (c <- Seq("postings", "postings_bydoc", "census", "shards"))
+      graft.sources.Fs.delete(s"$uBase/docs/b=0/$c")
+    graft.sources.Fs.delete(s"$uBase/docs/seed")
+    Streaming.shinglePairsIngestBatch(exist.toDF(), b1.toDF(),
+      uPairs, s"$uBase/docs", 1L)
+    assert(rows(uPairs) === rows(cPairs) && rows(uPairs).nonEmpty,
+      "pre-index resume diverged from the uninterrupted store")
+    // mismatched shard meta (a raised shingleShards constant against
+    // live components) errors loudly with the rebuild recipe instead of
+    // silently half-pruning
+    graft.sources.Fs.writeTextAtomic(s"$uBase/docs/b=1/shards", "99")
+    val e = intercept[IllegalArgumentException] {
+      Streaming.shinglePairsIngestBatch(exist.toDF(), b1.toDF(),
+        uPairs, s"$uBase/docs", 2L)
+    }
+    assert(e.getMessage.contains("shard counts disagree") &&
+      e.getMessage.contains("foldDocSegments"), e.getMessage)
+  }
+
+  test("seed-corpus drift re-derives the seed shingle index: a sink resumed " +
+    "against a GROWN baseDocs pairs new batches against the live seed, not " +
+    "the frozen first-batch one") {
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source")
+    val docRows = docs.as[Streaming.Doc].collect().toSeq.sortBy(_.doc_id)
+    val (seedAll, streamed) = docRows.partition(_.doc_id % 5 != 0)
+    val (seedA, seedGrowth) = seedAll.partition(_.doc_id % 2 != 0)
+    val (b0, b1) = streamed.splitAt(streamed.length / 2)
+    val base = java.nio.file.Files.createTempDirectory("graft-seed-drift").toString
+    val pairs = s"$base/pairs"
+    graft.sources.Sinks.writeSized(
+      graft.engine.LlmOps.shinglePairsOfDocs(seedA.toDF()), pairs, 2)
+    Streaming.shinglePairsIngestBatch(seedA.toDF(), b0.toDF(),
+      pairs, s"$base/docs", 0L)
+    // the deployment grows the seed corpus between restarts; batch 1 must
+    // see seedA ∪ seedGrowth — the frozen-index bug paired it against
+    // seedA only, silently
+    Streaming.shinglePairsIngestBatch((seedA ++ seedGrowth).toDF(), b1.toDF(),
+      pairs, s"$base/docs", 1L)
+    def rows(p: String) = spark.read.parquet(p)
+      .collect().map(_.toString).sorted.toSeq
+    // INDEPENDENT reference: the pre-index discipline computed each
+    // batch's delta from the LIVE existing docs (seed at that batch's
+    // time ∪ prior segments) with the unsharded delta + standing-key
+    // anti-join — replay it by hand
+    val ref = java.nio.file.Files.createTempDirectory("graft-seed-ref").toString
+    val refPairs = s"$ref/pairs"
+    graft.sources.Sinks.writeSized(
+      graft.engine.LlmOps.shinglePairsOfDocs(seedA.toDF()), refPairs, 2)
+    graft.sources.Sinks.refreshShinglePairs(spark, refPairs,
+      seedA.toDF(), b0.toDF())
+    graft.sources.Sinks.refreshShinglePairs(spark, refPairs,
+      (seedA ++ seedGrowth ++ b0).toDF(), b1.toDF())
+    assert(rows(pairs) === rows(refPairs) && rows(pairs).nonEmpty,
+      "drifted-seed resume diverged from the live-seed reference")
+    // and the drift actually mattered: an (incorrectly) frozen seed would
+    // have produced a different store than the control — prove the grown
+    // seed contributes pairs batch 1 could only find in seedGrowth
+    val frozenBase = java.nio.file.Files.createTempDirectory("graft-seed-frozen").toString
+    val fPairs = s"$frozenBase/pairs"
+    graft.sources.Sinks.writeSized(
+      graft.engine.LlmOps.shinglePairsOfDocs(seedA.toDF()), fPairs, 2)
+    Streaming.shinglePairsIngestBatch(seedA.toDF(), b0.toDF(),
+      fPairs, s"$frozenBase/docs", 0L)
+    Streaming.shinglePairsIngestBatch(seedA.toDF(), b1.toDF(),
+      fPairs, s"$frozenBase/docs", 1L)
+    assert(rows(pairs) !== rows(fPairs),
+      "fixture too weak: the grown seed changed no pairs, drift invisible")
   }
 
   test("shingle-pair sink AUTO-FOLD: a 12-batch stream keeps the visible doc-segment " +
