@@ -420,11 +420,11 @@ object LlmOps {
     val dshards = batchIds
       .select(pmod(hash(col("doc_id")), lit(nShards)).as("d"))
       .distinct().as(intEnc).collect().toSeq
-    val overlapPost = existByDoc
+    val overlapCensus = existByDoc
       .filter(col("dshard").isin(dshards: _*))
       .join(broadcast(batchIds), Seq("doc_id"), "left_semi")
+      .groupBy("sh").agg(count(lit(1)).as("dfo"))
       .localCheckpoint()
-    val overlapCensus = overlapPost.groupBy("sh").agg(count(lit(1)).as("dfo"))
     val batchCensus = shb0.groupBy("sh").agg(count(lit(1)).as("dfb"))
       .localCheckpoint()
     // n_docs: distinct ids over (exist ∖ batch) ∪ shingled-batch — the one
@@ -445,29 +445,35 @@ object LlmOps {
     // read, replacing the r12-initial vocabulary-wide full_outer +
     // checkpoint whose cost tracked the corpus (measured 7.1 s at ×10 →
     // 24.7 s at ×30 per batch; see SCALE.md §6j-r12).
-    def dfOver(shs: DataFrame): DataFrame = {
-      val pshards = shs
-        .select(pmod(hash(col("sh")), lit(nShards)).as("p"))
-        .distinct().as(intEnc).collect().toSeq
-      shs.join(existCensus.filter(col("shard").isin(pshards: _*))
-            .select("sh", "df"), Seq("sh"), "left_outer")
+    // The census is SLICED first by a map-side broadcast semi-join on the
+    // probe set — it never shuffles and is never itself broadcast (the
+    // r12-initial probe joined shs against the filtered census directly,
+    // which planned a census-wide exchange/broadcast per probe and DOUBLED
+    // the ×10 batch cost); everything after the slice is probe-bounded.
+    def dfOver(shs: DataFrame, pshards: Seq[Int]): DataFrame = {
+      val slice = existCensus.filter(col("shard").isin(pshards: _*))
+        .join(broadcast(shs), Seq("sh"), "left_semi")
+        .select("sh", "df")
+      shs.join(slice, Seq("sh"), "left_outer")
         .join(overlapCensus, Seq("sh"), "left_outer")
         .join(batchCensus, Seq("sh"), "left_outer")
         .select(col("sh"), (coalesce(col("df"), lit(0L))
           - coalesce(col("dfo"), lit(0L))
           + coalesce(col("dfb"), lit(0L))).as("dfu"))
     }
-    val keepB = dfOver(shb0.select("sh").distinct())
-      .filter(col("dfu") > 0 && col("dfu") <= cap)
-      .select("sh").localCheckpoint()
-    val shb = shb0.join(keepB, Seq("sh"), "left_semi").localCheckpoint()
-    // touched shingle shards of the KEPT batch shingles: the existing-side
-    // posting scan reads only these partitions, and only rows whose sh the
-    // batch actually holds can survive the join
-    val shards = shb.select(pmod(hash(col("sh")), lit(nShards)).as("p"))
+    // touched shingle shards of ALL batch shingles — ONE collect prunes
+    // both the census probe and the existing-side posting scan (a
+    // superset of the kept shingles' shards; only rows whose sh the batch
+    // actually holds survive either join)
+    val bshards = shb0
+      .select(pmod(hash(col("sh")), lit(nShards)).as("p"))
       .distinct().as(intEnc).collect().toSeq
+    val keepB = dfOver(shb0.select("sh").distinct().localCheckpoint(), bshards)
+      .filter(col("dfu") > 0 && col("dfu") <= cap)
+      .select("sh")
+    val shb = shb0.join(keepB, Seq("sh"), "left_semi").localCheckpoint()
     val existPruned = existPostings
-      .filter(col("shard").isin(shards: _*))
+      .filter(col("shard").isin(bshards: _*))
       .join(broadcast(batchIds), Seq("doc_id"), "left_anti")
       .select(col("doc_id").as("xid"), col("sh"))
     val inter = shb.select(col("doc_id").as("bid"), col("sh"))
@@ -487,7 +493,11 @@ object LlmOps {
       .filter(col("dshard").isin(mshards: _*))
       .join(broadcast(matched), Seq("doc_id"), "left_semi")
       .select("doc_id", "sh").localCheckpoint()
-    val keepM = dfOver(mshingles.select("sh").distinct())
+    val mshs = mshingles.select("sh").distinct().localCheckpoint()
+    val mpshards = mshs
+      .select(pmod(hash(col("sh")), lit(nShards)).as("p"))
+      .distinct().as(intEnc).collect().toSeq
+    val keepM = dfOver(mshs, mpshards)
       .filter(col("dfu") > 0 && col("dfu") <= cap)
       .select("sh")
     val szx = mshingles.join(keepM, Seq("sh"), "left_semi")
@@ -502,23 +512,6 @@ object LlmOps {
         greatest(col("bid"), col("xid")).as("id_b"),
         round(jac, 4).as("jaccard"))
     cross.unionByName(prefixVerifiedPairs(shb, shingleJaccardThreshold))
-  }
-
-  /** The store components [[shinglePairsDeltaSharded]] consumes, derived
-    * from a docs relation — the shared writer-side definition
-    * ([[graft.streaming.Streaming]] materializes these per segment / seed
-    * / fold): (postings with `shard`, postings with `dshard`, census).
-    */
-  private[graft] def docShingleIndexOf(docs: DataFrame)
-      : (DataFrame, DataFrame, DataFrame) = {
-    // checkpoint the SHINGLES, not just the docs: three consumers (both
-    // posting faces + the census) would otherwise each re-run the
-    // O(len²)-ish shingling — 3× the cost of every segment land and fold
-    val sh = bigramShingles(docs).localCheckpoint()
-    (sh.withColumn("shard", pmod(hash(col("sh")), lit(shingleShards))),
-      sh.withColumn("dshard", pmod(hash(col("doc_id")), lit(shingleShards))),
-      sh.groupBy("sh").agg(count(lit(1)).as("df"))
-        .withColumn("shard", pmod(hash(col("sh")), lit(shingleShards))))
   }
 
   /** [[shinglePairsOf]] over an arbitrary (doc_id, sh) shingle relation —

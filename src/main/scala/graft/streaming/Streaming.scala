@@ -936,23 +936,35 @@ object Streaming {
     * differently from another.
     */
   private[graft] def writeDocShingleIndex(docs: DataFrame, dir: String): Unit = {
-    val (posts, bydoc, census) =
-      graft.engine.LlmOps.docShingleIndexOf(docs)
-    posts.repartition(col("shard"))
+    val spark = docs.sparkSession
+    val nShards = graft.engine.LlmOps.shingleShards
+    // the shingling runs ONCE, streamed straight into the postings write
+    // (the `dshard` column rides along); the other two faces derive from
+    // a columnar RE-READ of what was just written — re-shingling per face
+    // tripled the build cost, and localCheckpoint'ing the exploded rows
+    // measured WORSE than either (materializing the fanout costs more
+    // than the codegen'd recompute it saves)
+    graft.engine.LlmOps.bigramShingles(docs)
+      .withColumn("shard", pmod(hash(col("sh")), lit(nShards)))
+      .withColumn("dshard", pmod(hash(col("doc_id")), lit(nShards)))
+      .repartition(col("shard"))
       .write.mode("overwrite").option("compression", "zstd")
       .partitionBy("shard").parquet(s"$dir/postings")
-    bydoc.repartition(col("dshard"))
+    val back = spark.read.parquet(s"$dir/postings")
+    back.select("doc_id", "sh", "dshard")
+      .repartition(col("dshard"))
       .write.mode("overwrite").option("compression", "zstd")
       .partitionBy("dshard").parquet(s"$dir/postings_bydoc")
-    census.repartition(col("shard"))
+    back.groupBy("sh").agg(count(lit(1)).as("df"))
+      .withColumn("shard", pmod(hash(col("sh")), lit(nShards)))
+      .repartition(col("shard"))
       .write.mode("overwrite").option("compression", "zstd")
       .partitionBy("shard").parquet(s"$dir/census")
     // written LAST: its presence marks the component's index complete at
     // this shard count — the reader's backfill-detection AND
     // shard-count-consistency key (a crashed partial write redoes the
     // whole component, each face is mode=overwrite)
-    graft.sources.Fs.writeTextAtomic(s"$dir/shards",
-      graft.engine.LlmOps.shingleShards.toString)
+    graft.sources.Fs.writeTextAtomic(s"$dir/shards", nShards.toString)
   }
 
   /** Idempotent materialization of the SEED corpus's index components
