@@ -697,9 +697,15 @@ object LlmOps {
     // than this shape on 12.5 M pairs — the BHJ probe path loses the
     // tight codegen'd SHJ loop — so the join is shuffled even when the
     // replicated side would fit a broadcast.)
+    // MaterializeOnce on the popcount sum (r12, guide §4.4): the jac ≥ τ
+    // filter otherwise pushes INTO the join as a residual condition with
+    // `c` inlined twice (numerator + denominator — the before-plan's join
+    // condition carries the 15-term bit_count sum twice) and the output
+    // projection re-derives it a third time; the barrier pins the kernel
+    // to ONE evaluation per candidate pair, the query's hot loop.
     lhs.repartition(n, col("cell")).as("a")
       .join(rhs.repartition(n, col("cell")).hint("shuffle_hash").as("b"), cond)
-      .withColumn("c", c)
+      .withColumn("c", graft.functions.MaterializeOnce(c))
       .filter(jac >= tau)
       .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"),
@@ -718,7 +724,11 @@ object LlmOps {
     cand
       .join(docSets.as("sa"), col("id_a") === col("sa.doc_id"))
       .join(docSets.as("sb"), col("id_b") === col("sb.doc_id"))
-      .withColumn("c", c)
+      // MaterializeOnce (r12, guide §4.4): without the barrier the jac ≥ τ
+      // filter pushes into the second join as a residual with the
+      // array_intersect inlined twice, re-intersecting both shingle arrays
+      // per candidate — the verify path's whole cost is this kernel.
+      .withColumn("c", graft.functions.MaterializeOnce(c))
       .filter(jac >= tau)
       .select(col("id_a"), col("id_b"), round(jac, 4).as("jaccard"))
   }
@@ -1823,7 +1833,14 @@ object LlmOps {
       val sigCols = (0 until nHash).map(j =>
         min(conv(substring(col(s"d${j / 4}"), 1 + 8 * (j % 4), 8), 16, 10)
           .cast("bigint")).as(s"h$j"))
+      // localCheckpoint before the fan-out (r12, guide §2.4 / the
+      // winnowPairs convention): sig feeds the bucket census, BOTH sides
+      // of the candidate self-join, and the est_jaccard projection — the
+      // before-plan re-ran the tokenize + 4-md5-digest + 16-min-agg
+      // pipeline four times (8 documents scans). Doc-cardinality rows of
+      // 16 longs: signature-table-sized, the thing LSH materializes.
       val sig = digs.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+        .localCheckpoint()
       val banded = sig.select(
         col("doc_id"),
         array((0 until nHash).map(j => col(s"h$j")): _*).as("sig"),
@@ -2534,6 +2551,13 @@ object LlmOps {
             .otherwise(array().cast("array<int>")),
           i => concat_ws(" ", slice(col("ts"), i, lit(5))))).as("gram"))
       .groupBy("doc_id", "gram").agg(count(lit(1)).as("n_occ"))
+      // localCheckpoint before the fan-out (r12, guide §2.4): perDoc feeds
+      // both the gram-df census and the df join-back, and the before-plan
+      // shows the 5-gram explode + (doc, gram) aggregation subtree TWICE
+      // (exchange reuse does not fire across the two consumers). Distinct
+      // (doc, gram) rows — the same size class the postings pipelines
+      // already checkpoint.
+      .localCheckpoint()
     val dfc = perDoc.groupBy("gram").agg(count(lit(1)).as("df"))
     perDoc.join(dfc, "gram")
       .groupBy("doc_id")

@@ -550,7 +550,14 @@ object LogOps {
       |ORDER BY type_a, type_b""".stripMargin) { (s, dir) =>
     val st = sessionizedEvents(s, dir)
       .select("user_id", "session_id", "event_type").distinct()
-    affinityFromBaskets(affinityBaskets(st, maxAffinityItems))
+    // localCheckpoint before the fan-out (r12, guide §2.4): the capped
+    // basket frame feeds the session count, the marginals, and BOTH sides
+    // of the co-occurrence self-join — the before-plan re-ran the
+    // two-window sessionize over raw events for every consumer (5 events
+    // scans, 20 Window nodes). Basket rows are (session × ≤cap types) —
+    // orders of magnitude below the event stream they summarize.
+    affinityFromBaskets(
+      affinityBaskets(st, maxAffinityItems).localCheckpoint())
   }
 
   /** Event-type transition matrix — the first-order Markov view of user

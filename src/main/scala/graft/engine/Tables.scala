@@ -38,10 +38,49 @@ object Tables {
     spark
   }
 
+  /** Memoized per (session, path, file mtime+length) — the catalog
+    * discipline (r12, guide §1.2): every `spark.read.parquet` call runs a
+    * driver-side footer/schema-inference job (~65 ms per table measured at
+    * sf0.1), and because each registered query rebuilds its plan from
+    * `load`, that job was re-paid on every invocation — a fixed per-query
+    * tax that at 242 registry queries dominated the sub-second tail. A
+    * real engine resolves a table's schema once per session; the memo key
+    * carries the file's (modification time, length) so a regenerated
+    * fixture (or a different corpus root) re-reads the footer instead of
+    * serving a stale plan. Only the LAZY DataFrame (schema + file index)
+    * is memoized: execution still scans parquet every run.
+    *
+    * A stat failure (file deleted mid-session) falls through to the plain
+    * read so the error surfaces as Spark's own path-not-found, not a
+    * memo artifact.
+    */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     prepare(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val fp = try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p)
+      s"$path:${st.getModificationTime}:${st.getLen}"
+    } catch { case _: Throwable => null }
+    if (fp == null) return spark.read.parquet(path)
+    loadMemo.synchronized {
+      val perSession = {
+        val m = loadMemo.get(spark)
+        if (m != null) m else {
+          val fresh = scala.collection.mutable.HashMap.empty[String, DataFrame]
+          loadMemo.put(spark, fresh)
+          fresh
+        }
+      }
+      perSession.getOrElseUpdate(fp, spark.read.parquet(path))
+    }
   }
+
+  /** session → (path fingerprint → lazy frame). Weak keys: an entry dies
+    * with its session (the GraftSession `openedStores` convention).
+    */
+  private val loadMemo =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.HashMap[String, DataFrame]]()
 
   def region(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "nation")

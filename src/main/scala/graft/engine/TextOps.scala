@@ -456,9 +456,15 @@ object TextOps {
       when(size(col("ts")) >= lit(3), sequence(lit(1), size(col("ts")) - 2))
         .otherwise(array().cast("array<int>")),
       i => concat_ws(" ", slice(col("ts"), i, lit(3))))
+    // MaterializeOnce (r12, guide §4.4 applied to JVM expressions): the
+    // pushed n_tri > 0 filter otherwise INLINES the whole
+    // split → transform → concat_ws trigram build into the scan predicate
+    // (the before-plan's Filter(2) re-derives tris from raw text), so every
+    // row tokenized + built its trigram array TWICE. The barrier keeps the
+    // filter above the projection; evaluation semantics are untouched.
     Tables.documents(s, dir)
       .select(col("doc_id"), toks.as("ts"))
-      .select(col("doc_id"), tris.as("tris"))
+      .select(col("doc_id"), graft.functions.MaterializeOnce(tris).as("tris"))
       .select(col("doc_id"),
         size(col("tris")).cast("long").as("n_tri"),
         size(array_distinct(col("tris"))).cast("long").as("n_distinct"))
@@ -1056,29 +1062,37 @@ object TextOps {
     */
   private[graft] def qcTrain(s: SparkSession, dir: String,
                              rounds: Int): (DataFrame, DataFrame) = {
+    import s.implicits._
     val feats = qcFeatures(s, dir).localCheckpoint()
-    var w = s.range(1)
-      .select(array(lit(0.0), lit(0.0), lit(0.0), lit(0.0)).as("w"))
-      .localCheckpoint()
+    // The weight vector iterates DRIVER-SIDE (r12, guide §1.2) — the
+    // PCA-power-iteration / Lloyd convention for index-metadata-sized
+    // state: 4 doubles per round ride into the scan as a typed literal
+    // instead of a checkpointed 1-row frame, cutting each round from
+    // (gradient job + weight-checkpoint job + two broadcasts) to ONE
+    // gradient job. Every float op is unchanged — the same
+    // aggregate(zip_with(...)) dot-product fold with the same doubles,
+    // the same avg gradient, and the same wi − lr·gi IEEE update (now in
+    // plain Scala) — so the weight trajectory the unrolled-CTE oracle
+    // walks is bit-identical. Isolated sf0.1 local[32]: 2.07 → ~1.1 s.
+    var w = Seq(0.0, 0.0, 0.0, 0.0)
     var losses = Seq.empty[DataFrame]
     for (r <- 1 to rounds) {
-      val scored = feats.crossJoin(broadcast(w))
-        .withColumn("z", aggregate(zip_with(col("x"), col("w"), _ * _), lit(0.0), _ + _))
+      val scored = feats
+        .withColumn("z",
+          aggregate(zip_with(col("x"), typedlit(w), _ * _), lit(0.0), _ + _))
         .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("z"))))
       losses = losses :+ scored.agg(
         round(avg(logLoss(col("y"), col("p"))), 6).as("loss"))
         .select(lit(r).as("round"), col("loss"))
-      val grad = scored
+      val g = scored
         .select(col("y"), col("p"), posexplode(col("x")).as(Seq("i", "xi")))
         .groupBy("i").agg(avg((col("p") - col("y")) * col("xi")).as("g"))
-        .groupBy()
-        .agg(transform(array_sort(collect_list(struct(col("i"), col("g")))),
-          e => e.getField("g")).as("g"))
-      w = w.crossJoin(broadcast(grad))
-        .select(zip_with(col("w"), col("g"), (wi, gi) => wi - lit(qcLr) * gi).as("w"))
-        .localCheckpoint()
+        .select(col("i").cast("int"), col("g"))
+        .as[(Int, Double)].collect().sortBy(_._1).map(_._2).toSeq
+      w = w.zip(g).map { case (wi, gi) => wi - qcLr * gi }
     }
-    (w, losses.reduce(_ unionByName _))
+    val wDf = s.range(1).select(typedlit(w).as("w"))
+    (wDf, losses.reduce(_ unionByName _))
   }
 
   /** D7/D10 (trained quality gate): a LEARNED quality classifier — the
@@ -1275,7 +1289,10 @@ object TextOps {
       sequence(lit(1), size(col("ts")) - (n - 1)),
       i => concat_ws(" ", slice(col("ts"), i, lit(n))))
     val base = Tables.documents(s, dir)
-      .select(col("doc_id"), toks.as("ts"))
+      // MaterializeOnce (r12, guide §4.4): the pushed size(ts) >= 3 filter
+      // otherwise inlines the split+filter token build into the scan
+      // predicate (before-plan Filter(2)), tokenizing every row twice
+      .select(col("doc_id"), graft.functions.MaterializeOnce(toks).as("ts"))
       .filter(size(col("ts")) >= 3)
       // ONE corpus-sized exchange up front: doc_id partitioning satisfies
       // every downstream requirement (the (doc,n,gram) count, the (doc,n)

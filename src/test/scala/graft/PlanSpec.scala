@@ -463,4 +463,73 @@ class PlanSpec extends SparkSpecBase {
     assert(offenders.isEmpty,
       s"queries with un-allowlisted cartesian/BNLJ plans: $offenders")
   }
+
+  // ---- r12 optimization pins (OPTIMIZATION_r12.md) -------------------------
+
+  test("r12: text_repetition builds its trigram array exactly once per row") {
+    // the pushed n_tri > 0 filter must not inline the trigram build into
+    // the scan predicate (the MaterializeOnce barrier's whole job): the
+    // concat_ws gram constructor appears in ONE operator, not two
+    val plan = planOf(graft.engine.TextOps.repetition)
+    val sites = "concat_ws".r.findAllIn(plan).size
+    assert(sites == 1, s"expected 1 trigram-build site, got $sites\n$plan")
+  }
+
+  test("r12: gopher repetition tokenizes each row once") {
+    val plan = planOf(graft.engine.TextOps.gopherRepetition)
+    val splits = "split\\(lower\\(".r.findAllIn(plan).size
+    assert(splits == 1, s"expected 1 tokenize site, got $splits\n$plan")
+  }
+
+  test("r12: dense-grid jaccard evaluates the popcount kernel once per pair") {
+    // drive densePairs directly (the registered query routes by census);
+    // 2-term vocab → 1 mask word → the kernel is a single bit_count term,
+    // and it must appear once (in the projection), never in the join
+    import spark.implicits._
+    val postings = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "b"))
+      .toDF("doc_id", "sh")
+    val df = LlmOps.densePairs(postings, Array("a", "b"), 0.5)
+    val plan = df.queryExecution.executedPlan.toString
+    val sites = "bit_count".r.findAllIn(plan).size
+    assert(sites == 1, s"expected 1 popcount site, got $sites\n$plan")
+    val joinLines = plan.linesIterator.filter(_.contains("Join")).toSeq
+    assert(!joinLines.exists(_.contains("bit_count")),
+      s"popcount leaked into the join condition:\n${joinLines.mkString("\n")}")
+  }
+
+  test("r12: minhash pairs read the corpus once (signature table reused)") {
+    val plan = planOf(LlmOps.minhashPairs)
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans <= 1, s"expected <=1 documents scan, got $scans\n$plan")
+  }
+
+  test("r12: dup-span fraction reads the corpus once (gram table reused)") {
+    val plan = planOf(LlmOps.dupSpanFraction)
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans <= 1, s"expected <=1 documents scan, got $scans\n$plan")
+  }
+
+  test("r12: type affinity sessionizes once (basket table reused)") {
+    val plan = planOf(LogOps.typeAffinity)
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans <= 1, s"expected <=1 events scan, got $scans\n$plan")
+  }
+
+  test("r12: recursive reach keeps the edge derivation out of the loop") {
+    val plan = planOf(graft.engine.SqlOps.recursiveReach)
+    assert(plan.contains("UnionLoop"), plan)
+    assert(!plan.contains("Window"),
+      s"edge derivation (lag window) re-entered the recursive loop:\n$plan")
+  }
+
+  test("r12: table loads memoize per (session, path) and invalidate on change") {
+    val a = graft.engine.Tables.load(spark, sfDir, "orders")
+    val b = graft.engine.Tables.load(spark, sfDir, "orders")
+    assert(a eq b, "same session+path must return the memoized lazy frame")
+    // a DIFFERENT path must miss the memo (no stale plan across corpora)
+    val other = graft.engine.Tables.load(spark, "/root/testdata/sf0.01", "orders")
+    assert(!(a eq other), "different corpus root must not share the memo entry")
+    // and execution still computes from parquet: the memoized frame counts
+    assert(a.count() > 0)
+  }
 }
