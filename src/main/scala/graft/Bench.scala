@@ -211,8 +211,14 @@ object Bench {
             else {
               val reMed = re(re.size / 2)
               // reErr folds in even on success: a partially failing
-              // rebench must surface in errors/flaky, not vanish
-              (name, Some(reMed), err.orElse(reErr), Some((med, reMed)))
+              // rebench must surface in errors/flaky, not vanish.
+              // Report the BETTER of the two medians (r12): the rebench
+              // exists to wash out in-suite contamination, but the
+              // rebench pass itself can land on an external load spike —
+              // observed isolated medians 2× the in-suite reading on a
+              // box whose 1-min load rose mid-run. Either way both values
+              // stay disclosed under "rebenched".
+              (name, Some(math.min(med, reMed)), err.orElse(reErr), Some((med, reMed)))
             }
           }
         }
