@@ -892,6 +892,13 @@ object LlmOps {
     val tables = Seq(0L, 1L, 2L)
     val bits = 4
     val e = Tables.embeddings(s, dir)
+    // NOT checkpointed (r12, measured): the bucketed frame fans out to the
+    // query slice + one probe join per table, but it CARRIES THE VECTORS —
+    // materializing it trades cheap columnar re-scans for a row-format
+    // corpus copy (local[4] A/B: 0.46 → 0.99 s with a checkpoint), and at
+    // 100 TB a corpus-sized uncompressed replica is strictly worse than
+    // re-reading parquet. Contrast the minhash SIGNATURE table, which IS
+    // checkpointed because it is a reduction, not the corpus.
     val withBuckets = e.select(
       col("vec_id") +: col("embedding") +:
       tables.map(t => vectors.srpBucket(col("embedding"), bits, t * 0x51ed2701L).as(s"b$t")): _*)
@@ -952,11 +959,14 @@ object LlmOps {
       .join(bSide, Seq("ci", "cj"))
       .filter(col("id_a") =!= col("id_b") &&
         (col("ci") =!= col("cj") || col("id_a") < col("id_b")))
-      .filter(cos >= 0.4)
+      // MaterializeOnce (r12, guide §4.4): one cosine evaluation per pair —
+      // this exact scan IS n²/2 kernels, so doubling them doubled the job
+      .withColumn("cs", graft.functions.MaterializeOnce(cos))
+      .filter(col("cs") >= 0.4)
       .select(
         least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"),
-        round(cos, 4).as("cos_sim"))
+        round(col("cs"), 4).as("cos_sim"))
       .orderBy("id_a", "id_b")
   }
 
@@ -1015,6 +1025,9 @@ object LlmOps {
         when(element_at(col("embedding"), t * bits + i + 1) >= 0,
           lit(1 << i)).otherwise(lit(0))
       }.reduce(_ + _)
+    // NOT checkpointed (r12, measured): both grid sides consume the banded
+    // frame, but it carries the vectors — see the annLsh note; the band
+    // projection is sign tests, far cheaper than materializing the corpus.
     val withBands = e.select(
       col("vec_id"), col("embedding"),
       array((0 until tables).map(bandExpr): _*).as("bands"),
@@ -1073,11 +1086,15 @@ object LlmOps {
                                  numBlocks: Int, threshold: Double): DataFrame = {
     val cos = vectors.cosineSim(col("emb_a"), col("emb_b"))
     bandedCandidates(e, tables, bits, numBlocks)
-      .filter(cos >= threshold)
+      // MaterializeOnce (r12, guide §4.4): otherwise the threshold filter
+      // and the rounded output each evaluate the cosine kernel — the
+      // verify stage's whole cost — per candidate pair
+      .withColumn("cs", graft.functions.MaterializeOnce(cos))
+      .filter(col("cs") >= threshold)
       .select(
         least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"),
-        round(cos, 4).as("cos_sim"))
+        round(col("cs"), 4).as("cos_sim"))
       // a pair can collide in up to `tables` tables; rounded cos_sim is
       // a pure function of the pair, so the 3-column dedup is deterministic
       .dropDuplicates("id_a", "id_b", "cos_sim")
@@ -2820,6 +2837,10 @@ object LlmOps {
       .withColumn("rn", row_number().over(wAsg))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("c_id"), col("embedding"))
+      // NOT checkpointed (r12, measured): the assignment fans out to both
+      // grid sides but carries the vectors — see the annLsh note; the
+      // argmax re-run is a broadcast map-side pass, cheaper than a
+      // row-format corpus copy at any scale.
     // Same one-cell-per-unordered-pair block grid as nearDupCosine, with the
     // cluster id joined in front — pairs never cross clusters.
     val aSide = asg
@@ -2837,11 +2858,16 @@ object LlmOps {
     aSide.join(bSide, Seq("c_id", "ci", "cj"))
       .filter(col("id_a") =!= col("id_b") &&
         (col("ci") =!= col("cj") || col("id_a") < col("id_b")))
-      .filter(cos >= 0.4)
+      // MaterializeOnce (r12, guide §4.4): the threshold filter otherwise
+      // pushes into the join as a residual with the cosine kernel inlined,
+      // and the rounded output re-derives it — one evaluation per pair,
+      // the in-cluster pair scan's whole cost
+      .withColumn("cs", graft.functions.MaterializeOnce(cos))
+      .filter(col("cs") >= 0.4)
       .select(col("c_id"),
         least(col("id_a"), col("id_b")).as("u"),
         greatest(col("id_a"), col("id_b")).as("v"),
-        round(cos, 4).as("cos_sim"))
+        round(col("cs"), 4).as("cos_sim"))
       .withColumn("rn", row_number().over(wDrop))
       .filter(col("rn") === 1)
       .select(col("v").as("vec_id"), col("c_id"), col("u").as("dup_of"), col("cos_sim"))

@@ -522,6 +522,23 @@ class PlanSpec extends SparkSpecBase {
       s"edge derivation (lag window) re-entered the recursive loop:\n$plan")
   }
 
+  test("r12: semdedup scores each candidate pair's cosine exactly once") {
+    // the cluster-assignment fan-out is deliberately NOT checkpointed (the
+    // frame carries the vectors — see the source note), but the verify
+    // kernel must never re-enter the join residual
+    val plan = planOf(LlmOps.semDedup)
+    val joinLines = plan.linesIterator.filter(_.contains("Join")).toSeq
+    assert(!joinLines.exists(_.contains("cosine_sim")),
+      s"pair cosine leaked into a join condition:\n${joinLines.mkString("\n")}")
+  }
+
+  test("r12: banded near-dup scores each candidate pair's cosine exactly once") {
+    val plan = planOf(LlmOps.nearDupCosine)
+    val joinLines = plan.linesIterator.filter(_.contains("Join")).toSeq
+    assert(!joinLines.exists(_.contains("cosine_sim")),
+      s"pair cosine leaked into a join condition:\n${joinLines.mkString("\n")}")
+  }
+
   test("r12: table loads memoize per (session, path) and invalidate on change") {
     val a = graft.engine.Tables.load(spark, sfDir, "orders")
     val b = graft.engine.Tables.load(spark, sfDir, "orders")
