@@ -1405,7 +1405,13 @@ object LlmOps {
   private[graft] def pqTrainEncode(s: SparkSession,
                                    dir: String): (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
-    val sv = pqNormSubvectors(s, dir).localCheckpoint()
+    // No checkpoint here: the subvector frame CARRIES the normalized
+    // corpus doubles (a payload, not a reduction — the r12 llm_ann_lsh
+    // A/B rule), and since the encode below became a map-side pass over
+    // the raw embeddings, `sv` is consumed only by the one training-slice
+    // collect. Two cheap columnar scans inside that job beat an eager
+    // row-format corpus materialization at any scale.
+    val sv = pqNormSubvectors(s, dir)
     // TRAINING SET: the pqTrainBudget vectors with smallest md5(vec_id) —
     // a deterministic hash-ranked sample (TakeOrdered: scan + per-partition
     // top-k, no shuffle of unsampled rows), a pure function of the
@@ -1426,51 +1432,71 @@ object LlmOps {
       .join(broadcast(trainIds), Seq("vec_id"))
       .select(col("vec_id"), col("sub").cast("int"), col("sv"))
       .as[(Long, Int, Seq[Double])].collect()
-    val cb = trainCodebookDriver(train).toDF("sub", "code", "c")
+    val cbSeq = trainCodebookDriver(train)
+    val cb = cbSeq.toDF("sub", "code", "c")
     val cents = trainCoarseDriver(train)
     val centsDf = cents.toDF("cell", "c")
     // Encode: the corpus as pqM-int code arrays, each replicated under its
-    // pqAssign coarse cells — the persisted IVF-PQ index.
-    (centsDf, cb, pqEncode(sv, cb).join(coarseCellsOf(s, dir, cents), Seq("vec_id")))
-  }
-
-  /** (vec_id, cell): each surviving vector's [[pqAssign]] nearest coarse
-    * cells, as a distributed pass with the centroids inlined as LITERALS
-    * (they are driver-trained index metadata — 16 × 64 doubles). The
-    * per-row work is [[pqCells]] fixed-order zip_with/aggregate folds plus
-    * an array_sort of (d2, cell) structs — fully deterministic, including
-    * ties (lowest cell wins), so refresh-encode ≡ rebuild-encode holds for
-    * the cell column exactly as it does for the codes.
-    */
-  private[graft] def coarseCellsOf(s: SparkSession, dir: String,
-                                   cents: Seq[(Int, Seq[Double])]): DataFrame =
-    coarseCellsOfEmb(Tables.embeddings(s, dir), cents)
-
-  private[graft] def coarseCellsOfEmb(emb: DataFrame,
-                                      cents: Seq[(Int, Seq[Double])]): DataFrame = {
-    val norm = vectors.l2Norm(col("embedding"))
-    val entries = cents.sortBy(_._1).map { case (cell, c) =>
-      struct(l2sqCol(col("nv"), typedlit(c)).as("d2"), lit(cell).as("cell"))
-    }
-    emb
-      .filter(norm > 0)
-      .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double") / norm).as("nv"))
-      .select(col("vec_id"),
-        explode(slice(array_sort(array(entries: _*)), 1, pqAssign)).as("bc"))
-      .select(col("vec_id"), col("bc.cell").as("cell"))
+    // pqAssign coarse cells — the persisted IVF-PQ index. One map-side
+    // projection over the embeddings (codes + cells from the same
+    // normalized vector, codebook and centroids inlined as literals):
+    // zero exchanges, zero joins in the encode subtree.
+    (centsDf, cb, pqEncodeWithCellsSeq(Tables.embeddings(s, dir), cbSeq, cents))
   }
 
   /** The full refresh-side encode: codes + coarse cells for an arbitrary
     * (vec_id, embedding) frame against a STANDING codebook + centroids —
     * what [[graft.sources.Sinks.refreshPqIndex]] routes an append batch
     * through, so a refreshed batch can never normalize, slice, code, or
-    * cell-assign differently from the original build pass.
+    * cell-assign differently from the original build pass. The codebook
+    * arrives as a frame (the store's parquet); it is index metadata
+    * (pqM·pqKs rows), collected driver-side and inlined as literals —
+    * parquet round-trips doubles exactly, so the refresh encode stays
+    * bit-identical to the build encode (StorageLayoutSpec pins it).
     */
   private[graft] def pqEncodeWithCells(emb: DataFrame, cb: DataFrame,
-                                       cents: Seq[(Int, Seq[Double])]): DataFrame =
-    pqEncode(pqNormSubvectorsOf(emb), cb)
-      .join(coarseCellsOfEmb(emb, cents), Seq("vec_id"))
+                                       cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val s = cb.sparkSession
+    import s.implicits._
+    val cbSeq = cb.select(col("sub").cast("int"), col("code").cast("int"),
+        col("c").cast("array<double>"))
+      .as[(Int, Int, Seq[Double])].collect().toSeq
+    pqEncodeWithCellsSeq(emb, cbSeq, cents)
+  }
+
+  /** The ENCODE half of the PQ build as ONE map-side projection: each
+    * vector normalizes, codes every subspace against the LITERAL codebook,
+    * and explodes under its [[pqAssign]] coarse cells — no subvector
+    * fan-out, no join, no aggregation, zero exchanges. Per subspace the
+    * code is the lexicographic min of (d2, code) structs — the same
+    * `min(struct(d2, code))` argmin (lowest code on ties) the aggregated
+    * formulation computed, over the same left-to-right
+    * `aggregate(zip_with(…))` double fold, so the chosen codes are
+    * bit-identical and refresh ≡ rebuild still holds file-for-row.
+    */
+  private[graft] def pqEncodeWithCellsSeq(emb: DataFrame,
+                                          cb: Seq[(Int, Int, Seq[Double])],
+                                          cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val norm = vectors.l2Norm(col("embedding"))
+    val bySub = cb.groupBy(_._1)
+    val codesExpr = array((0 until pqM).map { sub =>
+      val sv = slice(col("nv"), lit(sub * pqDsub + 1), lit(pqDsub))
+      val entries = bySub(sub).sortBy(_._2).map { case (_, code, c) =>
+        struct(l2sqCol(sv, typedlit(c)).as("d2"), lit(code).as("code"))
+      }
+      array_min(array(entries: _*)).getField("code")
+    }: _*)
+    val cellEntries = cents.sortBy(_._1).map { case (cell, c) =>
+      struct(l2sqCol(col("nv"), typedlit(c)).as("d2"), lit(cell).as("cell"))
+    }
+    emb
+      .filter(norm > 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double") / norm).as("nv"))
+      .select(col("vec_id"), codesExpr.as("codes"),
+        explode(slice(array_sort(array(cellEntries: _*)), 1, pqAssign)).as("bc"))
+      .select(col("vec_id"), col("codes"), col("bc.cell").as("cell"))
+  }
 
   /** Collect a (cell, c) centroids frame back to the driver in cell order
     * — index metadata ([[pqCells]] rows), shared by every query path that
@@ -1568,24 +1594,6 @@ object LlmOps {
     val cents = lloydDriver(full, seeds, pqCoarseRounds, pqM * pqDsub)
     cents.indices.map(c => (c, cents(c).toSeq))
   }
-
-  /** The ENCODE half of the PQ build, against a GIVEN codebook: nearest
-    * centroid per (vector, subspace), rolled into the pqM-int code array.
-    * Split out so [[graft.sources.Sinks.refreshPqIndex]] can encode an
-    * append batch with the STANDING codebook — the production refresh
-    * never retrains (codebook drift is a scheduled-rebuild concern);
-    * encoding is embarrassingly parallel and deterministic (min(struct)
-    * argmin with code tiebreak), so refresh ≡ rebuild-encode given the
-    * same codebook, which StorageLayoutSpec pins file-for-row.
-    */
-  private[graft] def pqEncode(sv: DataFrame, cb: DataFrame): DataFrame =
-    sv.join(broadcast(cb), Seq("sub"))
-      .withColumn("d2", l2sqCol(col("sv"), col("c")))
-      .groupBy("vec_id", "sub")
-      .agg(min(struct(col("d2"), col("code"))).as("best"))
-      .groupBy("vec_id")
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("best.code").as("code")))),
-        x => x.getField("code")).as("codes"))
 
   /** The PQ QUERY PATH over a (possibly persisted) index: ADC tables from
     * the codebook, compressed-domain shortlist over the code table, exact
