@@ -2534,12 +2534,13 @@ object LlmOps {
     * is this PAIR", this asks "how much of THIS doc is non-original".
     *
     * Shape is linear, not pairwise: positional 5-grams explode map-side,
-    * document frequency per gram is one hash agg over the DISTINCT
-    * (doc, gram) set, and each occurrence joins its gram's df back — an
-    * equi-join on the gram key. No postings self-join, so no df-cap is
-    * needed: a boilerplate gram shared by every doc costs one df row and a
-    * fan-out join, both linear in corpus size. Docs with fewer than five
-    * tokens emit no grams and drop out on both sides.
+    * collapse to the DISTINCT (doc, gram) set in one hash agg, and each
+    * gram's document frequency is that set's per-gram row count — a
+    * COUNT(*) window over the gram partition, no df census table and no
+    * join-back. No postings self-join, so no df-cap is needed: a
+    * boilerplate gram shared by every doc costs rows linear in corpus
+    * size. Docs with fewer than five tokens emit no grams and drop out on
+    * both sides.
     */
   val dupSpanFraction = Q(
     "llm_dup_span_fraction",
@@ -2564,10 +2565,15 @@ object LlmOps {
     // CollapseProject keeps `ts` a real column, so per-position work is the
     // O(5) slice alone.
     val toks = filter(split(lower(col("text")), " "), t => t =!= "")
-    // one explode pass, then ONE (doc, gram) pre-aggregation that serves
-    // both sides: its distinct rows feed the gram-df count, its n_occ sums
-    // reconstruct positional totals — so raw gram occurrences shuffle once,
-    // and the df join runs over the (smaller) distinct set
+    // one explode pass, then ONE (doc, gram) pre-aggregation with a SINGLE
+    // consumer: each row of perDoc is a distinct (doc, gram), so the
+    // gram's document frequency is just that partition's row count —
+    // COUNT(*) OVER (PARTITION BY gram) — and the df census + join-back of
+    // the two-consumer shape collapses into one window pass. This retires
+    // the r12 localCheckpoint here, which materialized every distinct
+    // 5-gram STRING per doc (a corpus-scale payload, not a reduction —
+    // the rule the r12 llm_ann_lsh A/B established); now perDoc is
+    // consumed once and nothing is materialized at all.
     val perDoc = Tables.documents(s, dir)
       .select(col("doc_id"), toks.as("ts"))
       .select(col("doc_id"),
@@ -2576,15 +2582,8 @@ object LlmOps {
             .otherwise(array().cast("array<int>")),
           i => concat_ws(" ", slice(col("ts"), i, lit(5))))).as("gram"))
       .groupBy("doc_id", "gram").agg(count(lit(1)).as("n_occ"))
-      // localCheckpoint before the fan-out (r12, guide §2.4): perDoc feeds
-      // both the gram-df census and the df join-back, and the before-plan
-      // shows the 5-gram explode + (doc, gram) aggregation subtree TWICE
-      // (exchange reuse does not fire across the two consumers). Distinct
-      // (doc, gram) rows — the same size class the postings pipelines
-      // already checkpoint.
-      .localCheckpoint()
-    val dfc = perDoc.groupBy("gram").agg(count(lit(1)).as("df"))
-    perDoc.join(dfc, "gram")
+    perDoc
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("gram")))
       .groupBy("doc_id")
       .agg(sum(col("n_occ")).as("n_grams"),
         sum(when(col("df") >= 2, col("n_occ")).otherwise(0L)).as("n_dup"))
