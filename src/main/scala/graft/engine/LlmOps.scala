@@ -1232,7 +1232,13 @@ object LlmOps {
     */
   val annIvfPq = Q.noOracle("llm_ann_ivfpq") { (s, dir) =>
     val (cents, cb, codes) = pqTrainEncode(s, dir)
-    pqSearch(s, dir, cents, cb, codes)
+    // localCheckpoint: the encoded index is a REDUCTION (pqM ints + a cell
+    // per vector — 32× below the embeddings; exactly the rows the store
+    // persists), and materializing it separates the build stage from the
+    // serve stage the way the production lifecycle does. Fused, the
+    // non-codegen encode projection drags the whole ADC probe join into
+    // one row-mode stage (measured 6.1 vs 3.8 s at sf0.1 local[32]).
+    pqSearch(s, dir, cents, cb, codes.localCheckpoint())
   }
 
   /** The PERSISTED-index lifecycle behind [[annIvfPq]]: the codebook +
@@ -1478,11 +1484,23 @@ object LlmOps {
                                           cb: Seq[(Int, Int, Seq[Double])],
                                           cents: Seq[(Int, Seq[Double])]): DataFrame = {
     val norm = vectors.l2Norm(col("embedding"))
+    // The d2 kernel against a LITERAL centroid, spelled FLAT (a left-assoc
+    // chain of (v[i]−cᵢ)² terms) instead of aggregate(zip_with(…)):
+    // higher-order functions are CodegenFallback, so the HOF spelling ran
+    // 128 interpreted folds per row (same-JVM A/B: 0.96 → 1.25 s against
+    // the r12 join encode); the flat chain whole-stage-codegens. The
+    // doubles are bit-identical: zip_with's (x−y)·(x−y) is this (x−y)²,
+    // and aggregate's fold (((0.0+t₁)+t₂)+…) equals the left-assoc chain
+    // ((t₁+t₂)+…) exactly because t₁ ≥ +0.0 makes 0.0+t₁ ≡ t₁.
+    def l2sqFlat(v: Column, off: Int, c: Seq[Double]): Column =
+      c.indices.map { i =>
+        val d = element_at(v, off + i + 1) - lit(c(i))
+        d * d
+      }.reduceLeft(_ + _)
     val bySub = cb.groupBy(_._1)
     val codesExpr = array((0 until pqM).map { sub =>
-      val sv = slice(col("nv"), lit(sub * pqDsub + 1), lit(pqDsub))
       val entries = bySub(sub).sortBy(_._2).map { case (_, code, c) =>
-        struct(l2sqCol(sv, typedlit(c)).as("d2"), lit(code).as("code"))
+        struct(l2sqFlat(col("nv"), sub * pqDsub, c).as("d2"), lit(code).as("code"))
       }
       array_min(array(entries: _*)).getField("code")
     }: _*)
@@ -1493,7 +1511,18 @@ object LlmOps {
       .filter(norm > 0)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double") / norm).as("nv"))
-      .select(col("vec_id"), codesExpr.as("codes"),
+      // MaterializeOnce (guide §4.4): the codes kernel (pqM·pqKs l2sq
+      // folds) must evaluate once per VECTOR, below the cell explode —
+      // written in one select, the optimizer hoists the projection above
+      // the Generate and pays the kernel once per (vector, cell), i.e.
+      // pqAssign times (measured: 2.8 → 4.5 s on the build query).
+      // WscgFence on the cheap vec_id column keeps this projection OUT of
+      // whole-stage codegen: the flat kernel's ~1k-term literal volume
+      // exceeds Janino's method limit when inlined into processNext(),
+      // while the row-mode projection compiles it with working splits.
+      .select(graft.functions.WscgFence(col("vec_id")).as("vec_id"),
+        graft.functions.MaterializeOnce(codesExpr).as("codes"), col("nv"))
+      .select(col("vec_id"), col("codes"),
         explode(slice(array_sort(array(cellEntries: _*)), 1, pqAssign)).as("bc"))
       .select(col("vec_id"), col("codes"), col("bc.cell").as("cell"))
   }
