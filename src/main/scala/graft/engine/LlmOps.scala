@@ -2725,6 +2725,40 @@ object LlmOps {
     * centroid-id tie-break, the same cross-engine-stable ordering the knn
     * top-k uses.
     */
+  /** The shared E-step of the centroid family (llm_centroid_assign,
+    * llm_embed_outliers, llm_semdedup): every vector's max-cosine centroid
+    * as a MAP-SIDE argmax — `min(struct(−round(cos,4), c_id))` over the
+    * centroids inlined as literals, the exact winner of the declared
+    * `ORDER BY cos_sim DESC, c_id` window (double negation is a bit-exact
+    * involution; the struct ordering ties on the same rounded doubles and
+    * breaks on the same c_id). The centroids are k driver-collected rows
+    * (the PCA co-moment / Lloyd metadata discipline), so the assignment
+    * runs with ZERO exchanges: the window formulation this replaces
+    * shuffled the whole corpus (embedding payload included) through a
+    * vec_id exchange per consumer just to rank k broadcast rows that were
+    * already co-resident with each vector. Returns (vec_id, embedding,
+    * best) — callers project `best.c_id` / `−best.nc`.
+    *
+    * NaN note: a zero-norm vector or centroid would make cos NaN, which
+    * Spark's struct-min ranks LAST while the window's DESC ranked it
+    * first; no fixture contains a zero-norm embedding (checked at all
+    * three SFs) and the PQ family already norm-filters, so the declared
+    * results are unaffected.
+    */
+  private def centroidArgmax(e: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).toSeq
+    val entries = cents.map { case (cid, cemb) =>
+      struct((-round(vectors.cosineSim(col("embedding"), typedlit(cemb)), 4)).as("nc"),
+        lit(cid).as("c_id"))
+    }
+    e.select(col("vec_id"), col("embedding"),
+      array_min(array(entries: _*)).as("best"))
+  }
+
   val centroidAssign = Q(
     "llm_centroid_assign",
     """WITH c AS (
@@ -2742,14 +2776,10 @@ object LlmOps {
       |  FROM sim)
       |SELECT c_id, COUNT(*) AS n_members, ROUND(AVG(cos_sim), 4) + 0 AS avg_sim
       |FROM asg WHERE rn = 1 GROUP BY c_id ORDER BY c_id""".stripMargin) { (s, dir) =>
-    val e = Tables.embeddings(s, dir)
-    val c = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    val w = Window.partitionBy("vec_id").orderBy(col("cos_sim").desc, col("c_id").asc)
-    e.join(broadcast(c))
-      .withColumn("cos_sim", round(vectors.cosineSim(col("embedding"), col("c_emb")), 4))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    // map-side argmax (r13, [[centroidArgmax]]): the corpus never
+    // shuffles; the profile aggregates on k keys
+    centroidArgmax(Tables.embeddings(s, dir))
+      .select(col("best.c_id").as("c_id"), (-col("best.nc")).as("cos_sim"))
       .groupBy("c_id")
       .agg(count(lit(1)).as("n_members"),
         (round(avg("cos_sim"), 4) + lit(0.0)).as("avg_sim"))
@@ -2797,15 +2827,11 @@ object LlmOps {
       |WHERE a.rn = 1 AND s.std4 > 0
       |  AND (a.cos_sim - s.mean4) / s.std4 < -1.5
       |ORDER BY vec_id""".stripMargin) { (s, dir) =>
-    val e = Tables.embeddings(s, dir)
-    val c = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    val w = Window.partitionBy("vec_id").orderBy(col("cos_sim").desc, col("c_id").asc)
-    val asg = e.join(broadcast(c))
-      .withColumn("cos_sim", round(vectors.cosineSim(col("embedding"), col("c_emb")), 4))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("vec_id", "c_id", "cos_sim")
+    // map-side argmax (r13, [[centroidArgmax]]): assignment costs zero
+    // exchanges; only (vec_id, c_id, cos_sim) reaches the stats rollup
+    val asg = centroidArgmax(Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("best.c_id").as("c_id"),
+        (-col("best.nc")).as("cos_sim"))
     val stats = asg.groupBy("c_id")
       .agg(round(avg("cos_sim"), 4).as("mean4"),
         round(stddev_samp("cos_sim"), 4).as("std4"))
@@ -2864,19 +2890,15 @@ object LlmOps {
       |SELECT vec_id, c_id, dup_of, cos_sim FROM drops WHERE rn = 1
       |ORDER BY vec_id""".stripMargin) { (s, dir) =>
     val numBlocks = 8
-    val e = Tables.embeddings(s, dir)
-    val c = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    val wAsg = Window.partitionBy("vec_id").orderBy(col("cos_c").desc, col("c_id").asc)
-    val asg = e.join(broadcast(c))
-      .withColumn("cos_c", round(vectors.cosineSim(col("embedding"), col("c_emb")), 4))
-      .withColumn("rn", row_number().over(wAsg))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("c_id"), col("embedding"))
-      // NOT checkpointed (r12, measured): the assignment fans out to both
-      // grid sides but carries the vectors — see the annLsh note; the
-      // argmax re-run is a broadcast map-side pass, cheaper than a
-      // row-format corpus copy at any scale.
+    // map-side argmax (r13, [[centroidArgmax]]): the r12 window form
+    // shuffled the corpus (vectors included) through a vec_id exchange
+    // PER GRID SIDE; now each side re-derives the assignment in its own
+    // scan pipeline with zero exchanges. Still NOT checkpointed: the
+    // assignment carries the vectors (the annLsh payload rule) and the
+    // argmax is k codegen'd cosine kernels per row, cheaper than a
+    // row-format corpus copy at any scale.
+    val asg = centroidArgmax(Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("best.c_id").as("c_id"), col("embedding"))
     // Same one-cell-per-unordered-pair block grid as nearDupCosine, with the
     // cluster id joined in front — pairs never cross clusters.
     val aSide = asg
