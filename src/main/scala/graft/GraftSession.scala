@@ -127,22 +127,22 @@ object GraftSession {
     // merge definition, so view and programmatic probe can never diverge
     sources.Sinks.storeTermDict(spark, td)
       .createOrReplaceTempView("graft_term_dict")
-    spark.read.parquet(sources.Stores.latencySketch(spark, dir))
+    sources.Stores.readCached(spark, sources.Stores.latencySketch(spark, dir))
       .createOrReplaceTempView("graft_latency_sketch")
-    spark.read.parquet(sources.Stores.dailyRollup(spark, dir))
+    sources.Stores.readCached(spark, sources.Stores.dailyRollup(spark, dir))
       .createOrReplaceTempView("graft_daily_rollup")
-    spark.read.parquet(sources.Stores.shinglePairs(spark, dir))
+    sources.Stores.readCached(spark, sources.Stores.shinglePairs(spark, dir))
       .createOrReplaceTempView("graft_shingle_pairs")
     // the WRITE half of the SQL surface — DSv2 stored procedures under
     // the same `graft` catalog (CALL graft.refresh_postings(...) et al.,
     // wired above with the health table) — is now complete too: one
     // openStores call serves reads, health, and maintenance.
     val pq = sources.Stores.pqIndex(spark, dir)
-    spark.read.parquet(s"$pq/centroids")
+    sources.Stores.readCached(spark, s"$pq/centroids")
       .createOrReplaceTempView("graft_pq_centroids")
-    spark.read.parquet(s"$pq/codebook")
+    sources.Stores.readCached(spark, s"$pq/codebook")
       .createOrReplaceTempView("graft_pq_codebook")
-    spark.read.parquet(s"$pq/codes")
+    sources.Stores.readCached(spark, s"$pq/codes")
       .createOrReplaceTempView("graft_pq_codes")
     openedStores.synchronized {
       openedStores.put(spark, target): Unit

@@ -777,7 +777,7 @@ object LlmOps {
       |    / COUNT(*), 4) AS drop_rate
       |FROM documents d LEFT JOIN drops dr ON d.doc_id = dr.doc_id
       |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, dir) =>
-    val drops = s.read.parquet(graft.sources.Stores.shinglePairs(s, dir))
+    val drops = graft.sources.Stores.readCached(s, graft.sources.Stores.shinglePairs(s, dir))
       .select(col("id_b").as("doc_id")).distinct()
       .withColumn("dropped", lit(1))
     Tables.documents(s, dir)
@@ -1255,12 +1255,12 @@ object LlmOps {
     */
   val annIvfPqIndexed = Q.noOracle("llm_ann_ivfpq_indexed") { (s, dir) =>
     val path = graft.sources.Stores.pqIndex(s, dir)
-    val cents = s.read.parquet(s"$path/centroids")
-    val cb = s.read.parquet(s"$path/codebook")
+    val cents = graft.sources.Stores.readCached(s, s"$path/centroids")
+    val cb = graft.sources.Stores.readCached(s, s"$path/codebook")
     // the standing code table is PARTITIONED by coarse cell, so the
     // request's literal cell IN-list lands in the scan's PartitionFilters
     // — only the probed nprobe-of-pqCells partitions are read
-    val codes = s.read.parquet(s"$path/codes")
+    val codes = graft.sources.Stores.readCached(s, s"$path/codes")
     pqSearch(s, dir, cents, cb, codes)
   }
 
@@ -2378,7 +2378,7 @@ object LlmOps {
       |  SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id FROM reach GROUP BY a)
       |SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
       |FROM labels GROUP BY cluster_id ORDER BY cluster_id""".stripMargin) { (s, dir) =>
-    val pairs = s.read.parquet(graft.sources.Stores.shinglePairs(s, dir))
+    val pairs = graft.sources.Stores.readCached(s, graft.sources.Stores.shinglePairs(s, dir))
       .select("id_a", "id_b")
     clusterPairs(pairs)
       .groupBy("cluster_id")

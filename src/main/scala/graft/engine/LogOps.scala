@@ -2398,7 +2398,7 @@ object LogOps {
       |  COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY week, event_type""".stripMargin) { (s, dir) =>
     val path = graft.sources.Stores.dailyRollup(s, dir)
-    s.read.parquet(path)
+    graft.sources.Stores.readCached(s, path)
       .groupBy(date_trunc("week", col("day")).as("week"), col("event_type"))
       .agg(sum("n").as("n_events"), round(sum("sum_value"), 2).as("total_value"))
       .orderBy("week", "event_type")
@@ -3166,7 +3166,7 @@ object LogOps {
     "log_latency_sketch_served", latencySketchRangeSql) { (s, dir) =>
     val path = graft.sources.Stores.latencySketch(s, dir)
     sketchRangeReport(
-      s.read.parquet(path).select("event_type", "day", "bucket", "n"))
+      graft.sources.Stores.readCached(s, path).select("event_type", "day", "bucket", "n"))
   }
 
   /** P6+: [[booleanSearch]] served from the standing posting store — the

@@ -189,6 +189,24 @@ private[graft] object Fs {
     * `p` — the store-registry corpus fingerprint input. Driver-side
     * metadata listing only.
     */
+  /** SHALLOW (one listStatus call) signature of `p`'s direct entries —
+    * (name, length, mtime) per child, files and directories alike. The
+    * store-read-memo invalidation key: a filesystem write never modifies
+    * a file in place (write-temp-rename / delete), so any mutation inside
+    * a child directory bumps that directory's mtime and surfaces here,
+    * while a day- or bucket-partitioned store with hundreds of
+    * subdirectories costs ONE metadata call instead of the recursive walk
+    * (measured: the recursive fingerprint cost more than the footer job
+    * it saved on partitioned stores).
+    */
+  def shallowSignature(p: String): Seq[String] = {
+    val (fs, path) = resolve(p)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq.map { st =>
+      s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+    }
+  }
+
   def fileSignatures(p: String): Seq[String] = {
     val (fs, path) = resolve(p)
     if (!fs.exists(path)) Seq.empty

@@ -216,7 +216,7 @@ object Sinks {
                   lo: String, hi: String): DataFrame = {
     val loTs = to_timestamp(lit(lo))
     val hiTs = to_timestamp(lit(hi))
-    val files = spark.read.parquet(s"$path/zonemap")
+    val files = Stores.readCached(spark, s"$path/zonemap")
       .filter(col("max_ts") >= loTs && col("min_ts") < hiTs)
       .select("file")
       .collect().map(_.getString(0)) // one row per COVERING file — metadata
@@ -697,7 +697,7 @@ object Sinks {
     val idf = log(lit(1.0) +
       (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
     val lengthNorm = lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))
-    val docstats = v.docstatRoots.map(spark.read.parquet(_))
+    val docstats = v.docstatRoots.map(Stores.readCached(spark, _))
       .reduce(_ unionByName _)
     tf.join(broadcast(dfc), "tok") // |terms| rows
       .join(docstats, "doc_id")
@@ -758,7 +758,7 @@ object Sinks {
       .as[Int].collect().toSeq.distinct
     val roots = v.postingRoots
     require(roots.nonEmpty, s"posting store has no postings (gen=${v.genDir})")
-    roots.map(spark.read.parquet(_)
+    roots.map(Stores.readCached(spark, _)
         .filter(col("tok_bucket").isin(bucketIds: _*)) // partition pruning
         .filter(col("tok").isin(normTerms: _*)))
       .reduce(_ unionByName _)
@@ -930,7 +930,7 @@ object Sinks {
                                    path: String): DataFrame = {
     val roots = postingsView(spark, path).postingRoots
     require(roots.nonEmpty, s"posting store at $path has no postings")
-    roots.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    roots.map(Stores.readCached(spark, _)).reduce(_ unionByName _)
   }
 
   /** The store's full docstats view: the current generation's side table
@@ -941,7 +941,7 @@ object Sinks {
                                    path: String): DataFrame = {
     val parts = postingsView(spark, path).docstatRoots
     require(parts.nonEmpty, s"posting store at $path has no docstats")
-    parts.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    parts.map(Stores.readCached(spark, _)).reduce(_ unionByName _)
   }
 
   /** Count of committed segments still visible over the current
@@ -1029,7 +1029,7 @@ object Sinks {
   def probeTermDict(spark: org.apache.spark.sql.SparkSession, path: String,
                     prefix: String, k: Int): DataFrame = {
     val p = prefix.toLowerCase
-    val files = spark.read.parquet(s"$path/zonemap")
+    val files = Stores.readCached(spark, s"$path/zonemap")
       .filter(col("max_tok") >= p &&
         substring(col("min_tok"), 1, p.length) <= p)
       .select("file")
@@ -1052,7 +1052,7 @@ object Sinks {
     */
   private[graft] def storeTermDict(spark: org.apache.spark.sql.SparkSession,
                                    path: String): DataFrame =
-    mergeTermDictDelta(spark, path, spark.read.parquet(s"$path/dict"))
+    mergeTermDictDelta(spark, path, Stores.readCached(spark, s"$path/dict"))
 
   /** Fold the delta segment (if any) into `base` by (df, cf) addition —
     * the one definition of the dict-LSM merge.
@@ -1060,7 +1060,7 @@ object Sinks {
   private def mergeTermDictDelta(spark: org.apache.spark.sql.SparkSession,
                                  path: String, base: DataFrame): DataFrame =
     if (!Fs.exists(s"$path/delta")) base
-    else base.unionByName(spark.read.parquet(s"$path/delta"))
+    else base.unionByName(Stores.readCached(spark, s"$path/delta"))
       .groupBy("tok")
       .agg(sum("df").as("df"), sum("cf").as("cf"))
 

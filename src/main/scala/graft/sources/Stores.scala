@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Build-once registry for PERSISTED index stores (posting store, PQ ANN
   * index). The registered `log_indexed_search` / `llm_ann_ivfpq_indexed`
@@ -266,4 +266,54 @@ object Stores {
       Sinks.writePqIndex(cents, cb, codes, path)
     }
   }
+
+  /** GENERATION-AWARE memoized parquet read of a standing-store component
+    * — the catalog discipline `Tables.load` applies to fixtures (r12,
+    * guide §1.2), extended to the stores it deliberately excluded: every
+    * `spark.read.parquet(storePath)` runs a driver-side footer/schema
+    * job per invocation, so each served query re-paid it per run. Unlike
+    * fixtures, stores MUTATE (refresh/compaction/sinks), so the memo key
+    * carries a SHALLOW fingerprint of the component's direct entries
+    * ([[Fs.shallowSignature]] — one listStatus; a write inside a child
+    * partition bumps that child's mtime, because files are never modified
+    * in place): a refresh that rewrites a partition, lands a segment, or
+    * swaps a generation changes the signature and the next read
+    * re-resolves — a stale plan can never be served (spec-pinned by the
+    * refresh-invalidation test). Only the LAZY frame
+    * (schema + file index) is memoized; execution scans parquet every
+    * run. The listing itself is driver-side metadata (no Spark job). An
+    * empty or unreadable listing falls through to the plain read so
+    * errors surface as Spark's own, not a memo artifact.
+    */
+  def readCached(spark: SparkSession, path: String): DataFrame = {
+    // runtime kill switch (spark.graft.storeReadMemo=false): bypass the
+    // memo entirely — the measurement/debug escape hatch
+    if (spark.conf.getOption("spark.graft.storeReadMemo").contains("false"))
+      return spark.read.parquet(path)
+    val fp = try {
+      val sig = Fs.shallowSignature(path).sorted.mkString("|")
+      if (sig.isEmpty) null
+      else java.security.MessageDigest.getInstance("MD5")
+        .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    } catch { case _: Throwable => null }
+    if (fp == null) return spark.read.parquet(path)
+    val key = s"${Fs.qualify(path)}@$fp"
+    readMemo.synchronized {
+      val perSession = {
+        val m = readMemo.get(spark)
+        if (m != null) m else {
+          val fresh = scala.collection.mutable.HashMap.empty[String, DataFrame]
+          readMemo.put(spark, fresh)
+          fresh
+        }
+      }
+      perSession.getOrElseUpdate(key, spark.read.parquet(path))
+    }
+  }
+
+  /** session → (store component fingerprint → lazy frame); weak keys die
+    * with their session (the `Tables.loadMemo` convention).
+    */
+  private val readMemo =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.HashMap[String, org.apache.spark.sql.DataFrame]]()
 }

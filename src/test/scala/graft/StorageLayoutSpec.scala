@@ -173,6 +173,32 @@ class StorageLayoutSpec extends SparkSpecBase {
       assert(sigAfter.get(d) === sigBefore.get(d), s"refresh rewrote untouched partition $d")
   }
 
+  test("store read memo: refresh invalidates the cached frame, stable listings reuse it") {
+    import spark.implicits._
+    val events = graft.engine.Tables.events(spark, sfDir)
+    val cutoff = events.selectExpr("percentile(ts_ns, 0.8)").head.getDouble(0).toLong
+    val dir = s"$tmp/rollup_memo"
+    graft.sources.Sinks.writeDailyRollup(events.filter(col("ts_ns") <= cutoff), dir)
+    val first = graft.sources.Stores.readCached(spark, dir)
+    val nBefore = first.count()
+    // unchanged listing → the SAME lazy frame instance (the memo memoizes)
+    assert(graft.sources.Stores.readCached(spark, dir) eq first)
+    // refresh rewrites the touched day partitions → listing fingerprint
+    // changes → the next read resolves fresh (no stale plan)
+    graft.sources.Sinks.refreshDailyRollup(spark, dir, events.filter(col("ts_ns") > cutoff))
+    val second = graft.sources.Stores.readCached(spark, dir)
+    assert(!(second eq first), "refresh must invalidate the memoized frame")
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("day").cast("string"), col("event_type"), col("n"),
+        round(col("sum_value"), 6).as("sv"))
+      .as[(String, String, Long, Double)].collect().toSet
+    val fullDir = s"$tmp/rollup_memo_full"
+    graft.sources.Sinks.writeDailyRollup(events, fullDir)
+    assert(snap(second) === snap(spark.read.parquet(fullDir)),
+      "post-refresh cached read must see the refreshed store")
+    assert(second.count() >= nBefore)
+  }
+
   test("latency sketch store: incremental refresh of an append batch equals a full rebuild") {
     import spark.implicits._
     val events = graft.engine.Tables.events(spark, sfDir)
