@@ -1062,6 +1062,18 @@ object TextOps {
     */
   private[graft] def qcTrain(s: SparkSession, dir: String,
                              rounds: Int): (DataFrame, DataFrame) = {
+    val (w, losses, _) = qcTrainFeats(s, dir, rounds)
+    (w, losses)
+  }
+
+  /** [[qcTrain]] that also returns the CHECKPOINTED feature frame it
+    * trained on, so the registered query's final report scores the same
+    * materialized (doc_id, x, y) rows instead of re-tokenizing the corpus
+    * a ninth time (r13, guide §2.4 — the rows are identical by
+    * construction: one checkpoint, two consumers).
+    */
+  private[graft] def qcTrainFeats(s: SparkSession, dir: String,
+                                  rounds: Int): (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
     val feats = qcFeatures(s, dir).localCheckpoint()
     // The weight vector iterates DRIVER-SIDE (r12, guide §1.2) — the
@@ -1092,7 +1104,7 @@ object TextOps {
       w = w.zip(g).map { case (wi, gi) => wi - qcLr * gi }
     }
     val wDf = s.range(1).select(typedlit(w).as("w"))
-    (wDf, losses.reduce(_ unionByName _))
+    (wDf, losses.reduce(_ unionByName _), feats)
   }
 
   /** D7/D10 (trained quality gate): a LEARNED quality classifier — the
@@ -1124,8 +1136,8 @@ object TextOps {
     */
   val qualityClassifier = Q(
     "text_quality_classifier", qcOracleSql) { (s, dir) =>
-    val (w, _) = qcTrain(s, dir, qcRounds)
-    qcFeatures(s, dir).crossJoin(broadcast(w))
+    val (w, _, feats) = qcTrainFeats(s, dir, qcRounds)
+    feats.crossJoin(broadcast(w))
       .withColumn("z", aggregate(zip_with(col("x"), col("w"), _ * _), lit(0.0), _ + _))
       .withColumn("p", lit(1.0) / (lit(1.0) + exp(-col("z"))))
       .agg(
